@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Spark-native `Datafile` (reference polars_dataset.py:309-338): a
+  * path + index/id_vars metadata with load/write. The reference is
+  * CSV-only; parquet and json are first-class here because that is
+  * what a 100 TB pipeline actually reads.
+  */
+final case class Datafile(
+    path: String,
+    index: Option[String] = None,
+    idVars: Seq[String] = Nil,
+    format: String = "csv") {
+
+  val name: String = {
+    val base = path.split('/').last
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) base.substring(0, dot) else base
+  }
+
+  private def reader(spark: SparkSession) = format match {
+    case "csv"  => spark.read.option("header", "true").option("inferSchema", "true")
+    case other  => spark.read.format(other)
+  }
+
+  /** Load as a raw DataFrame when no index is set, else as a GDataset
+    * (polars_dataset.py:316-323). */
+  def load(spark: SparkSession): Either[DataFrame, GDataset] = {
+    val df = format match {
+      case "csv" => reader(spark).csv(path)
+      case _     => reader(spark).load(path)
+    }
+    index match {
+      case None      => Left(df)
+      case Some(idx) => Right(GDataset(df, idx, idVars))
+    }
+  }
+
+  def write(df: DataFrame): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    format match {
+      case "csv" => w.option("header", "true").csv(path)
+      case other => w.format(other).save(path)
+    }
+  }
+
+  def write(ds: GDataset): Unit = write(ds.df)
+
+  override def toString: String =
+    Seq(
+      s"filename: $name",
+      s"path: $path",
+      s"index: ${index.getOrElse("None")}",
+      s"id_vars: ${if (idVars.nonEmpty) idVars.mkString(", ") else "None"}"
+    ).mkString("\n")
+}

@@ -1,0 +1,241 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Interpolation
+
+/** Spark-native re-expression of the reference's `Dataset` wrapper
+  * (reference: polars_dataset.py:11-306): a DataFrame plus an `index`
+  * coordinate column and `idVars` identifier columns. Every value
+  * column not in `idVars + index` is a value variable.
+  *
+  * Unlike the eager polars wrapper, `df` here is a lazy Catalyst plan;
+  * every method returns a new immutable GDataset whose plan extends the
+  * parent's — distributed lazy evaluation for free.
+  */
+final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
+  require(
+    df.columns.contains(index),
+    s"The column `$index` is not in DataFrame (reference polars_dataset.py:109-112 semantics)")
+
+  /** id_vars are pruned, not errored, when a transform drops them
+    * (reference polars_dataset.py:113-114). */
+  def prunedIdVars: Seq[String] = idVars.filter(df.columns.contains)
+
+  /** Columns that are neither id_vars nor the index (polars_dataset.py:163-169). */
+  def valueVars: Seq[String] = {
+    val meta = (idVars :+ index).toSet
+    df.columns.toSeq.filterNot(meta.contains)
+  }
+
+  /** Reassign metadata with validation (polars_dataset.py:138-143). */
+  def set(index: String = this.index, idVars: Seq[String] = this.idVars): GDataset = {
+    require(df.columns.contains(index), s"The column `$index` is not in DataFrame")
+    idVars.foreach(c => require(df.columns.contains(c), s"Unknown id_var `$c`"))
+    GDataset(df, index, idVars).sortColumns
+  }
+
+  /** Apply an arbitrary DataFrame transform, keeping metadata; errors if
+    * the index is dropped, prunes dropped id_vars (polars_dataset.py:105-115).
+    * This is the Spark analogue of the reference's `__getattr__` forwarding:
+    * the whole DataFrame API is reachable while metadata is preserved. */
+  def transform(f: DataFrame => DataFrame): GDataset = {
+    val out = f(df)
+    require(
+      out.columns.contains(index),
+      s"The transformation does not preserve the index, `$index`")
+    GDataset(out, index, idVars.filter(out.columns.contains))
+  }
+
+  def select(cols: Column*): GDataset = transform(_.select(cols: _*))
+
+  /** Keep metadata columns, replace value columns (polars_dataset.py:153-158).
+    * polars hstack is row-position alignment; in a distributed engine the
+    * only scale-safe equivalent is computing the new values in the same
+    * projection — semantics identical when exprs derive from this df. */
+  def selectData(cols: Column*): GDataset = {
+    val meta = prunedIdVars.map(col) :+ col(index)
+    transform(_.select(meta ++ cols: _*))
+  }
+
+  /** Raw projection escaping the wrapper (polars_dataset.py:160-161). */
+  def fetch(cols: Column*): DataFrame = df.select(cols: _*)
+
+  def filter(cond: Column): GDataset = transform(_.filter(cond))
+
+  def withColumns(pairs: (String, Column)*): GDataset =
+    transform(d => pairs.foldLeft(d) { case (acc, (n, c)) => acc.withColumn(n, c) })
+
+  /** Metadata-aware join: id_vars union preserving left-first order
+    * (polars_dataset.py:171-187). */
+  def join(other: GDataset, usingColumns: Seq[String], joinType: String = "inner"): GDataset = {
+    val mergedIds = idVars ++ other.idVars.filterNot(idVars.contains)
+    val joined = df.join(other.df, usingColumns, joinType)
+    GDataset(joined, index, mergedIds.filter(joined.columns.contains))
+  }
+
+  def joinDf(other: DataFrame, usingColumns: Seq[String], joinType: String = "inner"): GDataset =
+    transform(_.join(other, usingColumns, joinType))
+
+  /** Metadata-aware rename (polars_dataset.py:189-194). */
+  def rename(mapping: Map[String, String]): GDataset =
+    GDataset(
+      df.withColumnsRenamed(mapping),
+      mapping.getOrElse(index, index),
+      idVars.map(c => mapping.getOrElse(c, c)))
+
+  def pipe[A](f: GDataset => A): A = f(this)
+
+  /** Drop columns; index is protected (polars_dataset.py:265-272). */
+  def drop(names: String*): GDataset = {
+    require(!names.contains(index), "Cannot drop the `index` column")
+    transform(_.drop(names: _*))
+  }
+
+  /** Ordered unique values of a column (polars_dataset.py:274-275).
+    * polars' maintain_order=True means first-appearance order; in a
+    * distributed engine the scale-safe deterministic equivalent is
+    * sorted order. */
+  def coord(name: String): DataFrame = df.select(name).distinct().orderBy(name)
+
+  /** (min, max) of a column (polars_dataset.py:277-280). */
+  def extrema(name: String): (Any, Any) = {
+    val r = df.agg(min(col(name)).as("min"), max(col(name)).as("max")).head()
+    (r.get(0), r.get(1))
+  }
+
+  def extremaDf(name: String): DataFrame =
+    df.agg(min(col(name)).as("min"), max(col(name)).as("max"))
+
+  /** Sort; bare call auto-sorts by id_vars then index (polars_dataset.py:282-287). */
+  def sort(cols: Column*): GDataset =
+    if (cols.isEmpty) transform(_.orderBy((prunedIdVars :+ index).map(col): _*))
+    else transform(_.orderBy(cols: _*))
+
+  /** Canonical column order id_vars | index | values (polars_dataset.py:289-292). */
+  def sortColumns: GDataset =
+    transform(d => d.select((prunedIdVars ++ Seq(index) ++ valueVars).map(col): _*))
+
+  /** Drop rows where ANY numeric (or nested-struct numeric) field is NaN
+    * (polars_dataset.py:294-306, incl. the struct unnest round-trip). */
+  def dropNan: GDataset = transform { d =>
+    def nanChecks(schema: StructType, prefix: String): Seq[Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case DoubleType | FloatType => Seq(isnan(col(path)))
+          case s: StructType          => nanChecks(s, path)
+          case _                      => Nil
+        }
+      }
+    val checks = nanChecks(d.schema, "")
+    if (checks.isEmpty) d
+    else d.filter(!checks.reduce(_ || _))
+  }
+
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+
+  private def numericValueVars: Seq[String] = valueVars.filter { v =>
+    df.schema(v).dataType.isInstanceOf[NumericType]
+  }
+
+  /** Per-group series transform core shared by regrid/dft: shuffles once
+    * on id_vars (a group = one series, small by construction; parallelism
+    * = #groups, which at 100 TB vastly exceeds the executor count), sorts
+    * each group by the index in memory, and emits derived rows.
+    */
+  private def perGroupSeries(
+      outValueNames: Seq[String],
+      emit: (Array[Double], Array[Array[Double]]) => Iterator[(Double, Array[Double])],
+      outIndexName: String): GDataset = {
+    val ids = prunedIdVars
+    val vars = numericValueVars
+    val sel = df.select(
+      ids.map(col) ++ Seq(col(index).cast("double").as(index)) ++
+        vars.map(v => col(v).cast("double").as(v)): _*)
+    val nIds = ids.length
+    val keySchema =
+      if (ids.isEmpty) StructType(Seq(StructField("__g", IntegerType, nullable = false)))
+      else StructType(ids.map(sel.schema.apply))
+    val outSchema = StructType(
+      ids.map(sel.schema.apply) ++
+        (StructField(outIndexName, DoubleType) +: outValueNames.map(StructField(_, DoubleType))))
+    val keyEnc = Encoders.row(keySchema)
+    val outEnc = Encoders.row(outSchema)
+    val result = sel
+      .groupByKey { r =>
+        if (nIds == 0) Row(0) else Row.fromSeq((0 until nIds).map(r.get))
+      }(keyEnc)
+      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+        val keyVals: Seq[Any] = if (nIds == 0) Nil else key.toSeq
+        val pts = rows
+          .filterNot(_.isNullAt(nIds))
+          .toArray
+          .sortBy(_.getDouble(nIds))
+        // strictly-increasing x: on duplicates keep the last observation
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Row]
+        pts.foreach { r =>
+          if (kept.nonEmpty && kept.last.getDouble(nIds) == r.getDouble(nIds))
+            kept(kept.length - 1) = r
+          else kept += r
+        }
+        val xs = kept.map(_.getDouble(nIds)).toArray
+        val series = Array.tabulate(vars.length) { vi =>
+          kept.map(r => if (r.isNullAt(nIds + 1 + vi)) Double.NaN else r.getDouble(nIds + 1 + vi)).toArray
+        }
+        emit(xs, series).map { case (x, vals) =>
+          Row.fromSeq(keyVals ++ (x +: vals.toSeq))
+        }
+      }(outEnc)
+    GDataset(result, outIndexName, ids)
+  }
+
+  /** Cubic-spline resample of every numeric value var onto `grid`, per
+    * id_vars group (reference polars_dataset.py:212-238; spline math in
+    * [[graft.functions.Interpolation.cubicSpline]]). */
+  def regrid(grid: Array[Double]): GDataset = {
+    val vars = numericValueVars
+    perGroupSeries(
+      vars,
+      (xs, series) => {
+        val splined = series.map(ys => Interpolation.cubicSpline(xs, ys, grid))
+        grid.indices.iterator.map(gi => (grid(gi), splined.map(_(gi))))
+      },
+      index)
+  }
+
+  /** Magnitude spectrum (first `k` DFT bins) of every numeric value var,
+    * per id_vars group, over the index-ordered series (README "Fourier
+    * transform" capability). Output index column is `freq_bin`. */
+  def dft(k: Int): GDataset = {
+    val vars = numericValueVars
+    perGroupSeries(
+      vars.map(v => s"mag_$v"),
+      (_, series) => {
+        val mags = series.map(ys => Interpolation.dftMagnitudes(ys, k))
+        val nBins = if (mags.isEmpty) 0 else mags.map(_.length).min
+        (0 until nBins).iterator.map(b => (b.toDouble, mags.map(_(b))))
+      },
+      "freq_bin")
+  }
+}
+
+object GDataset {
+
+  def apply(df: DataFrame, index: String): GDataset = GDataset(df, index, Nil)
+
+  /** Multi-dataset concat: all must share the index; id_vars are
+    * unioned; columns aligned by name (polars_dataset.py:20-40).
+    * Spark's unionByName with missing-column nulls is the distributed
+    * analogue of polars' diagonal-ish concat over the shared schema. */
+  def concat(datasets: Seq[GDataset]): GDataset = {
+    require(datasets.nonEmpty, "concat of zero datasets")
+    val indexes = datasets.map(_.index).distinct
+    require(indexes.size == 1, "All datasets must have the same index")
+    val idVars = datasets.flatMap(_.idVars).distinct
+    val unioned = datasets.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
+    GDataset(unioned, indexes.head, idVars.filter(unioned.columns.contains)).sortColumns
+  }
+}

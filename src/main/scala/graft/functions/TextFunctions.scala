@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-pipeline operators
+  * (SURVEY.md §2.3). Built exclusively from `org.apache.spark.sql.
+  * functions._` — every expression is codegen'd, no UDFs, so they stay
+  * inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs. */
+  val BpePattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;:]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Stopword lists per language for the n-gram/stopword heuristics.
+    * Fixed, tiny, broadcast as literals into codegen. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "on", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "que", "y", "por", "con", "como"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这")
+  )
+
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(wordArr, t)))
+  }
+
+  /** Fraction of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val all = Stopwords.flatMap(_._2)
+    stopwordHits(text, all).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hits with a
+    * fixed tie-break order (the declaration order of [[Stopwords]]). */
+  def langId(text: Column): Column = {
+    val hits = Stopwords.map { case (lang, words) => lang -> stopwordHits(text, words) }
+    // ordered CASE: branch i fires when h_i >= every later h_j (earlier
+    // branches already failed) — mirrors the DuckDB oracle SQL verbatim.
+    val preds = hits.zipWithIndex.map { case ((lang, h), i) =>
+      val cond = hits.drop(i + 1).map { case (_, other) => h >= other }
+        .foldLeft(lit(true))(_ && _)
+      (cond, lit(lang))
+    }
+    preds.init.foldRight(preds.last._2: Column) { case ((cond, lang), acc) =>
+      when(cond, lang).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length + punctuation + stopword
+    * signals (the reference-free heuristic a pretraining pipeline uses). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(200.0), lit(1.0))
+    val punct = punctRatio(text)
+    val punctScore = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct * 2.5)
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    round((lenScore + punctScore + stopScore) / lit(3.0), 4)
+  }
+
+  /** Content fingerprint: md5 of lowercased alphanumeric-only text —
+    * the normalized-hash dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  /** Word n-gram shingles (n consecutive tokens, space-joined). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, the minimum
+    * xxhash64(shingle, seed) over the document's shingle set. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = array_distinct(shingles(text, n))
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(sh, s => xxhash64(s, seed))))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * (+1/-1) token-hash bits. Pure HOF expressions. */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0).cast("long"), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            b => when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+              .otherwise(lit(-1L))),
+          (a, v) => a + v)
+      })
+    aggregate(
+      zip_with(
+        counts,
+        sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+}

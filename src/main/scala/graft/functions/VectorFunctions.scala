@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions (SURVEY.md §2.3). Composed from
+  * higher-order functions over array columns — no UDF serialization,
+  * works on any array<float>/array<double> column. Accumulation is
+  * sequential in element order and in double precision, matching
+  * DuckDB's list_* kernels on DOUBLE[] for oracle parity.
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Random-hyperplane signature: `planes(p)(d)` fixed pseudo-random
+    * weights; bit p = sign of dot(v, planes(p)). Returns array<int> of
+    * 0/1 bits — group consecutive `bandBits` bits for LSH buckets. */
+  def hyperplaneBits(v: Column, planes: Array[Array[Double]]): Column = {
+    val bitCols = planes.map { plane =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1)).otherwise(lit(0))
+    }
+    array(bitCols.toIndexedSeq: _*)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed —
+    * identical on every executor without shuffling state). */
+  def makePlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+}

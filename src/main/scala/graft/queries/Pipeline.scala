@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** LLM-data-pipeline queries (SURVEY.md §2.3): dedup family, similarity
+  * search, text analysis, multimodal plumbing — the operators a 100 TB
+  * training-data pipeline runs on top of the relational core.
+  */
+object Pipeline {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))),
+
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_ws"),
+        TF.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.charCount(col("text")).as("n_chars"),
+        round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TF.stopwordRatio(col("text")), 4).as("stop_ratio"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, threshold = 0.5)),
+
+    "q_dedup_cosine" -> ((s, dir) =>
+      Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64)
+    }),
+
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeFeatures(media).select(col("media_id"), col("n_bytes"))
+    })
+  )
+
+  private val TokSql =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  private def hitsSql(words: Seq[String]): String =
+    s"""len(list_filter($TokSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+         FROM documents""",
+    "q_token_count" ->
+      s"""SELECT doc_id,
+          len($TokSql) AS n_ws,
+          len(regexp_extract_all(text, '${TF.BpePattern}')) AS n_bpe
+          FROM documents""",
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+          length(text) AS n_chars,
+          round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                / greatest(length(text), 1), 4) AS punct_ratio,
+          round(${hitsSql(TF.Stopwords.flatMap(_._2))} * 1.0
+                / greatest(len($TokSql), 1), 4) AS stop_ratio
+          FROM documents""",
+    "q_lang_id" -> {
+      val langs = TF.Stopwords.map(_._1)
+      val hitCols = TF.Stopwords.zipWithIndex
+        .map { case ((_, words), i) => s"${hitsSql(words)} AS h$i" }
+        .mkString(", ")
+      val branches = langs.zipWithIndex.init.map { case (lang, i) =>
+        val conds = ((i + 1) until langs.length).map(j => s"h$i >= h$j").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, CASE $branches ELSE '${langs.last}' END AS pred_lang
+          FROM (SELECT doc_id, $hitCols FROM documents)"""
+    },
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
+           FROM inter
+           JOIN sizes na ON id_a = na.doc_id
+           JOIN sizes nb ON id_b = nb.doc_id)
+         WHERE jaccard >= 0.5""",
+    "q_dedup_cosine" ->
+      """SELECT id_a, id_b, cos FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         WHERE cos >= 0.4""",
+    "q_ann_bruteforce" ->
+      """SELECT qid, cid, sim, rank FROM (
+           SELECT qid, cid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS cid,
+                    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim
+             FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
+         WHERE rank <= 5""",
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+         FROM documents"""
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh: hash-family
+    // approximations not expressible in DuckDB — rows-only + recall specs.
+  )
+}

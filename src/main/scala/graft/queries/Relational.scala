@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables.t
+
+/** Relational core of the engine (SURVEY.md §2.2): the polars
+  * DataFrame surface the reference forwards to, re-expressed as lazy
+  * Catalyst plans. Every query here has an exact DuckDB oracle.
+  *
+  * Scale notes: dims are broadcast explicitly; aggregations are
+  * partial-agg friendly; top-k goes through TakeOrderedAndProject
+  * (orderBy.limit), never a global sort of the full input; doubles
+  * that cross an order-dependent reduction are rounded to 2dp on BOTH
+  * engines so summation order cannot flip the comparison.
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style scan+agg: partial aggregation map-side, 6 groups.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // TPC-H Q6-style: selective filter fully pushed to parquet scan.
+    "q_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1999-01-01")
+            && col("l_discount") >= 0.02 && col("l_discount") <= 0.09
+            && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // TPC-H Q5-style multi-join: nation/region broadcast, fact join shuffles once.
+    "q_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders")
+      val c  = t(s, dir, "customer")
+      val n  = t(s, dir, "nation")
+      val r  = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // EXISTS via left_semi — no row multiplication, no dedup needed.
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // NOT EXISTS via left_anti: customers with no large order.
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Window functions: rank within key + running sum, deterministic tiebreaks.
+    "q_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val wRank = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wRun = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.withColumn("rn", row_number().over(wRank))
+        .withColumn("running", round(sum(col("o_totalprice")).over(wRun), 2))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("running"))
+    }),
+
+    // Top-k: TakeOrderedAndProject (per-partition heap), not a global sort.
+    "q_topn" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // distinct → partial-agg dedup before shuffle.
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+    }),
+
+    // pivot with explicit value list (no extra distinct scan at scale).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(round(sum(col("l_quantity")), 2))
+    }),
+
+    // unpivot / melt: wide → long without shuffles.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "var", "val")
+    }),
+
+    // explode of a split list column + re-agg.
+    "q_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+    }),
+
+    // fill_null after an outer join (null-producing path).
+    "q_fill_null" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(coalesce(round(sum(col("o_totalprice")), 2), lit(0.0)).as("total"),
+          count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // value_counts.
+    "q_value_counts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("value"))
+        .agg(count(lit(1)).as("count"))
+    }),
+
+    // exact interpolated percentiles per group. Interpolation is spelled
+    // out (floor/ceil ranks + linear weights) so Spark and the DuckDB
+    // oracle execute bit-identical arithmetic — builtin `percentile` vs
+    // `quantile_cont` differ in the last ulp and can flip the rounding.
+    "q_quantile" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val base = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(wOrd).cast("double") - 1)
+        .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+      // no rounding: the arithmetic is bit-identical to the oracle, and
+      // midpoint interpolation lands exactly on .xx5 boundaries where
+      // Spark's BigDecimal HALF_UP and DuckDB's x*100-based round differ.
+      def qq(p: Double) = {
+        val idx = (col("n") - 1) * p
+        sum(when(col("rn") === floor(idx) || col("rn") === ceil(idx),
+          col("v") * (lit(1.0) - abs(col("rn") - idx))).otherwise(lit(0.0)))
+      }
+      base.groupBy(col("l_returnflag"))
+        .agg(qq(0.25).as("p25"), qq(0.5).as("p50"), qq(0.75).as("p75"))
+    }),
+
+    // time-bucketed aggregation (polars group_by_dynamic analogue).
+    "q_time_bucket" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    }),
+
+    // rows-based rolling mean per key (polars rolling analogue).
+    "q_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("rmean", round(avg(col("value")).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("rmean"))
+    }),
+
+    // JSON string column → typed value.
+    "q_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+         round(avg(l_quantity),2) AS avg_qty,
+         count(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q_filter_project" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""",
+    "q_join_agg" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey, rn, running FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS UNBOUNDED PRECEDING),2) AS running
+           FROM orders) WHERE rn <= 3""",
+    "q_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS O,
+         round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS F
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS var, l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+    "q_explode" ->
+      """SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE tok <> '' GROUP BY lang""",
+    "q_fill_null" ->
+      """SELECT c_custkey,
+         coalesce(round(sum(o_totalprice),2), 0.0) AS total,
+         count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q_value_counts" ->
+      """SELECT o_orderpriority AS value, count(*) AS count
+         FROM orders GROUP BY o_orderpriority""",
+    "q_quantile" ->
+      """WITH b AS (
+           SELECT l_returnflag, l_extendedprice AS v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS DOUBLE) - 1 AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+           sum(CASE WHEN rn = floor((n-1)*0.25) OR rn = ceil((n-1)*0.25)
+                    THEN v * (1.0 - abs(rn - (n-1)*0.25)) ELSE 0.0 END) AS p25,
+           sum(CASE WHEN rn = floor((n-1)*0.5) OR rn = ceil((n-1)*0.5)
+                    THEN v * (1.0 - abs(rn - (n-1)*0.5)) ELSE 0.0 END) AS p50,
+           sum(CASE WHEN rn = floor((n-1)*0.75) OR rn = ceil((n-1)*0.75)
+                    THEN v * (1.0 - abs(rn - (n-1)*0.75)) ELSE 0.0 END) AS p75
+         FROM b GROUP BY l_returnflag""",
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+         count(*) AS n, round(sum(value),2) AS total
+         FROM events GROUP BY 1, 2""",
+    "q_rolling" ->
+      """SELECT user_id, event_id,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),4) AS rmean
+         FROM events""",
+    "q_json_props" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events"""
+  )
+}

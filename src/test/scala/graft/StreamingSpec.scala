@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    val stream = EventStreams.eventsStream(spark, Sf)
+    val agg = EventStreams.tumblingCounts(stream)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("tumbling")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .select(col("bucket"), col("event_type"), col("n"), col("total"))
+      val expect = Tables.t(spark, Sf, "events")
+        .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      assert(got.count() == expect.count())
+      assert(got.exceptAll(expect).count() == 0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val evs = org.apache.spark.sql.execution.streaming.MemoryStream[EventStreams.SessionEvent](
+      1, spark.sqlContext)
+    evs.addData(
+      EventStreams.SessionEvent(1L, new java.sql.Timestamp(base)),
+      EventStreams.SessionEvent(1L, new java.sql.Timestamp(base + 60000)),
+      EventStreams.SessionEvent(1L, new java.sql.Timestamp(base + 100 * 60000)), // new session
+      EventStreams.SessionEvent(2L, new java.sql.Timestamp(base)))
+    val out = EventStreams.sessionize(evs.toDS(), gapMinutes = 30)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      // first session of user 1 closed by the later event (2 events)
+      val closed = spark.table("sessions").as[EventStreams.Session].collect()
+      assert(closed.exists(s => s.user_id == 1L && s.n_events == 2))
+    } finally q.stop()
+  }
+}

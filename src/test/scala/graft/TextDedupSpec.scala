@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Dedup
+
+class TextDedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.t(spark, Sf, "documents")
+
+  test("token counts are positive and ws<=chars") {
+    val r = docs.select(TF.tokenCount(col("text")).as("n"), length(col("text")).as("c"))
+      .agg(min(col("n")), max(col("n")), sum((col("n") <= col("c")).cast("int")), count(lit(1)))
+      .head()
+    assert(r.getInt(0) >= 0 && r.getLong(2) == r.getLong(3))
+  }
+
+  test("shingles: n tokens yield n-k+1 shingles") {
+    import spark.implicits._
+    val df = Seq("a b c d e f").toDF("text")
+    val n = df.select(size(TF.shingles(col("text"), 3)).as("n")).head().getInt(0)
+    assert(n == 4)
+    val short = Seq("a b").toDF("text")
+      .select(TF.shingles(col("text"), 5).as("s")).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("langId predicts the labeled language for most documents") {
+    val acc = docs.select((TF.langId(col("text")) === col("lang")).cast("int").as("hit"))
+      .agg(avg(col("hit"))).head().getDouble(0)
+    assert(acc > 0.5, s"langId accuracy $acc")
+  }
+
+  test("simhash of identical texts is identical; near texts are close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content about spark catalyst optimizer internals")
+    ).toDF("id", "text")
+    val sigs = df.select(col("id"), TF.simhash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("minhashPairs finds planted near-duplicates") {
+    import spark.implicits._
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans with codegen " * 3
+    val near = base + "extra tail token"
+    val far = "entirely unrelated words about cooking pasta with tomatoes and basil leaves " * 3
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccardPairs computes exact jaccard on a known pair") {
+    import spark.implicits._
+    // 10 tokens → 6 5-shingles; shift by one token → 5 shared of 7 distinct
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val b = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val r = Dedup.jaccardPairs(df, "doc_id", "text", shingleN = 5, threshold = 0.1).collect()
+    assert(r.length == 1)
+    assert(math.abs(r(0).getDouble(2) - 6.0 / 7.0) < 1e-3)
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 10L) // min-id winner
+  }
+}
