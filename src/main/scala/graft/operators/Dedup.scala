@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.plans.TextHashColumns
 
 /** Deduplication family for pretraining-scale corpora (SURVEY.md §2.3).
   * Every variant produces candidate pairs through a key-equality
@@ -37,8 +38,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // native Catalyst expression — the HOF formulation in
+    // TextFunctions.minhashSignature is ~50× slower (interpreted lambda
+    // re-evaluating the shingle array per seed)
     val sigs = docs
-      .select(col(idCol).as("id"), TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .select(col(idCol).as("id"),
+        TextHashColumns.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -75,7 +80,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), TF.simhash(col(textCol)).as("sim"))
+    val sigs = docs.select(col(idCol).as("id"), TextHashColumns.simhash(col(textCol)).as("sim"))
     val chunked = sigs.select(
       col("id"), col("sim"),
       posexplode(

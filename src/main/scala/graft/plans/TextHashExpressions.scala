@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-dedup hash kernels
+  * (SURVEY.md §4): the HOF-lambda formulations (interpreted per array
+  * element, re-evaluating the shingle subtree per outer iteration) are
+  * ~50× slower; these run the whole kernel as one tight Scala loop per
+  * row over Spark's own XXH64. CodegenFallback: a single virtual call
+  * per row, negligible next to the O(tokens × hashes) kernel itself.
+  */
+object TextHash {
+
+  private val Seed = 42L
+
+  private[plans] def whitespaceTokens(s: UTF8String): Array[UTF8String] = {
+    // split on runs of whitespace, dropping empties — same result as
+    // filter(split(text, "\\s+"), t => t =!= "")
+    val str = s.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+      if (i > start) out += UTF8String.fromString(str.substring(start, i))
+    }
+    out.toArray
+  }
+
+  private[plans] def shingleHashes(text: UTF8String, shingleN: Int): Array[Long] = {
+    val toks = whitespaceTokens(text)
+    val hashes =
+      if (toks.length < shingleN) {
+        Array(hashShingle(toks, 0, toks.length))
+      } else {
+        Array.tabulate(toks.length - shingleN + 1)(i => hashShingle(toks, i, shingleN))
+      }
+    val set = new java.util.HashSet[java.lang.Long](hashes.length * 2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    hashes.foreach { h => if (set.add(h)) out += h }
+    out.toArray
+  }
+
+  private def hashShingle(toks: Array[UTF8String], start: Int, len: Int): Long = {
+    var h = Seed
+    var i = start
+    val end = start + len
+    while (i < end) {
+      h = XXH64.hashUTF8String(toks(i), h)
+      i += 1
+    }
+    h
+  }
+}
+
+/** MinHash signature: array of `numHashes` minima of per-seed hashes
+  * over the document's distinct `shingleN`-gram shingles. Seed variants
+  * derive from one base shingle hash via XXH64.hashLong — O(shingles ×
+  * numHashes) long ops per row, no per-seed string re-hashing. */
+case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = TextHash.shingleHashes(input.asInstanceOf[UTF8String], shingleN)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var si = 0
+    while (si < hashes.length) {
+      val base = hashes(si)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(i.toLong, base)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over whitespace tokens: bit b of the result is the
+  * sign of Σ_tokens (±1 per bit b of xxhash64(token)). */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.whitespaceTokens(input.asInstanceOf[UTF8String])
+    val counts = new Array[Int](64)
+    var ti = 0
+    while (ti < toks.length) {
+      val h = XXH64.hashUTF8String(toks(ti), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashColumns {
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
+    GraftShim.column(MinHashSignature(GraftShim.expression(text), shingleN, numHashes))
+
+  def simhash(text: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(text)))
+}

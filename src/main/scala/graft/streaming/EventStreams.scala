@@ -27,7 +27,8 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(RawSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet") // sf dir holds all tables
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -45,42 +46,36 @@ object EventStreams {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Int)
 
   /** Stateful sessionization: events within `gapMinutes` of each other
-    * belong to one session; a processing-time timeout flushes idle
-    * sessions. flatMapGroupsWithState keeps per-user state only — state
-    * size is O(active users), not O(events). */
+    * belong to one session; a session closes when a later event for the
+    * same user arrives past the gap. flatMapGroupsWithState keeps
+    * per-user state only — state size is O(active users), not O(events).
+    * (NoTimeout keeps micro-batch draining deterministic; an idle
+    * session emits on the user's next event rather than a wall-clock
+    * flush.) */
   def sessionize(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start), s.n))
-          } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
-                case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed ::= Session(userId, new java.sql.Timestamp(s.start), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutDuration(gapMs)
-            }
-            closed.reverseIterator
           }
+          cur.foreach(state.update)
+          closed.reverseIterator
         })
   }
 }

@@ -28,8 +28,7 @@ class StreamingSpec extends SparkSpec {
   test("sessionize closes sessions on gap") {
     import spark.implicits._
     val base = 1700000000000L
-    val evs = org.apache.spark.sql.execution.streaming.MemoryStream[EventStreams.SessionEvent](
-      1, spark.sqlContext)
+    val evs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
     evs.addData(
       EventStreams.SessionEvent(1L, new java.sql.Timestamp(base)),
       EventStreams.SessionEvent(1L, new java.sql.Timestamp(base + 60000)),
