@@ -152,7 +152,7 @@ object Dedup {
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VF.cosine(col("v_a"), col("v_b")), 6).as("cos"))
+        round(graft.plans.VectorColumns.cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

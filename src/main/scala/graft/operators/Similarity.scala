@@ -33,7 +33,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = c
       .join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(VF.cosine(col("qv"), col("cv")), 6).as("sim"))
+      .select(col("qid"), col("cid"), round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -72,7 +72,7 @@ object Similarity {
     val qb = withBuckets(queries, "qid", "qv")
     val scored = cb.join(qb, Seq("band", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(VF.cosine(col("qv"), col("cv")), 6).as("sim"))
+      .select(col("qid"), col("cid"), round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
       .groupBy(col("qid"), col("cid")).agg(max(col("sim")).as("sim")) // dedupe multi-band hits
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored

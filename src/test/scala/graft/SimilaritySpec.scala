@@ -8,6 +8,16 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = Tables.t(spark, Sf, "embeddings")
 
+  test("native CosineSim matches the HOF formulation bitwise") {
+    val pairs = emb.limit(40).select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .crossJoin(emb.limit(40).select(col("vec_id").as("idb"), col("embedding").as("vb")))
+    val bad = pairs.select(
+      graft.plans.VectorColumns.cosine(col("va"), col("vb")).as("native"),
+      VF.cosine(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
