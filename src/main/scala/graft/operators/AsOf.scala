@@ -32,7 +32,11 @@ object AsOf {
     val leftTagged = left
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(structSchema(right, rightCols)))
+    // a null `on` value can never satisfy l.on >= r.on, but would sort
+    // first (nulls-first asc) and be carried forward by the
+    // ignoreNulls last() below — drop such rows up front.
     val rightTagged = right
+      .filter(col(on).isNotNull)
       .select((by.map(col) :+ col(on) :+
         struct(rightCols.map { case (c, alias) => col(c).as(alias) }.toSeq: _*).as("__r")): _*)
       .withColumn("__side", lit(0))

@@ -2,15 +2,24 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.plans.TextHashColumns
 
 /** Deduplication family for pretraining-scale corpora (SURVEY.md §2.3).
   * Every variant produces candidate pairs through a key-equality
-  * shuffle join (hash key, band bucket, shingle, or LSH bucket) — never
-  * an O(n²) cross join — so cost stays linear-ish in corpus size at
-  * 100 TB. Mega-buckets (stop-shingles / degenerate bands) are capped.
+  * shuffle join (hash key, band bucket, shingle hash, or LSH bucket) —
+  * never an O(n²) cross join — so cost stays linear-ish in corpus size
+  * at 100 TB. Mega-buckets (stop-shingles / degenerate bands) are
+  * capped.
+  *
+  * Shared shape: candidate (id_a, id_b) pairs are generated and
+  * `distinct`-ed carrying ONLY the two ids (8-byte keys through the
+  * bucket shuffle — signatures stay out of the candidate join), then
+  * the per-doc signature/fingerprint is attached once per side via a
+  * broadcast of the (small) candidate set to score each pair exactly
+  * once. A pair colliding in many buckets is scored once, not once per
+  * collision.
   */
 object Dedup {
 
@@ -45,67 +54,65 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextHashColumns.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
 
+    // band keys only — the 64-long signature is NOT carried into the
+    // bucket shuffle/join; it is re-attached per candidate pair below.
     val banded = sigs.select(
-      col("id"), col("sig"),
+      col("id"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
         .as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"))
 
-    // cap degenerate buckets (e.g. empty-text docs all colliding)
-    val capped = banded
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsize") <= maxBucketSize)
+    val candidates = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
 
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
-          .cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
+    val estJaccard =
+      (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+        .cast("double") / numHashes).as("est_jaccard")
+    attachPerSide(candidates, sigs, "sig")
+      .select(col("id_a"), col("id_b"), estJaccard)
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprint; candidates share at
-    * least one of four 16-bit chunks (any pair within hamming distance
-    * 3 must agree on ≥1 chunk — pigeonhole); verified by bit_count of
-    * the xor. */
+  /** SimHash near-dup pairs: 64-bit fingerprint; the signature is cut
+    * into `maxHamming + 1` chunks, so any pair within the hamming
+    * budget agrees on at least one chunk (pigeonhole) and becomes a
+    * candidate; verified by bit_count of the xor. */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "maxHamming must be in [0, 15] (chunks need >= 4 bits to be selective)")
+    val numChunks = maxHamming + 1
+    val width = (64 + numChunks - 1) / numChunks // last chunk may be narrower
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
+
     val sigs = docs.select(col(idCol).as("id"), TextHashColumns.simhash(col(textCol)).as("sim"))
     val chunked = sigs.select(
-      col("id"), col("sim"),
+      col("id"),
       posexplode(
         transform(
-          sequence(lit(0), lit(3)),
-          c => call_function("shiftright", col("sim"), c * 16).bitwiseAND(lit(0xffffL))))
+          sequence(lit(0), lit(numChunks - 1)),
+          c => call_function("shiftright", col("sim"), c * width).bitwiseAND(lit(mask))))
         .as(Seq("chunk", "key")))
-    val capped = chunked
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("key"))))
-      .filter(col("bsize") <= maxBucketSize)
-    val a = capped.select(col("chunk"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = capped.select(col("chunk"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("chunk"), col("key"))
+
+    val candidates = candidatePairs(chunked, Seq("chunk", "key"), maxBucketSize)
+
+    attachPerSide(candidates, sigs, "sim")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs: explode each doc's distinct shingles,
-    * self-join on shingle (candidates = docs sharing ≥1 shingle),
-    * count the intersection, Jaccard from |A|+|B|-|A∩B|. Stop-shingle
-    * buckets are capped to keep the join linear at scale. */
+  /** Exact n-gram Jaccard pairs. Shingles travel as 64-bit hashes
+    * (graft.plans.ShingleHashes) — candidates = docs sharing ≥1 shingle
+    * hash, intersection counted per pair, Jaccard from |A|+|B|-|A∩B|.
+    * Stop-shingle buckets are capped to keep the join linear at scale. */
   def jaccardPairs(
       docs: DataFrame,
       idCol: String,
@@ -113,17 +120,13 @@ object Dedup {
       shingleN: Int = 5,
       threshold: Double = 0.5,
       maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TF.shingles(col(textCol), shingleN))).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val filtered = sh
-      .withColumn("freq", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .filter(col("freq") <= maxShingleFreq)
-      .drop("freq")
-    val inter = filtered.select(col("id").as("id_a"), col("sh"))
-      .join(filtered.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+    val arr = docs.select(col(idCol).as("id"),
+      TextHashColumns.shingleHashes(col(textCol), shingleN).as("shs"))
+    val sizes = arr.select(col("id"), size(col("shs")).as("n"))
+    val sh = arr.select(col("id"), explode(col("shs")).as("sh"))
+    val capped = capBuckets(sh, Seq("sh"), maxShingleFreq)
+    val inter = capped.select(col("id").as("id_a"), col("sh"))
+      .join(capped.select(col("id").as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("i"))
@@ -154,5 +157,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(graft.plans.VectorColumns.cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Drop rows whose bucket key exceeds `maxBucketSize` occurrences —
+    * one window pass over the already-bucket-shuffled rows (no second
+    * scan of the input, unlike a groupBy + anti-join). Degenerate
+    * buckets (stop-shingles, empty-doc bands) otherwise turn the
+    * candidate join quadratic. */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+    df.withColumn("__bsize", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
+
+  /** Distinct candidate (id_a, id_b) pairs from a (id, bucketKeys…)
+    * table: self-join per bucket carrying ids only, ordered to one
+    * orientation, deduped across buckets BEFORE any scoring. */
+  private def candidatePairs(bucketed: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val capped = capBuckets(bucketed, keys, maxBucketSize)
+    capped.select((keys.map(col) :+ col("id").as("id_a")): _*)
+      .join(capped.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Attach a per-doc column to both sides of a candidate-pair table.
+    * The candidate set is orders of magnitude smaller than the corpus,
+    * so it is broadcast and the corpus-side table streams through —
+    * the signature is never shuffled. */
+  private def attachPerSide(pairs: DataFrame, perDoc: DataFrame, valueCol: String): DataFrame = {
+    val withA = broadcast(pairs)
+      .join(perDoc.select(col("id").as("id_a"), col(valueCol).as(s"${valueCol}_a")), Seq("id_a"))
+    broadcast(withA)
+      .join(perDoc.select(col("id").as("id_b"), col(valueCol).as(s"${valueCol}_b")), Seq("id_b"))
   }
 }

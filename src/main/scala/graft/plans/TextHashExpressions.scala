@@ -18,17 +18,26 @@ object TextHash {
 
   private val Seed = 42L
 
+  /** Matches Java-regex `\s` (the semantics of
+    * `filter(split(text, "\\s+"), t => t =!= "")`): ASCII space, \t,
+    * \n, \x0B, \f, \r only. Deliberately NOT Character.isWhitespace —
+    * Unicode spaces (U+1680, U+2028, …) are token characters under
+    * `\s`, and these kernels must agree bitwise with the HOF
+    * formulation in [[graft.functions.TextFunctions]]. */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   private[plans] def whitespaceTokens(s: UTF8String): Array[UTF8String] = {
-    // split on runs of whitespace, dropping empties — same result as
-    // filter(split(text, "\\s+"), t => t =!= "")
+    // split on runs of `\s` whitespace, dropping empties — same result
+    // as filter(split(text, "\\s+"), t => t =!= "")
     val str = s.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     val n = str.length
     while (i < n) {
-      while (i < n && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < n && isRegexSpace(str.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < n && !isRegexSpace(str.charAt(i))) i += 1
       if (i > start) out += UTF8String.fromString(str.substring(start, i))
     }
     out.toArray
@@ -91,6 +100,26 @@ case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Distinct `shingleN`-gram shingles of a document as 64-bit hashes
+  * (chained XXH64 over the token run — bijective with the space-joined
+  * shingle string up to hash collision, ~2⁻⁶⁵ per corpus pair). The
+  * set-similarity joins key on these longs instead of shingle strings:
+  * one tight kernel per row vs. the HOF formulation re-evaluating the
+  * tokenizer per sequence element (O(tokens²) string work), and the
+  * downstream shuffle carries 8-byte keys instead of n-gram text. */
+case class ShingleHashes(child: Expression, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(input.asInstanceOf[UTF8String], shingleN))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over whitespace tokens: bit b of the result is the
   * sign of Σ_tokens (±1 per bit b of xxhash64(token)). */
 case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -130,4 +159,7 @@ object TextHashColumns {
 
   def simhash(text: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(text)))
+
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    GraftShim.column(ShingleHashes(GraftShim.expression(text), shingleN))
 }

@@ -29,6 +29,14 @@ object EventStreams {
       .schema(RawSchema)
       .option("pathGlobFilter", "events.parquet") // sf dir holds all tables
       .parquet(dir)
+      // TIMESTAMP (LTZ), not the batch reader's TIMESTAMP_NTZ: Spark
+      // requires the event-time/watermark column to be TIMESTAMP
+      // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Tumbling
+      // window() boundaries on LTZ are epoch-aligned, so the emitted
+      // buckets denote the same instants as the batch q_time_bucket
+      // date_trunc regardless of spark.sql.session.timeZone; only the
+      // NTZ *rendering* of those instants is TZ-dependent (equality
+      // checks compare unix_micros).
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

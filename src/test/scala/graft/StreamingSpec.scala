@@ -15,11 +15,15 @@ class StreamingSpec extends SparkSpec {
       .start()
     try {
       q.processAllAvailable()
+      // compare instants (unix_micros), not renderings: streaming
+      // buckets are TIMESTAMP (watermark requirement), batch buckets
+      // TIMESTAMP_NTZ — identical epoch under the pinned UTC session.
       val got = spark.table("tumbling")
-        .select(col("bucket"), col("event_type"), col("n"), col("total"))
+        .select(unix_micros(col("bucket")).as("bucket"), col("event_type"), col("n"), col("total"))
       val expect = Tables.t(spark, Sf, "events")
         .groupBy(date_trunc("hour", col("ts")).cast("timestamp").as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(unix_micros(col("bucket")).as("bucket"), col("event_type"), col("n"), col("total"))
       assert(got.count() == expect.count())
       assert(got.exceptAll(expect).count() == 0)
     } finally q.stop()

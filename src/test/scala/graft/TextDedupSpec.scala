@@ -49,6 +49,45 @@ class TextDedupSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native kernels match HOF tokenization on non-ASCII text") {
+    import spark.implicits._
+    // U+2028 / U+1680 / U+00A0 are Unicode whitespace but NOT Java-regex
+    // \s — both formulations must treat them as token characters.
+    val df = Seq(
+      "héllo wörld über naïve café",
+      "line sep ogham nbsp tokens",
+      "中文 文本 没有 空格",
+      "tabs\tand\nnewlinesvt\ffeed\rcr",
+      "   ", ""
+    ).toDF("text")
+    val sim = df.select(
+      graft.plans.TextHashColumns.simhash(col("text")).as("native"),
+      TF.simhash(col("text")).as("hof"))
+    assert(sim.filter(col("native") =!= col("hof")).count() == 0)
+    val shs = df.select(
+      size(graft.plans.TextHashColumns.shingleHashes(col("text"), 3)).as("native"),
+      size(array_distinct(TF.shingles(col("text"), 3))).as("hof"))
+    assert(shs.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("simhashPairs derives chunks from maxHamming (pigeonhole holds)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    // identical docs (hamming 0) must surface for any maxHamming
+    for (k <- Seq(0, 4, 7)) {
+      val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = k)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"identical pair missing at maxHamming=$k")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 16)
+    }
+  }
+
   test("simhash of identical texts is identical; near texts are close") {
     import spark.implicits._
     val df = Seq(
