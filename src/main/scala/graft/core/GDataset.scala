@@ -137,6 +137,68 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 
+  /** Summary statistics (count/mean/std/min/max) per numeric value var
+    * (polars describe analogue), numeric-typed output. One unpivot (no
+    * shuffle) + one partial-agg-friendly groupBy over #cols groups —
+    * a single pass regardless of column count. */
+  def describe(cols: String*): DataFrame = {
+    val targets = if (cols.nonEmpty) cols.toSeq else numericValueVars
+    df.unpivot(
+        Array.empty[Column],
+        targets.map(c => col(c).cast("double")).toArray,
+        "col_name", "v")
+      .groupBy(col("col_name"))
+      .agg(
+        count(col("v")).as("count"),
+        avg(col("v")).as("mean"),
+        stddev_samp(col("v")).as("std"),
+        min(col("v")).as("min"),
+        max(col("v")).as("max"))
+  }
+
+  /** Deterministic hash sample: keeps rows whose md5(key) falls in the
+    * first `sixteenths`/16 of hex space. Unlike `df.sample`, the kept
+    * set is a pure function of the key — stable across partitionings,
+    * reruns, and engines (the polars `sample(seed=)` analogue that
+    * actually reproduces at 100 TB). */
+  def sampleByHash(key: Column, sixteenths: Int): GDataset = {
+    require(sixteenths >= 0 && sixteenths <= 16, "sixteenths must be in [0, 16]")
+    if (sixteenths == 16) this // single hex-char compare below can't express "all"
+    else filter(substring(md5(key.cast("string").cast("binary")), 1, 1) <
+      lit(sixteenths.toHexString))
+  }
+
+  /** head/tail/slice over an explicit total order (polars slice is
+    * positional; a distributed engine needs the order spelled out). */
+  def slice(sortCols: Seq[Column], offset: Int, n: Int): GDataset =
+    transform(_.orderBy(sortCols: _*).offset(offset).limit(n))
+
+  def head(sortCols: Seq[Column], n: Int): GDataset = slice(sortCols, 0, n)
+
+  /** Global 0-based row index in the DataFrame's current order (polars
+    * with_row_index). zipWithIndex computes per-partition counts first,
+    * then offsets — two passes, no single-partition bottleneck, indices
+    * contiguous (unlike monotonically_increasing_id). Deterministic when
+    * the plan ends in a sort (range-partitioned output preserves global
+    * order across partitions). */
+  def withRowIndex(name: String = "row_index"): GDataset = transform { d =>
+    val schema = StructType(
+      StructField(name, LongType, nullable = false) +: d.schema.fields)
+    val rdd = d.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    d.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Horizontal concat. polars hstack aligns by row position — at scale
+    * the only well-defined alignment is by key, so this joins on the
+    * shared metadata columns (id_vars ∩ + index), outer by default so
+    * neither side drops rows (polars_dataset.py join usage; README
+    * hstack-by-index). */
+  def hconcat(other: GDataset, joinType: String = "full_outer"): GDataset = {
+    require(index == other.index, "hconcat requires the same index")
+    val keys = (idVars.intersect(other.idVars) :+ index).distinct
+    join(other, keys, joinType)
+  }
+
   private def numericValueVars: Seq[String] = valueVars.filter { v =>
     df.schema(v).dataType.isInstanceOf[NumericType]
   }

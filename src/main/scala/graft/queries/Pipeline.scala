@@ -36,6 +36,10 @@ object Pipeline {
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))),
 
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.qualityScore(col("text")).as("quality"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)),
@@ -95,6 +99,19 @@ object Pipeline {
           round(${hitsSql(TF.Stopwords.flatMap(_._2))} * 1.0
                 / greatest(len($TokSql), 1), 4) AS stop_ratio
           FROM documents""",
+    // bit-identical replica of TextFunctions.qualityScore: same scalar
+    // op order, so the 4dp rounding agrees exactly.
+    "q_quality_score" ->
+      s"""SELECT doc_id,
+          round((least(CAST(len($TokSql) AS DOUBLE) / 200.0, 1.0)
+                 + (CASE WHEN punct > 0.2 THEN 0.0 ELSE 1.0 - punct * 2.5 END)
+                 + least((CAST(${hitsSql(TF.Stopwords.flatMap(_._2))} AS DOUBLE)
+                          / CAST(greatest(len($TokSql), 1) AS DOUBLE)) * 4.0, 1.0))
+                / 3.0, 4) AS quality
+          FROM (SELECT doc_id, text,
+                  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
+                FROM documents)""",
     "q_lang_id" -> {
       val langs = TF.Stopwords.map(_._1)
       val hitCols = TF.Stopwords.zipWithIndex

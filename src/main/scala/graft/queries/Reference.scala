@@ -94,6 +94,46 @@ object Reference {
         "x", Seq("user_id"))
       ds.dft(8).df
         .select(col("user_id"), col("freq_bin"), round(col("mag_value"), 6).as("mag"))
+    }),
+
+    // describe: per-column summary stats in one unpivot + groupBy pass.
+    // mean/std rounded to 2dp on both engines (sum-order tolerance).
+    "q_describe" -> ((s, dir) =>
+      GDataset(t(s, dir, "lineitem"), "l_orderkey")
+        .describe("l_quantity", "l_extendedprice", "l_discount")
+        .select(col("col_name"), col("count"),
+          round(col("mean"), 2).as("mean"), round(col("std"), 2).as("std"),
+          col("min"), col("max"))),
+
+    // deterministic hash sample (reproducible across engines/partitionings)
+    "q_sample" -> ((s, dir) =>
+      GDataset(t(s, dir, "orders"), "o_orderkey")
+        .sampleByHash(col("o_orderkey"), 4)
+        .fetch(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // positional slice over an explicit total order
+    "q_slice" -> ((s, dir) =>
+      GDataset(t(s, dir, "orders"), "o_orderkey")
+        .slice(Seq(col("o_orderkey")), offset = 100, n = 50)
+        .fetch(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // global contiguous row index over a sorted frame (zipWithIndex path)
+    "q_row_index" -> ((s, dir) =>
+      GDataset(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")), "o_orderkey")
+        .sort()
+        .withRowIndex("row_idx")
+        .fetch(col("row_idx"), col("o_orderkey"), col("o_totalprice"))),
+
+    // horizontal concat: align two per-user series by key (hstack analogue)
+    "q_hconcat" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def side(typ: String, out: String) = GDataset(
+        ev.filter(col("event_type") === typ)
+          .groupBy(col("user_id"))
+          .agg(round(sum(col("value")), 2).as(out)),
+        "user_id")
+      side("view", "view_total").hconcat(side("click", "click_total")).df
     })
   )
 
@@ -123,7 +163,30 @@ object Reference {
       """SELECT l.user_id, l.event_id, l.ts, r.ts AS click_ts, r.value AS click_value
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
-           ON l.user_id = r.user_id AND l.ts >= r.ts"""
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_describe" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(v) AS count, round(avg(v), 2) AS mean,
+            round(stddev_samp(v), 2) AS std, min(v) AS min, max(v) AS max
+            FROM (SELECT CAST($c AS DOUBLE) AS v FROM lineitem)"""
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString(" UNION ALL ")
+    },
+    "q_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'""",
+    "q_slice" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "q_row_index" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS row_idx,
+         o_orderkey, o_totalprice FROM orders""",
+    "q_hconcat" ->
+      """SELECT user_id, view_total, click_total
+         FROM (SELECT user_id, round(sum(value), 2) AS view_total
+               FROM events WHERE event_type = 'view' GROUP BY user_id) a
+         FULL JOIN (SELECT user_id, round(sum(value), 2) AS click_total
+                    FROM events WHERE event_type = 'click' GROUP BY user_id) b
+         USING (user_id)"""
     // q_regrid / q_dft: spline + DFT not expressible in DuckDB SQL —
     // driver rows-only check; closed-form correctness in InterpolationSpec.
   )

@@ -185,6 +185,20 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("rmean"))
     }),
 
+    // cast / schema ops: numeric → integral (explicit floor — Spark
+    // truncates, DuckDB rounds, so neither engine's bare cast is used),
+    // timestamp → date, string concat.
+    "q_cast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).cast("bigint").as("price_int"),
+          // cast to date, then to string: pandas/duckdb render bare DATE
+          // columns differently, so the comparison runs on the string form
+          col("l_shipdate").cast("date").cast("string").as("ship_date"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_status"))
+    }),
+
     // JSON string column → typed value.
     "q_json_props" -> ((s, dir) => {
       t(s, dir, "events")
@@ -293,6 +307,12 @@ object Relational {
     "q_json_props" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-         FROM events"""
+         FROM events""",
+    "q_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
+         CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+         l_returnflag || '-' || l_linestatus AS flag_status
+         FROM lineitem"""
   )
 }

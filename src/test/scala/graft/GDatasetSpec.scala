@@ -75,6 +75,54 @@ class GDatasetSpec extends SparkSpec {
     assert(ds.df.count() == 2)
   }
 
+  test("describe emits one row per numeric value var") {
+    import spark.implicits._
+    val ds = GDataset(
+      Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 30.0)).toDF("i", "a", "b"), "i")
+    val rows = ds.describe().collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows.keySet == Set("a", "b"))
+    assert(rows("a") == ((3L, 2.0, 1.0, 3.0)))
+    assert(rows("b") == ((3L, 20.0, 10.0, 30.0)))
+  }
+
+  test("sampleByHash is deterministic and roughly proportional") {
+    import spark.implicits._
+    val ds = GDataset((1L to 1000L).toDF("i"), "i")
+    val n1 = ds.sampleByHash(col("i"), 4).df.count()
+    val n2 = ds.sampleByHash(col("i"), 4).df.count()
+    assert(n1 == n2)
+    assert(n1 > 150 && n1 < 350, s"expected ~250 of 1000, got $n1")
+    assert(ds.sampleByHash(col("i"), 0).df.count() == 0)
+    assert(ds.sampleByHash(col("i"), 16).df.count() == 1000)
+  }
+
+  test("slice returns the requested window of the total order") {
+    import spark.implicits._
+    val ds = GDataset((1L to 100L).toDF("i"), "i")
+    val got = ds.slice(Seq(col("i")), offset = 10, n = 5).df.collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(11L, 12L, 13L, 14L, 15L))
+  }
+
+  test("withRowIndex is contiguous and follows the sort order") {
+    import spark.implicits._
+    val ds = GDataset(
+      Seq(30L, 10L, 20L, 50L, 40L).toDF("i").repartition(3), "i")
+    val got = ds.sort().withRowIndex("idx").df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L), (4L, 50L)))
+  }
+
+  test("hconcat outer-joins on shared metadata") {
+    import spark.implicits._
+    val a = GDataset(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "va"), "k")
+    val b = GDataset(Seq((2L, 200.0), (3L, 300.0)).toDF("k", "vb"), "k")
+    val out = a.hconcat(b).df.collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some(10.0), None), (2L, Some(20.0), Some(200.0)), (3L, None, Some(300.0))))
+  }
+
   test("datafile csv round-trip") {
     val path = "/tmp/graft_test_csv"
     val f = Datafile(path, index = Some("ts"), idVars = Seq("user_id"))
