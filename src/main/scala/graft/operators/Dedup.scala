@@ -148,11 +148,25 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       bucketBy: Option[String] = None): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      bucketBy.map(col).getOrElse(lit(0)).as("bk"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-      bucketBy.map(col).getOrElse(lit(0)).as("bk"))
-    a.join(b, Seq("bk"))
+    val paired = bucketBy match {
+      case Some(bk) =>
+        // bucket-bounded pair space: shuffle join on the bucket key
+        emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col(bk).as("bk"))
+          .join(
+            emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col(bk).as("bk")),
+            Seq("bk"))
+      case None =>
+        // all-pairs: broadcast one side and stream the other. A join on
+        // a constant key would put every pair in ONE shuffle partition
+        // (single-threaded scoring); the nested-loop form keeps the
+        // streamed side's parallelism. Repartition so a small single
+        // parquet file still fans out across cores.
+        val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+        val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+        a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(b))
+    }
+    paired
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.plans.VectorColumns.cosine(col("v_a"), col("v_b")), 6).as("cos"))

@@ -58,22 +58,32 @@ object Similarity {
     val bitsPerBand = numPlanes / bands
     val planes = VF.makePlanes(numPlanes, dim, seed)
 
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // bucket keys only — vectors stay out of the bucket shuffle; a
+    // (qid, cid) pair colliding in several bands is scored once.
+    def withBuckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
           VF.hyperplaneBits(col(vecCol), planes).as("bits"))
-        .select(col(id), col(vec),
+        .select(col(id),
           posexplode(
             transform(
               sequence(lit(0), lit(bands - 1)),
               b => concat_ws("", slice(col("bits"), b * bitsPerBand + 1, lit(bitsPerBand)))))
             .as(Seq("band", "bucket")))
+        .select(col(id), col("band"), col("bucket"))
 
-    val cb = withBuckets(corpus, "cid", "cv")
-    val qb = withBuckets(queries, "qid", "qv")
-    val scored = cb.join(qb, Seq("band", "bucket"))
+    val candidates = withBuckets(corpus, "cid")
+      .join(withBuckets(queries, "qid"), Seq("band", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
-      .groupBy(col("qid"), col("cid")).agg(max(col("sim")).as("sim")) // dedupe multi-band hits
+      .select(col("qid"), col("cid"))
+      .distinct()
+
+    // candidate set ≪ corpus: broadcast it, stream the corpus vectors
+    // through once; the tiny query side is broadcast too.
+    val scored = broadcast(candidates)
+      .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
+      .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
