@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guard (SURVEY.md §5): the physical plans the
+  * engine is designed around — parquet filter pushdown, column-pruned
+  * scans, broadcast dim joins, top-k via TakeOrderedAndProject — must
+  * survive refactors. A correctness-green change that reads all columns
+  * or drops a broadcast is a 100 TB regression this spec catches at
+  * sf0.001.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution
+      .explainString(FormattedMode)
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed to scan")
+  }
+
+  test("scans are column-pruned to what the query needs") {
+    val p = planOf("q1_agg")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"),
+      s"q1_agg scan reads unneeded columns: $read")
+    val p2 = planOf("q_select_data")
+    val read2 = p2.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read2.contains("props") && !read2.contains("event_type"),
+      s"q_select_data scan reads unneeded columns: $read2")
+  }
+
+  test("q_join_agg broadcasts the dimension tables") {
+    val p = planOf("q_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "dim joins are not broadcast")
+  }
+
+  test("q_semi_join compiles to a semi join, not a join + distinct") {
+    val p = planOf("q_semi_join")
+    assert(p.contains("LeftSemi"), "EXISTS did not become a semi join")
+  }
+
+  test("q_topn uses TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_topn")
+    assert(p.contains("TakeOrderedAndProject"), "top-k is a full sort")
+    assert(!p.contains("Exchange rangepartitioning"), "top-k range-shuffles the input")
+  }
+
+  test("q_filter_project pushes every predicate to the scan") {
+    val p = planOf("q_filter_project")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity").foreach { f =>
+      assert(p.contains(f), s"predicate $f not pushed")
+    }
+  }
+}
