@@ -76,6 +76,19 @@ object Reference {
           col("click_ts"), col("click_value"))
     }),
 
+    // forward as-of: earliest click at-or-after each purchase, per user
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.joinAsOf(purchases, clicks, "ts", Seq("user_id"),
+        Map("ts" -> "click_ts", "value" -> "click_value"), strategy = "forward")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_ts"), col("click_value"))
+    }),
+
     // cubic-spline regrid of each user's value series onto a daily grid
     "q_regrid" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -164,6 +177,11 @@ object Reference {
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q_asof_forward" ->
+      """SELECT l.user_id, l.event_id, l.ts, r.ts AS click_ts, r.value AS click_value
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts""",
     "q_describe" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(v) AS count, round(avg(v), 2) AS mean,

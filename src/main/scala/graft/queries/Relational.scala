@@ -185,6 +185,61 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("rmean"))
     }),
 
+    // shift/diff per key (polars shift + arithmetic)
+    "q_shift_diff" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("dv"))
+    }),
+
+    // string namespace: upper/substr/contains/regex-strip/trim
+    "q_str_ops" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("head_upper"),
+        col("text").contains("the").cast("int").as("has_the"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("novowel_len"),
+        trim(substring(col("text"), 1, 30)).as("head_trim"))
+    }),
+
+    // datetime namespace: year/month/day/weekday/quarter
+    "q_dt_ops" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        weekday(col("o_orderdate")).as("dow"), // Monday = 0
+        quarter(col("o_orderdate")).as("qtr"))
+    }),
+
+    // list aggregation: per-group sorted list (string form — array
+    // renderings differ between engines, the joined string does not)
+    "q_list_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lines"),
+          count(lit(1)).as("n"))
+    }),
+
+    // time-based rolling window: 3-day RANGE over epoch seconds per key
+    // (polars rolling by duration). min/max/count — exact aggregates, so
+    // the oracle compare has no float-rounding boundary (a rolling MEAN
+    // at 4dp hit an exact .5 midpoint where Spark's binary-faithful
+    // HALF_UP and DuckDB's decimal round disagree).
+    "q_rolling_time" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-259200, 0)
+      t(s, dir, "events")
+        .withColumn("es", col("ts").cast("timestamp").cast("long"))
+        .select(col("user_id"), col("event_id"),
+          min(col("value")).over(w).as("rmin3d"),
+          max(col("value")).over(w).as("rmax3d"),
+          count(lit(1)).over(w).as("rn3d"))
+    }),
+
     // cast / schema ops: numeric → integral (explicit floor — Spark
     // truncates, DuckDB rounds, so neither engine's bare cast is used),
     // timestamp → date, string concat.
@@ -313,6 +368,36 @@ object Relational {
          CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
          CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
          l_returnflag || '-' || l_linestatus AS flag_status
-         FROM lineitem"""
+         FROM lineitem""",
+    "q_shift_diff" ->
+      """SELECT user_id, event_id,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
+         FROM events""",
+    "q_str_ops" ->
+      """SELECT doc_id,
+         upper(substr(text, 1, 20)) AS head_upper,
+         CAST(contains(text, 'the') AS INT) AS has_the,
+         length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
+         trim(substr(text, 1, 30)) AS head_trim
+         FROM documents""",
+    "q_dt_ops" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         day(o_orderdate) AS dom, isodow(o_orderdate) - 1 AS dow,
+         quarter(o_orderdate) AS qtr
+         FROM orders""",
+    "q_list_agg" ->
+      """SELECT l_orderkey,
+         array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+         count(*) AS n
+         FROM lineitem GROUP BY l_orderkey""",
+    "q_rolling_time" ->
+      """SELECT user_id, event_id,
+         min(value) OVER w AS rmin3d,
+         max(value) OVER w AS rmax3d,
+         count(*) OVER w AS rn3d
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -26,4 +26,43 @@ class AsOfSpec extends SparkSpec {
     assert(out("p0") == null)           // nothing at or before 50
     assert(out("p3") == null)           // right row is after left
   }
+
+  test("asof forward picks earliest right row at-or-after; nearest picks closer side") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "p1"), (1L, 205L, "p2"), (1L, 350L, "p3"),
+      (2L, 150L, "p4")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0),
+      (2L, 120L, 99.0)
+    ).toDF("k", "t", "v")
+
+    def run(strategy: String) =
+      AsOf.joinAsOf(left, right, "t", Seq("k"), Map("t" -> "rt", "v" -> "rv"), strategy)
+        .select("name", "rt").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+
+    val fwd = run("forward")
+    assert(fwd("p1") == 100L) // equal timestamp matches
+    assert(fwd("p2") == 300L) // earliest at-or-after 205
+    assert(fwd("p3") == null) // nothing at or after 350
+    assert(fwd("p4") == null) // right row is before left
+
+    val near = run("nearest")
+    assert(near("p1") == 100L)
+    assert(near("p2") == 200L) // 205 is closer to 200 than 300
+    assert(near("p3") == 300L) // only a backward candidate
+    assert(near("p4") == 120L) // only a backward candidate for key 2
+  }
+
+  test("asof nearest resolves exact ties backward") {
+    import spark.implicits._
+    val left = Seq((1L, 150L, "mid")).toDF("k", "t", "name")
+    val right = Seq((1L, 100L, 1.0), (1L, 200L, 2.0)).toDF("k", "t", "v")
+    val out = AsOf.joinAsOf(left, right, "t", Seq("k"), Map("t" -> "rt", "v" -> "rv"), "nearest")
+      .select("rt").head()
+    assert(out.getLong(0) == 100L)
+  }
 }
