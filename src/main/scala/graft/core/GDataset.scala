@@ -137,6 +137,26 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 
+  /** Unnest a struct column into top-level fields (reference
+    * polars_dataset.py:240-263 round-trip, polars `unnest`). */
+  def unnest(structCol: String): GDataset = transform { d =>
+    val fields = d.schema(structCol).dataType match {
+      case s: StructType => s.fieldNames.toSeq
+      case other => throw new IllegalArgumentException(
+        s"`$structCol` is $other, not a struct")
+    }
+    val keep = d.columns.toSeq.filterNot(_ == structCol).map(col)
+    d.select(keep ++ fields.map(f => col(s"$structCol.$f").as(f)): _*)
+  }
+
+  /** Rebuild columns into a struct (polars `to_struct` side of the
+    * round-trip). The index cannot be swallowed into the struct. */
+  def nest(fieldCols: Seq[String], as: String): GDataset = {
+    require(!fieldCols.contains(index), "cannot nest the index column")
+    transform(d =>
+      d.withColumn(as, struct(fieldCols.map(col): _*)).drop(fieldCols: _*))
+  }
+
   /** Summary statistics (count/mean/std/min/max) per numeric value var
     * (polars describe analogue), numeric-typed output. One unpivot (no
     * shuffle) + one partial-agg-friendly groupBy over #cols groups —

@@ -49,6 +49,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact dedup: duplicates of `keyCols` arriving within the
+    * watermark are dropped; state for a key is evictable once the
+    * watermark passes it, so state size is bounded by the lateness
+    * budget, not the stream history — the streaming face of
+    * [[graft.operators.Dedup.exact]]. */
+  def dedupedStream(events: DataFrame, lateness: String, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Int)

@@ -123,6 +123,21 @@ class GDatasetSpec extends SparkSpec {
       (1L, Some(10.0), None), (2L, Some(20.0), Some(200.0)), (3L, None, Some(300.0))))
   }
 
+  test("struct unnest → transform → nest round-trip") {
+    import spark.implicits._
+    val ds = GDataset(
+      Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("i", "a", "b"), "i")
+      .nest(Seq("a", "b"), "payload")
+    assert(ds.df.schema("payload").dataType.typeName == "struct")
+    val back = ds.unnest("payload")
+      .withColumns("a" -> (col("a") * 10))
+      .nest(Seq("a", "b"), "payload")
+      .unnest("payload")
+    val rows = back.df.orderBy("i").collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 10.0, "x"), (2L, 20.0, "y")))
+    assertThrows[IllegalArgumentException](ds.nest(Seq("i"), "bad"))
+  }
+
   test("datafile csv round-trip") {
     val path = "/tmp/graft_test_csv"
     val f = Datafile(path, index = Some("ts"), idVars = Seq("user_id"))

@@ -29,6 +29,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedupes the stream") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val evs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
+    evs.addData(
+      EventStreams.SessionEvent(1L, new java.sql.Timestamp(base)),
+      EventStreams.SessionEvent(1L, new java.sql.Timestamp(base)), // dup key+ts
+      EventStreams.SessionEvent(2L, new java.sql.Timestamp(base + 1000)))
+    val out = EventStreams.dedupedStream(evs.toDS().toDF(), "10 minutes", Seq("user_id"))
+    val q = out.writeStream.outputMode("append").format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap") {
     import spark.implicits._
     val base = 1700000000000L
