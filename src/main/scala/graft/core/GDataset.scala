@@ -274,10 +274,48 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     GDataset(result, outIndexName, ids)
   }
 
+  /** Struct value vars flattened to `name__field` columns for the
+    * per-group series ops (reference polars_dataset.py:240-253 —
+    * `_unnest_structs` with prefixed names; `__` instead of `.` so no
+    * identifier quoting is needed), plus the map to rebuild them. */
+  private def unnestForSeries: (GDataset, Seq[(String, Seq[String])]) = {
+    val structs = valueVars.filter(v => df.schema(v).dataType.isInstanceOf[StructType])
+    if (structs.isEmpty) (this, Nil)
+    else {
+      val smap = structs.map(v =>
+        v -> df.schema(v).dataType.asInstanceOf[StructType].fieldNames.toSeq)
+      val flat = df.schema.fields.toSeq.flatMap { f =>
+        if (structs.contains(f.name))
+          f.dataType.asInstanceOf[StructType].fieldNames.toSeq
+            .map(fn => col(s"${f.name}.$fn").as(s"${f.name}__$fn"))
+        else Seq(col(f.name))
+      }
+      (GDataset(df.select(flat: _*), index, idVars), smap)
+    }
+  }
+
+  /** Inverse of [[unnestForSeries]] (polars_dataset.py:255-263). */
+  private def rebuildStructs(smap: Seq[(String, Seq[String])]): GDataset =
+    if (smap.isEmpty) this
+    else transform { d =>
+      smap.foldLeft(d) { case (acc, (name, fields)) =>
+        acc
+          .withColumn(name, struct(fields.map(fn => col(s"${name}__$fn").as(fn)): _*))
+          .drop(fields.map(fn => s"${name}__$fn"): _*)
+      }
+    }
+
   /** Cubic-spline resample of every numeric value var onto `grid`, per
     * id_vars group (reference polars_dataset.py:212-238; spline math in
-    * [[graft.functions.Interpolation.cubicSpline]]). */
+    * [[graft.functions.Interpolation.cubicSpline]]). Struct value vars
+    * are unnested, splined per field, and rebuilt — the reference's
+    * struct round-trip. */
   def regrid(grid: Array[Double]): GDataset = {
+    val (flat, smap) = unnestForSeries
+    flat.regridFlat(grid).rebuildStructs(smap)
+  }
+
+  private def regridFlat(grid: Array[Double]): GDataset = {
     val vars = numericValueVars
     perGroupSeries(
       vars,
@@ -287,6 +325,16 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       },
       index)
   }
+
+  /** polars pivot analogue (reference polars_dataset.py:150-151; the
+    * reference, too, returns a raw frame — metadata rarely survives a
+    * pivot). Distinct pivot values are explicit so no extra pass scans
+    * for them at 100 TB; `first` matches polars' default aggregate. */
+  def pivot(rowKeys: Seq[String], colKey: String, value: String,
+      pivotValues: Seq[Any]): DataFrame =
+    df.groupBy(rowKeys.map(col): _*)
+      .pivot(colKey, pivotValues)
+      .agg(first(col(value)))
 
   /** Magnitude spectrum (first `k` DFT bins) of every numeric value var,
     * per id_vars group, over the index-ordered series (README "Fourier

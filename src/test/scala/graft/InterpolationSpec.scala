@@ -51,6 +51,23 @@ class InterpolationSpec extends SparkSpec {
     assert(math.abs(a5 - 11.0) < 1e-9)
   }
 
+  test("GDataset.regrid splines struct fields via unnest/rebuild round-trip") {
+    import spark.implicits._
+    // two linear signals packed in a struct: spline must reproduce them
+    val rows = (0 until 12).map(i => (1L, i.toDouble, i * 2.0, 100.0 - i))
+    val ds = graft.core.GDataset(
+      rows.toDF("k", "x", "a", "b")
+        .select(col("k"), col("x"), struct(col("a"), col("b")).as("sig")),
+      "x", Seq("k"))
+    val grid = Array(2.5, 7.5)
+    val out = ds.regrid(grid).df.orderBy("x").collect()
+    assert(out.length == 2)
+    val s0 = out(0).getStruct(out(0).fieldIndex("sig"))
+    assert(math.abs(s0.getDouble(0) - 5.0) < 1e-6)  // a = 2x at 2.5
+    assert(math.abs(s0.getDouble(1) - 97.5) < 1e-6) // b = 100-x at 2.5
+    assert(ds.regrid(grid).df.schema("sig").dataType.typeName == "struct")
+  }
+
   test("GDataset.dft emits k bins per group") {
     import spark.implicits._
     val df = (0 until 32).map(i => (i.toDouble, math.sin(2 * math.Pi * 3 * i / 32))).toDF("x", "y")
