@@ -326,6 +326,59 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       index)
   }
 
+  private def seriesWindowAsc(tieBreak: Seq[Column]) =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(prunedIdVars.map(col): _*)
+      .orderBy(col(index) +: tieBreak: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+
+  private def seriesWindowDesc(tieBreak: Seq[Column]) =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(prunedIdVars.map(col): _*)
+      .orderBy((col(index) +: tieBreak).map(_.desc): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+
+  /** Forward-fill nulls per id_vars group in index order (polars
+    * fill_null(strategy="forward")): one window pass, no self-join. */
+  def ffill(valueCols: Seq[String], tieBreak: Seq[Column] = Nil): GDataset =
+    transform { d =>
+      valueCols.foldLeft(d) { (acc, v) =>
+        acc.withColumn(v, last(col(v), ignoreNulls = true).over(seriesWindowAsc(tieBreak)))
+      }
+    }
+
+  /** Backward-fill (polars fill_null(strategy="backward")). */
+  def bfill(valueCols: Seq[String], tieBreak: Seq[Column] = Nil): GDataset =
+    transform { d =>
+      valueCols.foldLeft(d) { (acc, v) =>
+        acc.withColumn(v, last(col(v), ignoreNulls = true).over(seriesWindowDesc(tieBreak)))
+      }
+    }
+
+  /** Linear interpolation of nulls over the index per id_vars group
+    * (polars `interpolate`): nulls between two observations get the
+    * line through them; leading/trailing nulls stay null. Two window
+    * passes, no self-join — shuffles once on id_vars. */
+  def interpolate(valueCols: Seq[String], tieBreak: Seq[Column] = Nil): GDataset =
+    transform { d =>
+      val wb = seriesWindowAsc(tieBreak)
+      val wf = seriesWindowDesc(tieBreak)
+      val x = col(index).cast("double")
+      valueCols.foldLeft(d) { (acc, vName) =>
+        val v = col(vName)
+        val pv = last(v, ignoreNulls = true).over(wb)
+        val px = last(when(v.isNotNull, x), ignoreNulls = true).over(wb)
+        val nv = last(v, ignoreNulls = true).over(wf)
+        val nx = last(when(v.isNotNull, x), ignoreNulls = true).over(wf)
+        acc.withColumn(vName,
+          when(v.isNotNull, v)
+            .when(pv.isNull || nv.isNull, lit(null))
+            .otherwise(pv + (nv - pv) * ((x - px) / (nx - px))))
+      }
+    }
+
   /** polars pivot analogue (reference polars_dataset.py:150-151; the
     * reference, too, returns a raw frame — metadata rarely survives a
     * pivot). Distinct pivot values are explicit so no extra pass scans

@@ -109,6 +109,27 @@ object Reference {
         .select(col("user_id"), col("freq_bin"), round(col("mag_value"), 6).as("mag"))
     }),
 
+    // forward-fill nulls per user in time order (fill_null strategy)
+    "q_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        when(col("value") < 1, lit(null)).otherwise(col("value")).as("v"))
+      GDataset(ev, "ts", Seq("user_id"))
+        .ffill(Seq("v"), Seq(col("event_id")))
+        .fetch(col("event_id"), col("v"))
+    }),
+
+    // linear interpolation of nulls over the time axis per user
+    "q_interpolate" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("x"),
+        when(col("value") < 1, lit(null)).otherwise(col("value")).as("v"))
+      GDataset(ev, "x", Seq("user_id"))
+        .interpolate(Seq("v"), Seq(col("event_id")))
+        .fetch(col("event_id"), col("v"))
+    }),
+
     // describe: per-column summary stats in one unpivot + groupBy pass.
     // mean/std rounded to 2dp on both engines (sum-order tolerance).
     "q_describe" -> ((s, dir) =>
@@ -182,6 +203,32 @@ object Reference {
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    "q_ffill" ->
+      """SELECT event_id,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN value < 1 THEN NULL ELSE value END AS v
+               FROM events)""",
+    "q_interpolate" ->
+      """SELECT event_id,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL OR nv IS NULL THEN NULL
+              ELSE pv + (nv - pv) * ((x - px) / (nx - px)) END AS v
+         FROM (
+           SELECT event_id, v, CAST(epoch_us(ts) AS DOUBLE) AS x,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER wb AS px,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER wf AS nx
+           FROM (SELECT user_id, event_id, ts,
+                   CASE WHEN value < 1 THEN NULL ELSE value END AS v
+                 FROM events)
+           WINDOW wb AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""",
     "q_describe" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(v) AS count, round(avg(v), 2) AS mean,

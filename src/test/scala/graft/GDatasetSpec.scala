@@ -138,6 +138,28 @@ class GDatasetSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](ds.nest(Seq("i"), "bad"))
   }
 
+  test("ffill/bfill/interpolate fill series nulls per group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0.0, Some(10.0)), (1L, 1.0, None), (1L, 2.0, None),
+      (1L, 3.0, Some(40.0)), (1L, 4.0, None),
+      (2L, 0.0, None), (2L, 1.0, Some(5.0))
+    ).toDF("k", "x", "v")
+    val ds = GDataset(df, "x", Seq("k"))
+    def vals(d: GDataset): Seq[(Long, Option[Double])] =
+      d.df.orderBy("k", "x").collect().toSeq
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(vals(ds.ffill(Seq("v"))) == Seq(
+      1L -> Some(10.0), 1L -> Some(10.0), 1L -> Some(10.0),
+      1L -> Some(40.0), 1L -> Some(40.0), 2L -> None, 2L -> Some(5.0)))
+    assert(vals(ds.bfill(Seq("v"))) == Seq(
+      1L -> Some(10.0), 1L -> Some(40.0), 1L -> Some(40.0),
+      1L -> Some(40.0), 1L -> None, 2L -> Some(5.0), 2L -> Some(5.0)))
+    assert(vals(ds.interpolate(Seq("v"))) == Seq(
+      1L -> Some(10.0), 1L -> Some(20.0), 1L -> Some(30.0),
+      1L -> Some(40.0), 1L -> None, 2L -> None, 2L -> Some(5.0)))
+  }
+
   test("datafile csv round-trip") {
     val path = "/tmp/graft_test_csv"
     val f = Datafile(path, index = Some("ts"), idVars = Seq("user_id"))
