@@ -185,6 +185,32 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("rmean"))
     }),
 
+    // numeric namespace: abs / clip / sqrt (sqrt is IEEE
+    // correctly-rounded, so it compares bit-exact across engines;
+    // log/pow are not and stay out of the oracle surface)
+    "q_numeric_ops" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("dev"),
+        least(greatest(col("l_quantity"), lit(5.0)), lit(45.0)).as("qty_clip"),
+        sqrt(col("l_quantity")).as("sqrt_qty"))
+    }),
+
+    // rank family: rank/dense_rank over a tied ordering (deterministic
+    // under ties), percent_rank, ntile over a unique total order (ntile
+    // depends on physical order, so ties would be nondeterministic)
+    "q_rank" -> ((s, dir) => {
+      val wp = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+      val wu = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(wp).as("rnk"),
+        dense_rank().over(wp).as("drnk"),
+        percent_rank().over(wp).as("prnk"),
+        ntile(4).over(wu).as("quartile"))
+    }),
+
     // shift/diff per key (polars shift + arithmetic)
     "q_shift_diff" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -369,6 +395,21 @@ object Relational {
          CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
          l_returnflag || '-' || l_linestatus AS flag_status
          FROM lineitem""",
+    "q_numeric_ops" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(l_discount - 0.05) AS dev,
+         least(greatest(l_quantity, 5.0), 45.0) AS qty_clip,
+         sqrt(l_quantity) AS sqrt_qty
+         FROM lineitem""",
+    "q_rank" ->
+      """SELECT o_custkey, o_orderkey,
+         rank() OVER wp AS rnk,
+         dense_rank() OVER wp AS drnk,
+         percent_rank() OVER wp AS prnk,
+         ntile(4) OVER wu AS quartile
+         FROM orders
+         WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+                wu AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
     "q_shift_diff" ->
       """SELECT user_id, event_id,
          value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dv
