@@ -204,7 +204,7 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
   def withRowIndex(name: String = "row_index"): GDataset = transform { d =>
     val schema = StructType(
       StructField(name, LongType, nullable = false) +: d.schema.fields)
-    val rdd = d.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    val rdd = d.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
     d.sparkSession.createDataFrame(rdd, schema)
   }
 

@@ -25,7 +25,7 @@ object VectorFunctions {
     * 0/1 bits — group consecutive `bandBits` bits for LSH buckets. */
   def hyperplaneBits(v: Column, planes: Array[Array[Double]]): Column = {
     val bitCols = planes.map { plane =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(v, planeCol) >= 0, lit(1)).otherwise(lit(0))
     }
     array(bitCols.toIndexedSeq: _*)

@@ -175,6 +175,17 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
     }),
 
+    // overlapping sliding windows (polars group_by_dynamic with
+    // every < period): 2-hour windows sliding by 1 hour, so each event
+    // lands in two buckets. Spark's window() is epoch-aligned, hence
+    // equivalent to unioning the two shifted hour-truncations.
+    "q_window_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("total"))
+    }),
+
     // rows-based rolling mean per key (polars rolling analogue).
     "q_rolling" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -380,6 +391,14 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
          count(*) AS n, round(sum(value),2) AS total
          FROM events GROUP BY 1, 2""",
+    "q_window_sliding" ->
+      """SELECT bucket, event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM (
+           SELECT date_trunc('hour', ts) AS bucket, event_type, value FROM events
+           UNION ALL
+           SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS bucket, event_type, value
+           FROM events)
+         GROUP BY bucket, event_type""",
     "q_rolling" ->
       """SELECT user_id, event_id,
          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
