@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the native kernels: registers `graft_*` functions so
+  * `spark.sql("SELECT graft_simhash(text) ...")` reaches the same
+  * Catalyst expressions as the Column API. Two entry points:
+  *
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build (the standard SparkSessionExtensions path), or
+  *  - `GraftFunctions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every exposed kernel. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("graft_minhash",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) =>
+        MinHashSignature(args.head,
+          intArg(args(1), "shingleN"), intArg(args(2), "numHashes"))),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) =>
+        ShingleHashes(args.head, intArg(args(1), "shingleN"))),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit = {
+    val registry = GraftShim.functionRegistry(spark)
+    all.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.plans.GraftFunctions
+
+/** The graft_* SQL functions must reach the same native expressions as
+  * the Column API (GraftExtensions wires the same builders into
+  * spark.sql.extensions at session build). */
+class SqlFunctionsSpec extends SparkSpec {
+
+  private lazy val registered: Unit = GraftFunctions.register(spark)
+
+  test("graft_simhash via SQL equals the Column API and the HOF form") {
+    registered
+    Tables.t(spark, Sf, "documents").limit(50).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql("SELECT doc_id, graft_simhash(text) AS s FROM docs_sql")
+    val viaCol = Tables.t(spark, Sf, "documents").limit(50)
+      .select(col("doc_id"), TF.simhash(col("text")).as("s"))
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+  }
+
+  test("graft_minhash and graft_shingle_hashes have the declared shapes") {
+    registered
+    Tables.t(spark, Sf, "documents").limit(10).createOrReplaceTempView("docs_sql2")
+    val r = spark.sql(
+      """SELECT size(graft_minhash(text, 3, 64)) AS nsig,
+                size(graft_shingle_hashes(text, 3)) AS nsh
+         FROM docs_sql2""").collect()
+    assert(r.forall(_.getInt(0) == 64))
+    assert(r.forall(_.getInt(1) > 0))
+  }
+
+  test("graft_cosine of a vector with itself is 1") {
+    registered
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
