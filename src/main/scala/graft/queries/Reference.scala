@@ -99,14 +99,18 @@ object Reference {
         .select(col("user_id"), col("x"), round(col("value"), 6).as("value"))
     }),
 
-    // DFT magnitude spectrum (first 8 bins) of each user's value series
+    // DFT magnitude spectrum (first 8 bins) of each user's value series.
+    // 2dp rounding: the per-group trig sums differ between engines only
+    // in summation order and libm ulps (~1e-12 relative), far from any
+    // 2dp rounding boundary — so the spectrum is value-verified, not
+    // just rows-checked.
     "q_dft" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val ds = GDataset(
         ev.select(col("user_id"), xCol.as("x"), col("value")),
         "x", Seq("user_id"))
       ds.dft(8).df
-        .select(col("user_id"), col("freq_bin"), round(col("mag_value"), 6).as("mag"))
+        .select(col("user_id"), col("freq_bin"), round(col("mag_value"), 2).as("mag"))
     }),
 
     // forward-fill nulls per user in time order (fill_null strategy)
@@ -229,6 +233,20 @@ object Reference {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                   wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""",
+    // same angle expression, left-associated like the Scala kernel;
+    // bins = min(8, group size), exactly as GDataset.dft emits
+    "q_dft" ->
+      """WITH s AS (
+           SELECT user_id, value,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS DOUBLE) AS t,
+                  CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n
+           FROM events),
+         b AS (SELECT CAST(unnest(range(0, 8)) AS DOUBLE) AS k)
+         SELECT user_id, k AS freq_bin,
+           round(sqrt(pow(sum(value * cos(-2 * pi() * k * t / n)), 2)
+                    + pow(sum(value * sin(-2 * pi() * k * t / n)), 2)), 2) AS mag
+         FROM s JOIN b ON b.k < least(8, s.n)
+         GROUP BY user_id, k""",
     "q_describe" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(v) AS count, round(avg(v), 2) AS mean,
@@ -252,7 +270,8 @@ object Reference {
          FULL JOIN (SELECT user_id, round(sum(value), 2) AS click_total
                     FROM events WHERE event_type = 'click' GROUP BY user_id) b
          USING (user_id)"""
-    // q_regrid / q_dft: spline + DFT not expressible in DuckDB SQL —
-    // driver rows-only check; closed-form correctness in InterpolationSpec.
+    // q_regrid: the cubic-spline tridiagonal solve is not expressible in
+    // DuckDB SQL — driver rows-only check; closed-form correctness in
+    // InterpolationSpec.
   )
 }
