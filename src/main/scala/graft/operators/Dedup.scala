@@ -17,9 +17,11 @@ import graft.plans.TextHashColumns
   * `distinct`-ed carrying ONLY the two ids (8-byte keys through the
   * bucket shuffle — signatures stay out of the candidate join), then
   * the per-doc signature/fingerprint is attached once per side via a
-  * broadcast of the (small) candidate set to score each pair exactly
-  * once. A pair colliding in many buckets is scored once, not once per
-  * collision.
+  * plain equi-join on the id so each pair is scored exactly once. The
+  * candidate table grows linearly with corpus size (web-scale dup
+  * rates run 30-50%), so it is never force-broadcast — AQE picks the
+  * strategy from the runtime size. A pair colliding in many buckets is
+  * scored once, not once per collision.
   */
 object Dedup {
 
@@ -138,40 +140,81 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup pairs above a cosine threshold. `bucketBy`
-    * (e.g. a cluster/label/LSH column) bounds the pair space; null
-    * means all-pairs (only sane for small corpora — at 100 TB callers
-    * pass an LSH bucket from [[graft.functions.VectorFunctions]]). */
+  /** Embedding near-dup pairs above a cosine threshold, pair space
+    * bounded by an existing bucket column (a cluster / label / shard
+    * key): shuffle join on the bucket key — the 100 TB shape when the
+    * data already carries a locality column. */
   def cosinePairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bucketBy: Option[String] = None): DataFrame = {
-    val paired = bucketBy match {
-      case Some(bk) =>
-        // bucket-bounded pair space: shuffle join on the bucket key
-        emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col(bk).as("bk"))
-          .join(
-            emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col(bk).as("bk")),
-            Seq("bk"))
-      case None =>
-        // all-pairs: broadcast one side and stream the other. A join on
-        // a constant key would put every pair in ONE shuffle partition
-        // (single-threaded scoring); the nested-loop form keeps the
-        // streamed side's parallelism. Repartition so a small single
-        // parquet file still fans out across cores.
-        val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-        val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-        a.repartition(a.sparkSession.sparkContext.defaultParallelism)
-          .crossJoin(broadcast(b))
-    }
+      bucketBy: String): DataFrame =
+    scoreCosine(
+      emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col(bucketBy).as("bk"))
+        .join(
+          emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col(bucketBy).as("bk")),
+          Seq("bk")),
+      threshold)
+
+  /** Embedding near-dup pairs via coordinate-sign LSH — the scale-path
+    * default when no bucket column exists. Band `b`'s key is the sign
+    * pattern of coordinates [b*bitsPerBand, (b+1)*bitsPerBand): an
+    * axis-aligned random-hyperplane LSH (deterministic, no arithmetic,
+    * so any engine computes identical buckets). Vectors sharing any
+    * band bucket become candidates (ids only through the shuffle);
+    * each pair is scored once. Recall rises with `bands`, candidate
+    * count with fewer `bitsPerBand` — tune to corpus cohesion. */
+  def cosinePairsLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bitsPerBand: Int = 4,
+      bands: Int = 4,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(
+      col("id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("",
+            transform(
+              slice(col("v"), b * bitsPerBand + 1, lit(bitsPerBand)),
+              x => when(x >= 0, lit(1)).otherwise(lit(0))))))
+        .as(Seq("band", "bucket")))
+      .select(col("id"), col("band"), col("bucket"))
+    val candidates = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
+    scoreCosine(attachPerSide(candidates, vecs, "v"), threshold)
+  }
+
+  /** All-pairs cosine dedup — EXPLICIT OPT-IN, quadratic work and a
+    * full broadcast of the corpus: only sane when the corpus fits the
+    * broadcast limit (≲10^6 rows / a few hundred MB of vectors). At
+    * scale use [[cosinePairsLsh]] or [[cosinePairs]] with a bucket
+    * column. The nested-loop form (vs a constant-key join) keeps the
+    * streamed side's parallelism; the repartition fans a small single
+    * parquet file across cores. */
+  def cosinePairsExact(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    scoreCosine(
+      a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(b)),
+      threshold)
+  }
+
+  private def scoreCosine(paired: DataFrame, threshold: Double): DataFrame =
     paired
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(graft.plans.VectorColumns.cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-  }
 
   /** Drop rows whose bucket key exceeds `maxBucketSize` occurrences —
     * one window pass over the already-bucket-shuffled rows (no second
@@ -195,14 +238,17 @@ object Dedup {
       .distinct()
   }
 
-  /** Attach a per-doc column to both sides of a candidate-pair table.
-    * The candidate set is orders of magnitude smaller than the corpus,
-    * so it is broadcast and the corpus-side table streams through —
-    * the signature is never shuffled. */
+  /** Attach a per-doc column to both sides of a candidate-pair table
+    * via plain equi-joins on the id. NOT broadcast: the candidate set
+    * grows linearly with corpus size and dup rate (30-50% on web-scale
+    * corpora), so forcing it driver-side OOMs at 100 TB. The per-doc
+    * side shuffles once per side on an 8-byte key — bounded and
+    * partition-parallel — and AQE still turns the join into a
+    * broadcast at runtime when the candidates really are small. */
   private def attachPerSide(pairs: DataFrame, perDoc: DataFrame, valueCol: String): DataFrame = {
-    val withA = broadcast(pairs)
+    val withA = pairs
       .join(perDoc.select(col("id").as("id_a"), col(valueCol).as(s"${valueCol}_a")), Seq("id_a"))
-    broadcast(withA)
+    withA
       .join(perDoc.select(col("id").as("id_b"), col(valueCol).as(s"${valueCol}_b")), Seq("id_b"))
   }
 }

@@ -51,8 +51,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       dim: Int,
-      numPlanes: Int = 16,
-      bands: Int = 4,
+      numPlanes: Int = 24,
+      bands: Int = 8,
       seed: Long = 42L): DataFrame = {
     require(numPlanes % bands == 0)
     val bitsPerBand = numPlanes / bands
@@ -77,9 +77,12 @@ object Similarity {
       .select(col("qid"), col("cid"))
       .distinct()
 
-    // candidate set ≪ corpus: broadcast it, stream the corpus vectors
-    // through once; the tiny query side is broadcast too.
-    val scored = broadcast(candidates)
+    // Candidates attach to corpus vectors via a plain equi-join on the
+    // id: the candidate set scales with |queries| × collision rate, so
+    // it must not be force-broadcast (AQE still broadcasts it at
+    // runtime when it is genuinely small). Only the query side — small
+    // by caller contract — carries a broadcast hint.
+    val scored = candidates
       .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
       .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
       .select(col("qid"), col("cid"),

@@ -51,8 +51,13 @@ object Pipeline {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, threshold = 0.5)),
 
+    // scale-path default: coordinate-sign LSH bands bound the pair space
     "q_dedup_cosine" -> ((s, dir) =>
-      Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+      Dedup.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
+    // pre-existing locality column (cluster label) bounds the pair space
+    "q_dedup_cosine_bucketed" -> ((s, dir) =>
+      Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, bucketBy = "label")),
 
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -142,12 +147,39 @@ object Pipeline {
            JOIN sizes na ON id_a = na.doc_id
            JOIN sizes nb ON id_b = nb.doc_id)
          WHERE jaccard >= 0.5""",
-    "q_dedup_cosine" ->
+    // replicates Dedup.cosinePairsLsh exactly: sign-pattern band buckets
+    // are pure comparisons (no float arithmetic), so both engines build
+    // identical candidate sets; scoring matches the all-pairs oracle form.
+    "q_dedup_cosine" -> {
+      val bitsPerBand = 4
+      val bands = 4
+      val bandSelects = (0 until bands).map { b =>
+        val bucket = (1 to bitsPerBand)
+          .map(i => s"CASE WHEN embedding[${b * bitsPerBand + i}] >= 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ", ", ")")
+        s"SELECT vec_id AS id, $b AS band, $bucket AS bucket FROM embeddings"
+      }.mkString(" UNION ALL ")
+      s"""WITH banded AS ($bandSelects),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+         SELECT id_a, id_b, cos FROM (
+           SELECT id_a, id_b,
+                  round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                               CAST(eb.embedding AS DOUBLE[])), 6) AS cos
+           FROM cand
+           JOIN embeddings ea ON cand.id_a = ea.vec_id
+           JOIN embeddings eb ON cand.id_b = eb.vec_id)
+         WHERE cos >= 0.4"""
+    },
+    "q_dedup_cosine_bucketed" ->
       """SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE cos >= 0.4""",
     "q_ann_bruteforce" ->
       """SELECT qid, cid, sim, rank FROM (

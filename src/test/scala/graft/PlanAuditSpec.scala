@@ -53,4 +53,46 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains(f), s"predicate $f not pushed")
     }
   }
+
+  /** Plan string with estimate-based broadcasts disabled, so any
+    * BroadcastExchange left in the plan comes from an explicit
+    * broadcast() hint — the thing the 100 TB audit must catch. */
+  private def planNoAutoBroadcast(name: String): String = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try planOf(name) finally spark.conf.set(key, prev)
+  }
+
+  test("dedup candidate-pair attach joins carry no forced broadcast") {
+    // the candidate table grows linearly with corpus size — a broadcast
+    // hint anywhere in these plans OOMs the driver at 100 TB
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
+                  "q_dedup_cosine", "q_dedup_cosine_bucketed")) {
+      val p = planNoAutoBroadcast(q)
+      assert(!p.contains("BroadcastExchange"),
+        s"$q force-broadcasts a join side that scales with the corpus")
+    }
+  }
+
+  test("q_ann_lsh broadcasts only the declared small query side") {
+    val p = planNoAutoBroadcast("q_ann_lsh")
+    // formatted mode prints each operator once in the tree and once as a
+    // numbered detail section — count the detail headers
+    val n = """\(\d+\) BroadcastExchange""".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly the query-side broadcast hint, saw $n")
+  }
+
+  test("no cartesian/nested-loop joins outside the declared brute-force path") {
+    // q_ann_bruteforce is the one declared all-pairs scan (tiny query
+    // side × corpus); every other pipeline query must pair via
+    // key-equality joins or it goes quadratic at scale
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
+                  "q_dedup_cosine", "q_dedup_cosine_bucketed", "q_ann_lsh",
+                  "q_dedup_exact", "q_multimodal")) {
+      val p = planNoAutoBroadcast(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q contains a non-equi pairing join")
+    }
+  }
 }

@@ -36,13 +36,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("lsh recall vs brute force is substantial") {
+  private def lshRecall(numPlanes: Int, bands: Int): Double = {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, dim = 64,
+        numPlanes = numPlanes, bands = bands)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall > 0.2, s"recall $recall")
+    (exact & approx).size.toDouble / exact.size
+  }
+
+  test("lsh recall at default settings is >= 0.6") {
+    val recall = lshRecall(numPlanes = 24, bands = 8)
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("lsh recall tradeoff: wider bands (fewer probes) trade recall for candidates") {
+    // 4 bits/band × 4 bands probes far fewer buckets than the default
+    // 3 bits/band × 8 bands — recall drops but must stay non-trivial.
+    val recall = lshRecall(numPlanes = 16, bands = 4)
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("cosinePairsLsh returns a subset of the exact pairs with identical scores") {
+    import graft.operators.Dedup
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = asSet(Dedup.cosinePairsExact(emb, "vec_id", "embedding", 0.4))
+    val lsh = asSet(Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4))
+    assert(lsh.nonEmpty, "LSH path found no pairs at all")
+    assert(lsh.subsetOf(exact), s"LSH emitted pairs the exact path lacks: ${lsh -- exact}")
+  }
+
+  test("cosinePairsLsh always surfaces an identical-vector duplicate") {
+    // an exact copy shares every sign pattern, so it collides in every
+    // band — LSH recall on true duplicates is 1 by construction
+    val base = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val pairs = graft.operators.Dedup
+      .cosinePairsLsh(base.unionByName(dup), "vec_id", "embedding", 0.99)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000000L
+      && r.getDouble(2) == 1.0))
   }
 }
