@@ -24,18 +24,26 @@ final case class Datafile(
     case other  => spark.read.format(other)
   }
 
-  /** Load as a raw DataFrame when no index is set, else as a GDataset
-    * (polars_dataset.py:316-323). */
-  def load(spark: SparkSession): Either[DataFrame, GDataset] = {
-    val df = format match {
-      case "csv" => reader(spark).csv(path)
-      case _     => reader(spark).load(path)
+  /** Load as a raw DataFrame when no index is set, else as a GDataset.
+    * A missing path logs an error and returns None rather than throwing
+    * (reference polars_dataset.py:316-323 FileNotFoundError handling). */
+  def load(spark: SparkSession): Option[Either[DataFrame, GDataset]] =
+    try {
+      val df = format match {
+        case "csv" => reader(spark).csv(path)
+        case _     => reader(spark).load(path)
+      }
+      Some(index match {
+        case None      => Left(df)
+        case Some(idx) => Right(GDataset(df, idx, idVars))
+      })
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        org.apache.log4j.Logger.getLogger(getClass)
+          .error(s"Could not find $path")
+        None
     }
-    index match {
-      case None      => Left(df)
-      case Some(idx) => Right(GDataset(df, idx, idVars))
-    }
-  }
 
   def write(df: DataFrame): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)

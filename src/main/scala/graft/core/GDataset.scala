@@ -88,6 +88,18 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
 
   def pipe[A](f: GDataset => A): A = f(this)
 
+  /** Pipe through a function returning a raw DataFrame, re-wrapped to
+    * the canonical columns (reference polars_dataset.py:196-202: when
+    * pipe's function escapes the wrapper, the result is re-selected as
+    * id_vars | index | original value_vars — extra columns dropped,
+    * missing ones an error). */
+  def pipeDf(f: GDataset => DataFrame): GDataset = {
+    val out = f(this)
+    GDataset(
+      out.select((prunedIdVars ++ Seq(index) ++ valueVars).map(col): _*),
+      index, prunedIdVars)
+  }
+
   /** Drop columns; index is protected (polars_dataset.py:265-272). */
   def drop(names: String*): GDataset = {
     require(!names.contains(index), "Cannot drop the `index` column")
@@ -145,8 +157,11 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       case other => throw new IllegalArgumentException(
         s"`$structCol` is $other, not a struct")
     }
-    val keep = d.columns.toSeq.filterNot(_ == structCol).map(col)
-    d.select(keep ++ fields.map(f => col(s"$structCol.$f").as(f)): _*)
+    val keep = d.columns.toSeq.filterNot(_ == structCol)
+    val clashes = fields.intersect(keep)
+    require(clashes.isEmpty,
+      s"unnest of `$structCol` would shadow existing column(s): ${clashes.mkString(", ")}")
+    d.select(keep.map(col) ++ fields.map(f => col(s"$structCol.$f").as(f)): _*)
   }
 
   /** Rebuild columns into a struct (polars `to_struct` side of the
@@ -196,16 +211,32 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
   def head(sortCols: Seq[Column], n: Int): GDataset = slice(sortCols, 0, n)
 
   /** Global 0-based row index in the DataFrame's current order (polars
-    * with_row_index). zipWithIndex computes per-partition counts first,
-    * then offsets — two passes, no single-partition bottleneck, indices
-    * contiguous (unlike monotonically_increasing_id). Deterministic when
-    * the plan ends in a sort (range-partitioned output preserves global
-    * order across partitions). */
+    * with_row_index). Two passes like RDD zipWithIndex — count rows per
+    * partition, then offset — but DataFrame-native end to end: the id
+    * expression encodes (partition, local position) in one codegen'd
+    * long, the per-partition counts aggregate map-side to #partitions
+    * rows, and the offsets come back via a broadcast join, so rows are
+    * never deserialized out of columnar batches. No single-partition
+    * bottleneck; indices contiguous (unlike raw
+    * monotonically_increasing_id). Deterministic when the plan ends in
+    * a sort (range-partitioned output preserves global order across
+    * partitions). */
   def withRowIndex(name: String = "row_index"): GDataset = transform { d =>
-    val schema = StructType(
-      StructField(name, LongType, nullable = false) +: d.schema.fields)
-    val rdd = d.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-    d.sparkSession.createDataFrame(rdd, schema)
+    // monotonically_increasing_id layout: partition id in the upper 31
+    // bits, 0-based record number within the partition in the lower 33
+    val localMask = (1L << 33) - 1
+    val withIds = d.withColumn("__mid", monotonically_increasing_id())
+    val pid = call_function("shiftright", col("__mid"), lit(33))
+    val perPartition = withIds
+      .groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perPartition.map(_._1)
+      .zip(perPartition.scanLeft(0L)(_ + _._2))
+    val offDf = d.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    withIds
+      .join(broadcast(offDf), pid === col("__pid"))
+      .select((col("__off") + col("__mid").bitwiseAND(lit(localMask))).as(name)
+        +: d.columns.map(col): _*)
   }
 
   /** Horizontal concat. polars hstack aligns by row position — at scale
@@ -215,6 +246,11 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * hstack-by-index). */
   def hconcat(other: GDataset, joinType: String = "full_outer"): GDataset = {
     require(index == other.index, "hconcat requires the same index")
+    // a shared value-var name would survive the join as two identically
+    // named columns, making every later reference ambiguous
+    val shared = valueVars.intersect(other.valueVars)
+    require(shared.isEmpty,
+      s"hconcat value columns collide: ${shared.mkString(", ")} — rename one side")
     val keys = (idVars.intersect(other.idVars) :+ index).distinct
     join(other, keys, joinType)
   }
@@ -315,6 +351,20 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     flat.regridFlat(grid).rebuildStructs(smap)
   }
 
+  /** Regrid along an arbitrary axis. When `axis` is an id_var the index
+    * is swapped into the grouping keys and the spline runs over the
+    * id_var instead (reference polars_dataset.py:219-223); the returned
+    * dataset keeps the ORIGINAL index/id_vars metadata — only the axis
+    * column now holds grid values. */
+  def regrid(grid: Array[Double], axis: String): GDataset =
+    if (axis == index) regrid(grid)
+    else {
+      require(idVars.contains(axis),
+        s"regrid axis `$axis` must be the index or an id_var")
+      val swapped = GDataset(df, axis, idVars.filterNot(_ == axis) :+ index)
+      GDataset(swapped.regrid(grid).df, index, idVars).sortColumns
+    }
+
   private def regridFlat(grid: Array[Double]): GDataset = {
     val vars = numericValueVars
     perGroupSeries(
@@ -375,6 +425,9 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
         acc.withColumn(vName,
           when(v.isNotNull, v)
             .when(pv.isNull || nv.isNull, lit(null))
+            // both neighbors at the same x (duplicate index): the slope
+            // divide would be null/NaN, but either value is consistent
+            .when(nx === px, pv)
             .otherwise(pv + (nv - pv) * ((x - px) / (nx - px))))
       }
     }
@@ -418,6 +471,16 @@ object GDataset {
     val indexes = datasets.map(_.index).distinct
     require(indexes.size == 1, "All datasets must have the same index")
     val idVars = datasets.flatMap(_.idVars).distinct
+    // reference polars_dataset.py:36-40: every member must carry every
+    // id_var and the index — a silent null-fill of a KEY column would
+    // corrupt group identities; value columns still align by name
+    val required = idVars :+ indexes.head
+    datasets.foreach { d =>
+      val missing = required.filterNot(d.df.columns.contains)
+      require(missing.isEmpty,
+        s"Missing column(s): ${missing.mkString(", ")}. " +
+          s"All datasets must contain: ${required.mkString(", ")}.")
+    }
     val unioned = datasets.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
     GDataset(unioned, indexes.head, idVars.filter(unioned.columns.contains)).sortColumns
   }

@@ -24,6 +24,13 @@ object AsOf {
     * @param by        equi-key column names (must exist on both sides)
     * @param rightCols right columns to attach, renamed via the map
     * @param strategy  "backward" (default) | "forward" | "nearest"
+    * @param tolerance max |l.on - r.on| for a match (reference polars
+    *                  join_asof tolerance, polars_dataset.py:74-78 via
+    *                  forwarding); measured on `on` cast to double —
+    *                  seconds for timestamps, absolute delta for
+    *                  numerics; inclusive; None = unbounded
+    * @param allowExactMatches when false, r.on == l.on rows are NOT
+    *                  match candidates (strict inequality)
     */
   def joinAsOf(
       left: DataFrame,
@@ -31,9 +38,12 @@ object AsOf {
       on: String,
       by: Seq[String],
       rightCols: Map[String, String],
-      strategy: String = "backward"): DataFrame = {
+      strategy: String = "backward",
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(strategy),
       s"unknown asof strategy `$strategy`")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
 
     val leftTagged = left
       .withColumn("__side", lit(1))
@@ -50,36 +60,52 @@ object AsOf {
       .withColumn("__ron", col(on))
 
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
-    // right rows (__side=0) sort before left rows at equal `on`, so an
-    // equal-timestamp right row is visible to the left row in BOTH scan
-    // directions (matching asof tie semantics).
+    // Tie order at equal `on`: with exact matches allowed, right rows
+    // (__side=0) sort before left rows, so the equal-timestamp right
+    // row is visible to the left row in BOTH scan directions; with
+    // exact matches disallowed, left rows sort first and the equal
+    // right row stays outside the left row's frame in both directions.
+    val sideTie = if (allowExactMatches) col("__side").asc else col("__side").desc
     def w(desc: Boolean) = {
-      val ord = if (desc) Seq(col(on).desc, col("__side").asc)
-                else Seq(col(on).asc, col("__side").asc)
+      val ord = if (desc) Seq(col(on).desc, sideTie) else Seq(col(on).asc, sideTie)
       Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
 
-    val carried = strategy match {
-      case "backward" =>
-        unioned
-          .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w(desc = false)))
-      case "forward" =>
-        unioned
-          .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w(desc = true)))
-      case "nearest" =>
-        val back = last(col("__r"), ignoreNulls = true).over(w(desc = false))
-        val backOn = last(col("__ron"), ignoreNulls = true).over(w(desc = false))
-        val fwd = last(col("__r"), ignoreNulls = true).over(w(desc = true))
-        val fwdOn = last(col("__ron"), ignoreNulls = true).over(w(desc = true))
-        val dBack = abs(col(on).cast("double") - backOn.cast("double"))
-        val dFwd = abs(fwdOn.cast("double") - col(on).cast("double"))
-        unioned.withColumn("__match",
-          when(backOn.isNull, fwd)
-            .when(fwdOn.isNull, back)
-            .when(dFwd < dBack, fwd)
-            .otherwise(back)) // ties resolve backward
+    // unused window expressions never enter the plan, so "backward"
+    // still sorts once even though all four are defined here
+    val back = last(col("__r"), ignoreNulls = true).over(w(desc = false))
+    val backOn = last(col("__ron"), ignoreNulls = true).over(w(desc = false))
+    val fwd = last(col("__r"), ignoreNulls = true).over(w(desc = true))
+    val fwdOn = last(col("__ron"), ignoreNulls = true).over(w(desc = true))
+    // temporal `on` types don't cast to double directly (NTZ in
+    // particular refuses) — go through epoch micros
+    import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+    def asNum(c: Column, dt: DataType): Column = dt match {
+      case DateType | TimestampType | TimestampNTZType =>
+        unix_micros(c.cast("timestamp")) / lit(1e6)
+      case _ => c.cast("double")
     }
+    val dBack = asNum(col(on), left.schema(on).dataType) -
+      asNum(backOn, right.schema(on).dataType)
+    val dFwd = asNum(fwdOn, right.schema(on).dataType) -
+      asNum(col(on), left.schema(on).dataType)
+    def inTol(d: Column): Column = tolerance.map(t => d <= lit(t)).getOrElse(lit(true))
+    val backOk = backOn.isNotNull && inTol(dBack)
+    val fwdOk = fwdOn.isNotNull && inTol(dFwd)
+
+    val matched = strategy match {
+      case "backward" => when(backOk, back)
+      case "forward"  => when(fwdOk, fwd)
+      case "nearest" => // exact ties resolve backward
+        when(backOk && fwdOk, when(dFwd < dBack, fwd).otherwise(back))
+          .when(backOk, back)
+          .when(fwdOk, fwd)
+    }
+    // a left row with null `on` matches nothing (polars semantics) —
+    // without the guard the desc scan would hand it the min-`on` right
+    // row (left null sorts last under desc = after every right row)
+    val carried = unioned.withColumn("__match", when(col(on).isNotNull, matched))
 
     val attached = rightCols.values.foldLeft(
       carried.filter(col("__side") === 1)

@@ -89,6 +89,35 @@ object Reference {
           col("click_ts"), col("click_value"))
     }),
 
+    // as-of with a tolerance band and exact matches excluded: strictly
+    // earlier click within 3 days of each purchase, per user
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.joinAsOf(purchases, clicks, "ts", Seq("user_id"),
+        Map("ts" -> "click_ts", "value" -> "click_value"),
+        tolerance = Some(3 * 86400.0), allowExactMatches = false)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_ts"), col("click_value"))
+    }),
+
+    // regrid along a NON-index axis (id_var user_id): the index swaps
+    // into the grouping keys (polars_dataset.py:219-223) — per
+    // event_type, the mean-value-by-user series is splined onto a user
+    // grid. Rows-only: spline not expressible in DuckDB.
+    "q_regrid_axis" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val byUser = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(avg(col("value")).as("v"))
+      GDataset(
+        byUser.select(col("event_type"), col("user_id").cast("double").as("user_id"), col("v")),
+        "event_type", Seq("user_id"))
+        .regrid(Array(5.5, 10.5, 20.5, 30.5), axis = "user_id").df
+    }),
+
     // cubic-spline regrid of each user's value series onto a daily grid
     "q_regrid" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -207,6 +236,16 @@ object Reference {
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    // the backward match is the nearest earlier row, so nulling it when
+    // out of band reproduces the tolerance exactly; `>` (not `>=`)
+    // reproduces allow_exact_matches=false
+    "q_asof_tolerance" ->
+      """SELECT l.user_id, l.event_id, l.ts,
+                CASE WHEN l.ts - r.ts <= INTERVAL 3 DAY THEN r.ts END AS click_ts,
+                CASE WHEN l.ts - r.ts <= INTERVAL 3 DAY THEN r.value END AS click_value
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts > r.ts""",
     "q_ffill" ->
       """SELECT event_id,
          last_value(v IGNORE NULLS) OVER (
@@ -235,6 +274,10 @@ object Reference {
                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""",
     // same angle expression, left-associated like the Scala kernel;
     // bins = min(8, group size), exactly as GDataset.dft emits
+    // precondition: (user_id, ts) is unique in events — Spark's dft
+    // collapses duplicate index values (keeps the last observation)
+    // while this enumeration takes every row, so a duplicate ts would
+    // desync the two series. InterpolationSpec pins the uniqueness.
     "q_dft" ->
       """WITH s AS (
            SELECT user_id, value,

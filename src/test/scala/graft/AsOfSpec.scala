@@ -65,4 +65,57 @@ class AsOfSpec extends SparkSpec {
       .select("rt").head()
     assert(out.getLong(0) == 100L)
   }
+
+  test("asof tolerance bounds the match distance in every strategy") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 300L, "b")).toDF("k", "t", "name")
+    val right = Seq((1L, 90L, 1.0), (1L, 130L, 2.0)).toDF("k", "t", "v")
+
+    def run(strategy: String, tol: Double) =
+      AsOf.joinAsOf(left, right, "t", Seq("k"), Map("t" -> "rt", "v" -> "rv"),
+          strategy, tolerance = Some(tol))
+        .select("name", "rt").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+
+    val back = run("backward", 15.0)
+    assert(back("a") == 90L)   // distance 10 <= 15
+    assert(back("b") == null)  // nearest earlier is 170 away
+    val fwd = run("forward", 15.0)
+    assert(fwd("a") == null)   // nearest later is 30 away
+    val near = run("nearest", 12.0)
+    assert(near("a") == 90L)   // backward 10 in band, forward 30 out
+    assert(near("b") == null)
+  }
+
+  test("asof allowExactMatches=false skips the equal-timestamp row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "name")
+    val right = Seq((1L, 100L, 1.0), (1L, 80L, 2.0), (1L, 130L, 3.0)).toDF("k", "t", "v")
+
+    def run(strategy: String) =
+      AsOf.joinAsOf(left, right, "t", Seq("k"), Map("t" -> "rt", "v" -> "rv"),
+          strategy, allowExactMatches = false)
+        .select("rt").head()
+
+    assert(run("backward").getLong(0) == 80L)  // 100 excluded
+    assert(run("forward").getLong(0) == 130L)  // 100 excluded
+    assert(run("nearest").getLong(0) == 80L)   // |Δ|=20 backward beats 30 forward
+  }
+
+  test("a left row with null `on` matches nothing in any strategy") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[Long], "n"), (1L, Option(200L), "ok"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 100L, 1.0), (1L, 250L, 2.0)).toDF("k", "t", "v")
+    val expected = Map("backward" -> 100L, "forward" -> 250L, "nearest" -> 250L)
+    for (strategy <- Seq("backward", "forward", "nearest")) {
+      val out = AsOf.joinAsOf(left, right, "t", Seq("k"), Map("t" -> "rt", "v" -> "rv"), strategy)
+        .select("name", "rt").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+        .toMap
+      assert(out("n") == null, s"null-on row matched under $strategy")
+      assert(out("ok") == expected(strategy), s"non-null row lost its match under $strategy")
+    }
+  }
 }

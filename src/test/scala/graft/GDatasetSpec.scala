@@ -50,12 +50,20 @@ class GDatasetSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](GDataset.concat(Seq(a, b)))
   }
 
-  test("concat unions idVars and aligns missing columns") {
-    val a = GDataset(events.select(col("ts"), col("value")), "ts", Nil)
-    val b = GDataset(events.select(col("ts"), col("user_id"), col("value")), "ts", Seq("user_id"))
+  test("concat unions idVars and aligns missing value columns") {
+    // value columns align by name (missing side null-filled)…
+    val a = GDataset(events.select(col("ts"), col("user_id"), col("value")),
+      "ts", Seq("user_id"))
+    val b = GDataset(events.select(col("ts"), col("user_id"), col("value"),
+      col("event_type")), "ts", Seq("user_id"))
     val c = GDataset.concat(Seq(a, b))
     assert(c.idVars == Seq("user_id"))
     assert(c.df.count() == 2 * events.count())
+    // …but a member missing a KEY column (an id_var of the union) errors
+    // (reference polars_dataset.py:36-40 ColumnNotFoundError)
+    val noKey = GDataset(events.select(col("ts"), col("value")), "ts", Nil)
+    val err = intercept[IllegalArgumentException](GDataset.concat(Seq(noKey, b)))
+    assert(err.getMessage.contains("user_id"))
   }
 
   test("coord returns ordered uniques; extrema returns min/max") {
@@ -164,7 +172,63 @@ class GDatasetSpec extends SparkSpec {
     val path = "/tmp/graft_test_csv"
     val f = Datafile(path, index = Some("ts"), idVars = Seq("user_id"))
     f.write(events.select(col("ts"), col("user_id"), col("value")).limit(100))
-    val loaded = f.load(spark).toOption.get
+    val loaded = f.load(spark).get.toOption.get
     assert(loaded.index == "ts" && loaded.df.count() == 100)
+  }
+
+  test("datafile missing path logs and returns None") {
+    val f = Datafile("/tmp/graft_no_such_file_anywhere", index = Some("ts"))
+    assert(f.load(spark).isEmpty)
+  }
+
+  test("pipe through a raw-DataFrame function re-wraps canonical columns") {
+    val ds = GDataset(events.select(col("ts"), col("user_id"), col("value")),
+      "ts", Seq("user_id"))
+    val out = ds.pipeDf(d =>
+      d.df.withColumn("extra", lit(1)).withColumn("value", col("value") * 2))
+    assert(out.df.columns.toSeq == Seq("user_id", "ts", "value")) // extra dropped
+    assert(out.index == "ts" && out.idVars == Seq("user_id"))
+  }
+
+  test("hconcat rejects colliding value-var names") {
+    val a = GDataset(events.select(col("ts"), col("value")), "ts", Nil)
+    assertThrows[IllegalArgumentException](a.hconcat(a))
+  }
+
+  test("unnest rejects struct fields shadowing existing columns") {
+    val ds = GDataset(
+      events.select(col("ts"), col("value"),
+        struct(col("value"), col("user_id").as("uid")).as("s")),
+      "ts", Nil)
+    assertThrows[IllegalArgumentException](ds.unnest("s")) // field `value` collides
+    assert(ds.drop("value").unnest("s").df.columns.contains("uid"))
+  }
+
+  test("interpolate at a duplicated index value keeps the neighbor value") {
+    import spark.implicits._
+    // both bracketing observations sit at x=1: slope divide would be
+    // null — the row must get the (consistent) neighbor value instead
+    val df = Seq(
+      (1L, 1.0, Option(10.0)), (1L, 1.0, Option.empty[Double]), (1L, 1.0, Option(10.0))
+    ).toDF("k", "x", "v")
+    val out = GDataset(df, "x", Seq("k")).interpolate(Seq("v"))
+      .df.select("v").collect().map(r => r.isNullAt(0))
+    assert(!out.exists(identity), "duplicate-index interpolation left a null")
+  }
+
+  test("regrid along an id_var axis swaps the index into the grouping keys") {
+    import spark.implicits._
+    // v is linear in x, so the natural cubic spline is exact on the grid
+    val rows = for (k <- Seq(1L, 2L); t <- Seq(0.0, 1.0); x <- 0 to 3)
+      yield (k, t, x.toDouble, 2.0 * x + k)
+    val ds = GDataset(rows.toDF("k", "t", "x", "v"), "t", Seq("k", "x"))
+    val out = ds.regrid(Array(0.5, 1.5), axis = "x")
+    assert(out.index == "t" && out.idVars == Seq("k", "x"))
+    val got = out.df.select("k", "t", "x", "v").orderBy("k", "t", "x").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 2 * 2 * 2) // per (k, t) group: 2 grid points
+    got.foreach { case (k, _, x, v) =>
+      assert(math.abs(v - (2.0 * x + k)) < 1e-9, s"spline at ($k, $x) gave $v")
+    }
   }
 }
