@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.Interpolation
+import graft.functions.{Interpolation, SplineOptions}
 
 /** Spark-native re-expression of the reference's `Dataset` wrapper
   * (reference: polars_dataset.py:11-306): a DataFrame plus an `index`
@@ -346,9 +346,15 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * [[graft.functions.Interpolation.cubicSpline]]). Struct value vars
     * are unnested, splined per field, and rebuilt — the reference's
     * struct round-trip. */
-  def regrid(grid: Array[Double]): GDataset = {
+  def regrid(grid: Array[Double]): GDataset = regrid(grid, SplineOptions())
+
+  /** Regrid with explicit spline options — boundary condition and
+    * extrapolation mode (the reference forwards `**kwargs` to its
+    * spline plugin, polars_dataset.py:212; [[graft.functions.SplineOptions]]
+    * is that surface here). */
+  def regrid(grid: Array[Double], opts: SplineOptions): GDataset = {
     val (flat, smap) = unnestForSeries
-    flat.regridFlat(grid).rebuildStructs(smap)
+    flat.regridFlat(grid, opts).rebuildStructs(smap)
   }
 
   /** Regrid along an arbitrary axis. When `axis` is an id_var the index
@@ -365,12 +371,12 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       GDataset(swapped.regrid(grid).df, index, idVars).sortColumns
     }
 
-  private def regridFlat(grid: Array[Double]): GDataset = {
+  private def regridFlat(grid: Array[Double], opts: SplineOptions): GDataset = {
     val vars = numericValueVars
     perGroupSeries(
       vars,
       (xs, series) => {
-        val splined = series.map(ys => Interpolation.cubicSpline(xs, ys, grid))
+        val splined = series.map(ys => Interpolation.cubicSpline(xs, ys, grid, opts))
         grid.indices.iterator.map(gi => (grid(gi), splined.map(_(gi))))
       },
       index)

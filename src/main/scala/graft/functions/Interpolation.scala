@@ -9,62 +9,116 @@ package graft.functions
   * "Fourier transform" capability with no native plugin: a natural
   * cubic spline (O(n) tridiagonal solve) and a direct DFT.
   */
+/** Spline knobs — the Spark-side analog of the reference's `**kwargs`
+  * pass-through to its spline plugin (polars_dataset.py:212).
+  *
+  * @param boundary    "natural" (zero second derivative at the ends) or
+  *                    "clamped" (first derivatives pinned to
+  *                    `derivStart`/`derivEnd`; exact for cubics when the
+  *                    true end slopes are supplied)
+  * @param derivStart  end slope at xs.head (clamped only)
+  * @param derivEnd    end slope at xs.last (clamped only)
+  * @param extrapolate outside [xs.head, xs.last]: "cubic" extends the
+  *                    end segment's cubic, "constant" holds the end
+  *                    value, "none" yields NaN (dropped downstream like
+  *                    any other NaN via drop_nan)
+  */
+final case class SplineOptions(
+    boundary: String = "natural",
+    derivStart: Double = 0.0,
+    derivEnd: Double = 0.0,
+    extrapolate: String = "cubic") {
+  require(Seq("natural", "clamped").contains(boundary),
+    s"unknown spline boundary `$boundary`")
+  require(Seq("cubic", "constant", "none").contains(extrapolate),
+    s"unknown spline extrapolation `$extrapolate`")
+}
+
 object Interpolation {
 
   /** Natural cubic spline through (xs, ys) evaluated at `grid`.
     * xs must be strictly increasing (callers sort + dedupe).
     * Outside [xs.head, xs.last] the end cubic is extrapolated.
     */
-  def cubicSpline(xs: Array[Double], ys: Array[Double], grid: Array[Double]): Array[Double] = {
+  def cubicSpline(xs: Array[Double], ys: Array[Double], grid: Array[Double]): Array[Double] =
+    cubicSpline(xs, ys, grid, SplineOptions())
+
+  /** Cubic spline with boundary/extrapolation options ([[SplineOptions]]).
+    * One tridiagonal (Thomas) solve either way: the boundary choice only
+    * changes the first and last rows of the system. */
+  def cubicSpline(
+      xs: Array[Double],
+      ys: Array[Double],
+      grid: Array[Double],
+      opts: SplineOptions): Array[Double] = {
     val n = xs.length
     if (n == 0) return Array.fill(grid.length)(Double.NaN)
-    if (n == 1) return Array.fill(grid.length)(ys(0))
+    if (n == 1) return grid.map { x =>
+      if (opts.extrapolate == "none" && x != xs(0)) Double.NaN else ys(0)
+    }
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
-    // second derivatives, natural boundary (m(0) = m(n-1) = 0), Thomas solve
+    // second derivatives m via Thomas solve of the full n×n tridiagonal
+    // system; rows 1..n-2 are the standard continuity equations, rows 0
+    // and n-1 encode the boundary condition
+    val a = new Array[Double](n) // sub-diagonal
+    val b = new Array[Double](n) // diagonal
+    val c = new Array[Double](n) // super-diagonal
+    val d = new Array[Double](n) // rhs
+    if (opts.boundary == "clamped") {
+      b(0) = 2.0 * h(0); c(0) = h(0)
+      d(0) = 6.0 * ((ys(1) - ys(0)) / h(0) - opts.derivStart)
+      a(n - 1) = h(n - 2); b(n - 1) = 2.0 * h(n - 2)
+      d(n - 1) = 6.0 * (opts.derivEnd - (ys(n - 1) - ys(n - 2)) / h(n - 2))
+    } else { // natural: m(0) = m(n-1) = 0
+      b(0) = 1.0; b(n - 1) = 1.0
+    }
+    var i = 1
+    while (i < n - 1) {
+      a(i) = h(i - 1)
+      b(i) = 2.0 * (h(i - 1) + h(i))
+      c(i) = h(i)
+      d(i) = 6.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1))
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      val f = a(i) / b(i - 1)
+      b(i) -= f * c(i - 1)
+      d(i) -= f * d(i - 1)
+      i += 1
+    }
     val m = new Array[Double](n)
-    if (n > 2) {
-      val b = new Array[Double](n)
-      val c = new Array[Double](n)
-      val d = new Array[Double](n)
-      var i = 1
-      while (i < n - 1) {
-        b(i) = 2.0 * (h(i - 1) + h(i))
-        c(i) = h(i)
-        d(i) = 6.0 * ((ys(i + 1) - ys(i)) / h(i) - (ys(i) - ys(i - 1)) / h(i - 1))
-        i += 1
-      }
-      i = 2
-      while (i < n - 1) {
-        val f = h(i - 1) / b(i - 1)
-        b(i) -= f * c(i - 1)
-        d(i) -= f * d(i - 1)
-        i += 1
-      }
-      m(n - 2) = d(n - 2) / b(n - 2)
-      i = n - 3
-      while (i >= 1) {
-        m(i) = (d(i) - c(i) * m(i + 1)) / b(i)
-        i -= 1
-      }
+    m(n - 1) = d(n - 1) / b(n - 1)
+    i = n - 2
+    while (i >= 0) {
+      m(i) = (d(i) - c(i) * m(i + 1)) / b(i)
+      i -= 1
     }
     grid.map { x =>
-      var seg =
-        if (x <= xs(0)) 0
-        else if (x >= xs(n - 1)) n - 2
-        else {
-          var l = 0
-          var r = n - 2
-          while (l < r) {
-            val mid = (l + r + 1) >>> 1
-            if (xs(mid) <= x) l = mid else r = mid - 1
+      val below = x < xs(0)
+      val above = x > xs(n - 1)
+      if ((below || above) && opts.extrapolate == "none") Double.NaN
+      else if (below && opts.extrapolate == "constant") ys(0)
+      else if (above && opts.extrapolate == "constant") ys(n - 1)
+      else {
+        val seg =
+          if (x <= xs(0)) 0
+          else if (x >= xs(n - 1)) n - 2
+          else {
+            var l = 0
+            var r = n - 2
+            while (l < r) {
+              val mid = (l + r + 1) >>> 1
+              if (xs(mid) <= x) l = mid else r = mid - 1
+            }
+            l
           }
-          l
-        }
-      val hh = h(seg)
-      val a = (xs(seg + 1) - x) / hh
-      val b2 = (x - xs(seg)) / hh
-      a * ys(seg) + b2 * ys(seg + 1) +
-        ((a * a * a - a) * m(seg) + (b2 * b2 * b2 - b2) * m(seg + 1)) * hh * hh / 6.0
+        val hh = h(seg)
+        val aa = (xs(seg + 1) - x) / hh
+        val b2 = (x - xs(seg)) / hh
+        aa * ys(seg) + b2 * ys(seg + 1) +
+          ((aa * aa * aa - aa) * m(seg) + (b2 * b2 * b2 - b2) * m(seg + 1)) * hh * hh / 6.0
+      }
     }
   }
 

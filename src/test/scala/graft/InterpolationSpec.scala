@@ -24,6 +24,53 @@ class InterpolationSpec extends SparkSpec {
     grid.zip(got).foreach { case (x, y) => assert(math.abs(y - math.sin(x)) < 1e-4) }
   }
 
+  test("clamped boundary reproduces a parabola exactly where natural cannot") {
+    import graft.functions.SplineOptions
+    // x² has nonzero curvature at the ends: the natural condition
+    // (m=0 there) is wrong, the clamped condition with the true end
+    // slopes (0 and 2·xmax) makes the spline exact — the C2 piecewise
+    // cubic interpolant with exact end slopes is unique, and x² is one
+    val xs = (0 to 10).map(_.toDouble).toArray
+    val ys = xs.map(x => x * x)
+    val grid = Array(0.25, 4.5, 9.75)
+    val clamped = Interpolation.cubicSpline(xs, ys, grid,
+      SplineOptions(boundary = "clamped", derivStart = 0.0, derivEnd = 20.0))
+    grid.zip(clamped).foreach { case (x, y) =>
+      assert(math.abs(y - x * x) < 1e-9, s"clamped at $x: $y") }
+    val natural = Interpolation.cubicSpline(xs, ys, grid)
+    assert(math.abs(natural(0) - grid(0) * grid(0)) > 1e-4,
+      "natural boundary unexpectedly exact at the edge — clamped adds nothing")
+  }
+
+  test("extrapolation modes: cubic extends, constant holds, none yields NaN") {
+    import graft.functions.SplineOptions
+    val xs = Array(0.0, 1.0, 2.0, 3.0)
+    val ys = xs.map(2.0 * _) // linear: natural spline is the line itself
+    val grid = Array(-1.0, 1.5, 4.0)
+    val cubic = Interpolation.cubicSpline(xs, ys, grid)
+    assert(math.abs(cubic(0) - -2.0) < 1e-9 && math.abs(cubic(2) - 8.0) < 1e-9)
+    val const = Interpolation.cubicSpline(xs, ys, grid, SplineOptions(extrapolate = "constant"))
+    assert(const(0) == 0.0 && math.abs(const(1) - 3.0) < 1e-9 && const(2) == 6.0)
+    val none = Interpolation.cubicSpline(xs, ys, grid, SplineOptions(extrapolate = "none"))
+    assert(none(0).isNaN && math.abs(none(1) - 3.0) < 1e-9 && none(2).isNaN)
+  }
+
+  test("GDataset.regrid threads spline options to every group") {
+    import spark.implicits._
+    import graft.functions.SplineOptions
+    val df = (for { g <- Seq("a", "b"); i <- 0 to 4 }
+      yield (g, i.toDouble, i * 3.0)).toDF("g", "x", "y")
+    val out = GDataset(df, "x", Seq("g"))
+      .regrid(Array(-1.0, 2.0), SplineOptions(extrapolate = "none"))
+      .df.orderBy("g", "x").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val (x, y) = (r.getDouble(1), r.getDouble(2))
+      if (x < 0) assert(y.isNaN, s"outside-domain point not NaN at $x")
+      else assert(math.abs(y - x * 3.0) < 1e-9)
+    }
+  }
+
   test("spline handles tiny groups") {
     assert(Interpolation.cubicSpline(Array(1.0), Array(5.0), Array(0.0, 2.0)).toSeq == Seq(5.0, 5.0))
     val two = Interpolation.cubicSpline(Array(0.0, 2.0), Array(0.0, 4.0), Array(1.0))
@@ -66,6 +113,16 @@ class InterpolationSpec extends SparkSpec {
     assert(math.abs(s0.getDouble(0) - 5.0) < 1e-6)  // a = 2x at 2.5
     assert(math.abs(s0.getDouble(1) - 97.5) < 1e-6) // b = 100-x at 2.5
     assert(ds.regrid(grid).df.schema("sig").dataType.typeName == "struct")
+  }
+
+  test("events (user_id, ts) is unique — the q_dft oracle precondition") {
+    // GDataset.dft collapses duplicate index values per group (keeps the
+    // last observation) while the DuckDB trig-sum oracle enumerates all
+    // rows; a duplicate ts would silently desync the two series, so the
+    // data invariant the oracle relies on is pinned here.
+    val ev = Tables.t(spark, Sf, "events")
+    assert(ev.groupBy(col("user_id"), col("ts")).count()
+      .filter(col("count") > 1).isEmpty, "duplicate (user_id, ts) in events")
   }
 
   test("GDataset.dft emits k bins per group") {

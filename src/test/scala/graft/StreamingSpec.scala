@@ -29,6 +29,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bucket instants are invariant to the session time zone") {
+    // pins the documented LTZ epoch-alignment claim (EventStreams
+    // eventsStream): tumbling buckets denote instants, so running the
+    // same query under America/New_York must emit bit-identical
+    // (unix_micros, type, n, total) rows to the UTC run
+    val key = "spark.sql.session.timeZone"
+    def run(name: String): Set[(Long, String, Long, Double)] = {
+      val q = EventStreams.tumblingCounts(EventStreams.eventsStream(spark, Sf))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        spark.table(name)
+          .select(unix_micros(col("bucket")), col("event_type"), col("n"), col("total"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      } finally q.stop()
+    }
+    val utc = run("tz_utc")
+    spark.conf.set(key, "America/New_York")
+    val ny = try run("tz_ny") finally spark.conf.set(key, "UTC")
+    assert(utc.nonEmpty && utc == ny,
+      s"bucket instants drifted with the session TZ: ${(utc -- ny).take(3)} vs ${(ny -- utc).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark dedupes the stream") {
     import spark.implicits._
     val base = 1700000000000L
