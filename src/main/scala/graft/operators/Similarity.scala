@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.{VectorFunctions => VF}
+import graft.functions.{KMeans, VectorFunctions => VF}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.3).
@@ -85,6 +85,76 @@ object Similarity {
     val scored = candidates
       .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
       .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nLists` spherical
+    * k-means centroids — trained on a bounded, hash-ordered sample
+    * collected to the driver (TakeOrdered, no full sort) — partitions
+    * the corpus into cells; each query probes its `nProbe` nearest
+    * cells and scores only the vectors living there. The 100 TB shape:
+    * centroids broadcast as a literal (a few KB), cell assignment is a
+    * per-row column expression over the scan, candidates pair via a
+    * key-equality join on the cell id, and recall/cost tunes with
+    * nProbe/nLists (nLists ≈ √corpus at real scale bounds a cell scan
+    * to ~√n rows). */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 6,
+      trainSample: Int = 2048,
+      iters: Int = 10): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists)
+    // deterministic pseudo-random sample: top-N by id hash is a
+    // TakeOrderedAndProject (per-partition partial top-N + merge), not
+    // a global sort of the corpus
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)))
+      .limit(trainSample)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centArr = KMeans.spherical(sample, nLists, iters)
+    val nCells = centArr.length // < nLists when the sample is tiny
+    // nested Lists, not the Array-backed Seq map() returns — Catalyst's
+    // literal converter rejects Array[Seq[_]] backing stores
+    val cents = typedlit(centArr.map(_.toList).toList)
+
+    def cellDots(v: Column): Column =
+      transform(cents, c => graft.plans.VectorColumns.cosine(v, c))
+
+    // corpus: argmax cell only — dots computed once per row in a
+    // projection, the array never leaves the stage
+    val assigned = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), cellDots(col(vecCol)).as("__ds"))
+      .select(col("cid"), col("cv"),
+        (array_position(col("__ds"), array_max(col("__ds"))) - 1).as("cell"))
+
+    // queries: nProbe best cells via posexplode + row_number — the
+    // query side is small by caller contract, so the window is free
+    val wp = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        posexplode(cellDots(col(vecCol))).as(Seq("cell", "d")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= math.min(nProbe, nCells))
+      .select(col("qid"), col("qv"), col("cell").cast("long").as("cell"))
+
+    // query side is small by caller contract (same as bruteForceTopK);
+    // the corpus side streams through a broadcast hash join on the cell
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))

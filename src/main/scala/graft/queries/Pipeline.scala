@@ -71,6 +71,15 @@ object Pipeline {
         "vec_id", "embedding", k = 5, dim = 64)
     }),
 
+    // IVF: k-means coarse quantizer cells + nProbe probing. Rows-only:
+    // the trained centroids aren't expressible in DuckDB; recall vs
+    // brute force is spec-tested (SimilaritySpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(media).select(col("media_id"), col("n_bytes"))
@@ -194,7 +203,8 @@ object Pipeline {
     "q_multimodal" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
          FROM documents"""
-    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh: hash-family
-    // approximations not expressible in DuckDB — rows-only + recall specs.
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf:
+    // hash/quantizer approximations not expressible in DuckDB —
+    // rows-only + recall specs.
   )
 }

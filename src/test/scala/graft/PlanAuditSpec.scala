@@ -83,13 +83,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"expected exactly the query-side broadcast hint, saw $n")
   }
 
+  test("q_row_index stays DataFrame-native — no RDD round-trip") {
+    // the old zipWithIndex form left columnar execution and
+    // deserialized every row; the plan must show no RDD scan and keep
+    // the offsets side a local relation feeding a broadcast join
+    val p = planOf("q_row_index")
+    assert(!p.contains("ExistingRDD"), "row index re-enters through an RDD scan")
+    assert(p.contains("BroadcastHashJoin"), "offset attach is not a broadcast join")
+  }
+
   test("no cartesian/nested-loop joins outside the declared brute-force path") {
     // q_ann_bruteforce is the one declared all-pairs scan (tiny query
     // side × corpus); every other pipeline query must pair via
     // key-equality joins or it goes quadratic at scale
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
                   "q_dedup_cosine", "q_dedup_cosine_bucketed", "q_ann_lsh",
-                  "q_dedup_exact", "q_multimodal")) {
+                  "q_ann_ivf", "q_dedup_exact", "q_multimodal")) {
       val p = planNoAutoBroadcast(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q contains a non-equi pairing join")

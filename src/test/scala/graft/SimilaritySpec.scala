@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("ivf recall at default settings is >= 0.6; probing all cells is exact") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf recall $recall")
+    // nProbe = nLists degenerates to exact search: every cell is scanned
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nLists = 8, nProbe = 8)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "probing every cell must reproduce brute force")
+  }
+
   test("cosinePairsLsh returns a subset of the exact pairs with identical scores") {
     import graft.operators.Dedup
     def asSet(df: org.apache.spark.sql.DataFrame) =
