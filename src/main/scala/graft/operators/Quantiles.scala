@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated per-group quantiles, distributed (SURVEY.md §2.2).
+  *
+  * The textbook formulation — `row_number().over(partitionBy(group)
+  * .orderBy(value))` — puts every group in ONE task, so parallelism
+  * equals the number of groups: fatal when groups are few and large
+  * (3 return-flags × 33 B rows at 100 TB). Here global within-group
+  * ranks are reconstructed from a RANGE partitioning instead:
+  *
+  *  1. range-partition by (group…, value): partitions hold disjoint,
+  *     ordered key ranges, so a group's rows are ordered ACROSS
+  *     partitions and each partition sorts locally — n·log(n/p) work
+  *     per task, parallelism = #shuffle-partitions regardless of the
+  *     group count;
+  *  2. after the local sort, `monotonically_increasing_id` encodes the
+  *     ordered local position; subtracting the per-(partition, group)
+  *     minimum id (a tiny map-side-combined aggregate, broadcast back)
+  *     yields the local in-group rank;
+  *  3. adding the running count of the group's rows in earlier
+  *     partitions (a window over that same tiny aggregate) yields the
+  *     exact global rank — one wide shuffle total, no per-group
+  *     serialization.
+  *
+  * The interpolation arithmetic (floor/ceil ranks + linear weights) is
+  * spelled out so an external engine (the DuckDB oracle) executes
+  * bit-identical math. Ties share a value, so their arbitrary relative
+  * rank order cannot change any interpolated result.
+  */
+object Quantiles {
+
+  /** One row per group with a column per requested percentile.
+    *
+    * @param ps (output column name, p in [0,1]) pairs
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
+    val g = groupCols.map(col)
+
+    // 1. range shuffle + local sort; mid encodes (partition, position)
+    val keys = g :+ col(valCol)
+    val sorted = df
+      .select((groupCols :+ valCol).map(col): _*)
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+
+    // 2. tiny per-(partition, group) skeleton: row count + first id.
+    //    #rows = #partitions × #groups-touching-them — broadcastable at
+    //    any data scale (it grows with the cluster, not the data).
+    val pid = call_function("shiftright", col("__mid"), lit(33)).as("__pid")
+    val skel = sorted
+      .groupBy((pid +: g): _*)
+      .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__minmid"))
+    val wOff = Window.partitionBy(g: _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = skel
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g: _*)))
+
+    // 3. exact global rank, then the interpolated quantiles. The
+    //    offsets side is renamed wholesale — it shares lineage with
+    //    `sorted`, and same-name references across a self-derived join
+    //    are ambiguous.
+    val offR = off.select(
+      (col("__pid") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__g$i") }) ++
+        Seq(col("__minmid"), col("__off"), col("__n")): _*)
+    val cond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__g$i") }
+      .foldLeft(call_function("shiftright", col("__mid"), lit(33)) === col("__pid"))(_ && _)
+    val ranked = sorted
+      .join(broadcast(offR), cond)
+      .select(
+        (groupCols.map(col) :+
+          col(valCol).as("__v") :+
+          (col("__mid") - col("__minmid") + col("__off")).cast("double").as("__rn") :+
+          col("__n").cast("double").as("__n2")): _*)
+
+    def q(p: Double): Column = {
+      val idx = (col("__n2") - 1) * p
+      sum(when(col("__rn") === floor(idx) || col("__rn") === ceil(idx),
+        col("__v") * (lit(1.0) - abs(col("__rn") - idx))).otherwise(lit(0.0)))
+    }
+    ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(ps.head match { case (name, p) => q(p).as(name) },
+        ps.tail.map { case (name, p) => q(p).as(name) }: _*)
+  }
+}

@@ -145,28 +145,17 @@ object Relational {
         .agg(count(lit(1)).as("count"))
     }),
 
-    // exact interpolated percentiles per group. Interpolation is spelled
-    // out (floor/ceil ranks + linear weights) so Spark and the DuckDB
-    // oracle execute bit-identical arithmetic — builtin `percentile` vs
-    // `quantile_cont` differ in the last ulp and can flip the rounding.
-    "q_quantile" -> ((s, dir) => {
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      val base = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .withColumn("rn", row_number().over(wOrd).cast("double") - 1)
-        .withColumn("n", count(lit(1)).over(wAll).cast("double"))
-      // no rounding: the arithmetic is bit-identical to the oracle, and
-      // midpoint interpolation lands exactly on .xx5 boundaries where
-      // Spark's BigDecimal HALF_UP and DuckDB's x*100-based round differ.
-      def qq(p: Double) = {
-        val idx = (col("n") - 1) * p
-        sum(when(col("rn") === floor(idx) || col("rn") === ceil(idx),
-          col("v") * (lit(1.0) - abs(col("rn") - idx))).otherwise(lit(0.0)))
-      }
-      base.groupBy(col("l_returnflag"))
-        .agg(qq(0.25).as("p25"), qq(0.5).as("p50"), qq(0.75).as("p75"))
-    }),
+    // exact interpolated percentiles per group, distributed via range
+    // partitioning (graft.operators.Quantiles: a per-group window sort
+    // would cap parallelism at the 3 return-flag groups). No rounding:
+    // the floor/ceil + linear-weight arithmetic is bit-identical to the
+    // oracle — builtin `percentile` vs `quantile_cont` differ in the
+    // last ulp and can flip the rounding.
+    "q_quantile" -> ((s, dir) =>
+      graft.operators.Quantiles.exactQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))),
 
     // time-bucketed aggregation (polars group_by_dynamic analogue).
     "q_time_bucket" -> ((s, dir) => {

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+
+  test("distributed exact quantiles equal the per-group window formulation") {
+    import spark.implicits._
+    // 3 groups × 400 rows over 4 shuffle partitions: every group spans
+    // several range partitions, so the rank reconstruction (local sort
+    // + broadcast offsets) is actually exercised across boundaries
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(1200)(i => (s"g${i % 3}", rnd.nextDouble() * 100))
+      .toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, Seq("g"), "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("g"))
+    val base = df
+      .withColumn("rn", row_number().over(wOrd).cast("double") - 1)
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+    def qq(p: Double) = {
+      val idx = (col("n") - 1) * p
+      sum(when(col("rn") === floor(idx) || col("rn") === ceil(idx),
+        col("v") * (lit(1.0) - abs(col("rn") - idx))).otherwise(lit(0.0)))
+    }
+    val want = base.groupBy(col("g"))
+      .agg(qq(0.25).as("p25"), qq(0.5).as("p50"), qq(0.75).as("p75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (a, b, c)) =>
+      val (x, y, z) = want(k)
+      assert(a == x && b == y && c == z, s"group $k: ($a,$b,$c) != ($x,$y,$z)")
+    }
+  }
+
+  test("quantiles handle a single-row group and ties") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, Seq("g"), "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == 5.0)
+    assert(got("b") == 1.0) // median of (1, 1, 3)
+  }
+}
