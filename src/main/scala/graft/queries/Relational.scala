@@ -286,7 +286,103 @@ object Relational {
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))
-    })
+    }),
+
+    // pct_change per key (polars pct_change): one lag window, a single
+    // divide — no rounding needed, one float op is bit-identical
+    "q_pct_change" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        (col("value") / lag(col("value"), 1).over(w) - 1).as("pct"))
+    }),
+
+    // cumulative namespace (polars cum_sum / cum_max / cum_count) per
+    // key in index order; the float running sum is rounded at 2dp (both
+    // engines accumulate in the same ORDER BY sequence)
+    "q_cumulative" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 2).as("csum"),
+        max(col("value")).over(w).as("cmax"),
+        count(lit(1)).over(w).as("ccnt"))
+    }),
+
+    // cut: fixed-break binning (polars cut) — a codegen'd when-chain,
+    // boundaries on exact integral values so both engines compare alike
+    "q_cut" -> ((s, dir) => {
+      val q = col("l_quantity")
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(q <= 10, "q00_10").when(q <= 25, "q10_25")
+          .when(q <= 40, "q25_40").otherwise("q40_up").as("qty_bin"))
+    }),
+
+    // qcut: quantile binning via the DISTRIBUTED exact quantiles (a
+    // global ntile would put the whole table in one window task);
+    // breaks join back as a 3-row broadcast
+    "q_qcut" -> ((s, dir) => {
+      val breaks = graft.operators.Quantiles.exactQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      val v = col("l_extendedprice")
+      t(s, dir, "lineitem")
+        .join(broadcast(breaks), Seq("l_returnflag"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(v <= col("p25"), "q1").when(v <= col("p50"), "q2")
+            .when(v <= col("p75"), "q3").otherwise("q4").as("price_quartile"))
+    }),
+
+    // to_dummies: one-hot over the fixed TPC-H category set
+    "q_dummies" -> ((s, dir) => {
+      val f = col("l_returnflag")
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (f === "A").cast("int").as("flag_a"),
+        (f === "N").cast("int").as("flag_n"),
+        (f === "R").cast("int").as("flag_r"))
+    }),
+
+    // per-group Pearson correlation (polars corr); 4dp absorbs the
+    // merge-order float drift between the engines' one-pass co-moments
+    "q_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+          count(lit(1)).as("n"))),
+
+    // exponentially weighted mean (polars ewm_mean, adjust=true):
+    // y_t = Σ w^(t-k) x_k / Σ w^(t-k) computed from two running sums of
+    // x_k·w^(-k) and w^(-k) — the w^t factor cancels in the ratio, both
+    // engines sum in the same ORDER BY sequence, 4dp absorbs pow ulps
+    "q_ewm" -> ((s, dir) => {
+      val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val decay = 0.9
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(wSeq).cast("double") - 1)
+        .select(col("user_id"), col("event_id"),
+          round(
+            sum(col("value") * pow(lit(decay), -col("rn"))).over(wRun) /
+              sum(pow(lit(decay), -col("rn"))).over(wRun),
+            4).as("ewm"))
+    }),
+
+    // banded range join (graft.operators.RangeJoin): interval
+    // containment as a band-key EQUALITY join, not a nested loop
+    "q_range_join" -> ((s, dir) =>
+      graft.operators.RangeJoin.pointInInterval(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        t(s, dir, "part").select(col("p_partkey"),
+          (col("p_retailprice") - 1).as("lo"), (col("p_retailprice") + 1).as("hi")),
+        "l_extendedprice", "lo", "hi", bandWidth = 2.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          col("l_extendedprice")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -397,6 +493,74 @@ object Relational {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+    "q_pct_change" ->
+      """SELECT user_id, event_id,
+         value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pct
+         FROM events""",
+    "q_cumulative" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER w, 2) AS csum,
+         max(value) OVER w AS cmax,
+         count(*) OVER w AS ccnt
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_cut" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity <= 10 THEN 'q00_10'
+              WHEN l_quantity <= 25 THEN 'q10_25'
+              WHEN l_quantity <= 40 THEN 'q25_40'
+              ELSE 'q40_up' END AS qty_bin
+         FROM lineitem""",
+    // breaks CTE = the q_quantile oracle verbatim, so the bin edges are
+    // bit-identical to the Spark side's Quantiles.exactQuantiles output
+    "q_qcut" ->
+      """WITH b AS (
+           SELECT l_returnflag, l_extendedprice AS v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS DOUBLE) - 1 AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+           FROM lineitem),
+         breaks AS (
+           SELECT l_returnflag,
+             sum(CASE WHEN rn = floor((n-1)*0.25) OR rn = ceil((n-1)*0.25)
+                      THEN v * (1.0 - abs(rn - (n-1)*0.25)) ELSE 0.0 END) AS p25,
+             sum(CASE WHEN rn = floor((n-1)*0.5) OR rn = ceil((n-1)*0.5)
+                      THEN v * (1.0 - abs(rn - (n-1)*0.5)) ELSE 0.0 END) AS p50,
+             sum(CASE WHEN rn = floor((n-1)*0.75) OR rn = ceil((n-1)*0.75)
+                      THEN v * (1.0 - abs(rn - (n-1)*0.75)) ELSE 0.0 END) AS p75
+           FROM b GROUP BY l_returnflag)
+         SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_extendedprice <= p25 THEN 'q1'
+                WHEN l_extendedprice <= p50 THEN 'q2'
+                WHEN l_extendedprice <= p75 THEN 'q3'
+                ELSE 'q4' END AS price_quartile
+         FROM lineitem JOIN breaks USING (l_returnflag)""",
+    "q_dummies" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_returnflag = 'A' AS INT) AS flag_a,
+         CAST(l_returnflag = 'N' AS INT) AS flag_n,
+         CAST(l_returnflag = 'R' AS INT) AS flag_r
+         FROM lineitem""",
+    "q_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_ewm" ->
+      """SELECT user_id, event_id,
+         round(sum(value * pow(0.9, -rn)) OVER w / sum(pow(0.9, -rn)) OVER w, 4) AS ewm
+         FROM (
+           SELECT user_id, event_id, ts, value,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS DOUBLE) - 1 AS rn
+           FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_range_join" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice
+         FROM lineitem l JOIN part p
+           ON l.l_extendedprice >= p.p_retailprice - 1
+          AND l.l_extendedprice <= p.p_retailprice + 1""",
     "q_cast" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
