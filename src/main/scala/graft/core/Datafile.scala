@@ -4,14 +4,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Spark-native `Datafile` (reference polars_dataset.py:309-338): a
   * path + index/id_vars metadata with load/write. The reference is
-  * CSV-only; parquet and json are first-class here because that is
+  * CSV-only; parquet/orc/json are first-class here because that is
   * what a 100 TB pipeline actually reads.
+  *
+  * `partitionBy` turns writes into Hive-style partitioned layouts
+  * (`col=value/` directories): at scale this is the difference between
+  * a full scan and partition pruning — a reader filtering on a
+  * partition column touches only the matching directories, and the
+  * columns are recovered on load via partition discovery.
   */
 final case class Datafile(
     path: String,
     index: Option[String] = None,
     idVars: Seq[String] = Nil,
-    format: String = "csv") {
+    format: String = "csv",
+    partitionBy: Seq[String] = Nil) {
 
   val name: String = {
     val base = path.split('/').last
@@ -46,7 +53,8 @@ final case class Datafile(
     }
 
   def write(df: DataFrame): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    val base = df.write.mode(SaveMode.Overwrite)
+    val w = if (partitionBy.isEmpty) base else base.partitionBy(partitionBy: _*)
     format match {
       case "csv" => w.option("header", "true").csv(path)
       case other => w.format(other).save(path)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -11,8 +11,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SURVEY.md §4): the HOF-lambda formulations (interpreted per array
   * element, re-evaluating the shingle subtree per outer iteration) are
   * ~50× slower; these run the whole kernel as one tight Scala loop per
-  * row over Spark's own XXH64. CodegenFallback: a single virtual call
-  * per row, negligible next to the O(tokens × hashes) kernel itself.
+  * row over Spark's own XXH64. Each expression implements doGenCode as
+  * a static call into the kernel object, so the surrounding projection
+  * stays inside whole-stage codegen (no interpreted-subtree fallback,
+  * no row re-materialization per call).
   */
 object TextHash {
 
@@ -57,6 +59,51 @@ object TextHash {
     out.toArray
   }
 
+  // Codegen entry points (referenced as TextHash$.MODULE$.…kernel from
+  // generated Java): take/return Catalyst-native types only.
+
+  def minhashKernel(input: UTF8String, shingleN: Int, numHashes: Int): GenericArrayData = {
+    val hashes = shingleHashes(input, shingleN)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var si = 0
+    while (si < hashes.length) {
+      val base = hashes(si)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(i.toLong, base)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def shingleKernel(input: UTF8String, shingleN: Int): GenericArrayData =
+    new GenericArrayData(shingleHashes(input, shingleN))
+
+  def simhashKernel(input: UTF8String): Long = {
+    val toks = whitespaceTokens(input)
+    val counts = new Array[Int](64)
+    var ti = 0
+    while (ti < toks.length) {
+      val h = XXH64.hashUTF8String(toks(ti), Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   private def hashShingle(toks: Array[UTF8String], start: Int, len: Int): Long = {
     var h = Seed
     var i = start
@@ -74,27 +121,17 @@ object TextHash {
   * derive from one base shingle hash via XXH64.hashLong — O(shingles ×
   * numHashes) long ops per row, no per-seed string re-hashing. */
 case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = TextHash.shingleHashes(input.asInstanceOf[UTF8String], shingleN)
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var si = 0
-    while (si < hashes.length) {
-      val base = hashes(si)
-      var i = 0
-      while (i < numHashes) {
-        val h = XXH64.hashLong(i.toLong, base)
-        if (h < sig(i)) sig(i) = h
-        i += 1
-      }
-      si += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashKernel(input.asInstanceOf[UTF8String], shingleN, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.minhashKernel($c, $shingleN, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -108,13 +145,17 @@ case class MinHashSignature(child: Expression, shingleN: Int, numHashes: Int)
   * tokenizer per sequence element (O(tokens²) string work), and the
   * downstream shuffle carries 8-byte keys instead of n-gram text. */
 case class ShingleHashes(child: Expression, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(TextHash.shingleHashes(input.asInstanceOf[UTF8String], shingleN))
+    TextHash.shingleKernel(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.shingleKernel($c, $shingleN);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -122,32 +163,17 @@ case class ShingleHashes(child: Expression, shingleN: Int)
 
 /** 64-bit SimHash over whitespace tokens: bit b of the result is the
   * sign of Σ_tokens (±1 per bit b of xxhash64(token)). */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = TextHash.whitespaceTokens(input.asInstanceOf[UTF8String])
-    val counts = new Array[Int](64)
-    var ti = 0
-    while (ti < toks.length) {
-      val h = XXH64.hashUTF8String(toks(ti), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
-      }
-      ti += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextHash.simhashKernel(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.simhashKernel($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -176,6 +176,27 @@ class GDatasetSpec extends SparkSpec {
     assert(loaded.index == "ts" && loaded.df.count() == 100)
   }
 
+  test("datafile orc round-trip and partitioned parquet write prune on load") {
+    val orc = Datafile("/tmp/graft_test_orc", index = Some("ts"), format = "orc")
+    orc.write(events.select(col("ts"), col("user_id"), col("value")).limit(50))
+    assert(orc.load(spark).get.toOption.get.df.count() == 50)
+
+    val part = Datafile("/tmp/graft_test_part", index = Some("ts"),
+      format = "parquet", partitionBy = Seq("event_type"))
+    part.write(events.select(col("ts"), col("event_type"), col("value")))
+    val loaded = part.load(spark).get.toOption.get.df
+    // partition columns are recovered by discovery…
+    assert(loaded.columns.contains("event_type"))
+    assert(loaded.count() == events.count())
+    // …and a filter on one reaches the scan as a partition filter
+    // (directory pruning), not a pushed data filter
+    val plan = loaded.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("event_type")),
+      s"partition filter did not reach the scan:\n$plan")
+  }
+
   test("datafile missing path logs and returns None") {
     val f = Datafile("/tmp/graft_no_such_file_anywhere", index = Some("ts"))
     assert(f.load(spark).isEmpty)

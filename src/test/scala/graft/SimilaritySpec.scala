@@ -18,6 +18,18 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("CosineSim generated code compiles (no silent interpreted fallback)") {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // a janino compile error now fails the job
+    try {
+      val out = emb.limit(3)
+        .select(graft.plans.VectorColumns.cosine(col("embedding"), col("embedding")))
+        .collect()
+      out.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")

@@ -49,6 +49,21 @@ class TextDedupSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("text-hash generated code compiles (no silent interpreted fallback)") {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // a janino compile error now fails the job
+    try {
+      val out = docs.limit(5).select(
+        graft.plans.TextHashColumns.simhash(col("text")).as("sh"),
+        graft.plans.TextHashColumns.minhashSignature(col("text"), 3, 16).as("mh"),
+        graft.plans.TextHashColumns.shingleHashes(col("text"), 3).as("shs"))
+        .collect()
+      assert(out.length == 5)
+      assert(out.forall(r => r.getSeq[Long](1).length == 16))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("native kernels match HOF tokenization on non-ASCII text") {
     import spark.implicits._
     // U+2028 / U+1680 / U+00A0 are Unicode whitespace but NOT Java-regex
