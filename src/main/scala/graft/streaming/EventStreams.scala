@@ -59,6 +59,29 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key whose timestamp falls in
+    * [left.ts, left.ts + window]. Both sides carry a watermark and the
+    * join condition bounds the time range in BOTH directions, so each
+    * side's join state is evictable once the watermark passes the
+    * interval — state is O(in-flight window), not O(stream history).
+    * The attribution-join shape (click → purchase within N) at 100 TB:
+    * a static-table join could never bound the late side. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      window: String,
+      lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+      expr(s"""l.$keyCol = r.$keyCol AND
+               r.ts >= l.ts AND r.ts <= l.ts + INTERVAL $window"""))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Int)

@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs within the window only") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ts(off: Long) = new java.sql.Timestamp(base + off)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
+    val buys = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
+    clicks.addData(
+      EventStreams.SessionEvent(1L, ts(0)),
+      EventStreams.SessionEvent(2L, ts(0)))
+    buys.addData(
+      EventStreams.SessionEvent(1L, ts(5 * 60000)),   // in window
+      EventStreams.SessionEvent(1L, ts(120 * 60000)), // past window
+      EventStreams.SessionEvent(3L, ts(60000)))       // other key
+    val out = EventStreams.intervalJoin(
+      clicks.toDS().toDF(), buys.toDS().toDF(), "user_id", "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("ssjoin").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime - base))
+      assert(rows.toSet == Set((1L, 5 * 60000L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap") {
     import spark.implicits._
     val base = 1700000000000L
