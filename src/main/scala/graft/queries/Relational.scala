@@ -372,6 +372,73 @@ object Relational {
             4).as("ewm"))
     }),
 
+    // horizontal namespace (polars min/max/sum/mean_horizontal):
+    // row-wise folds over columns — single float ops, no rounding needed
+    "q_horizontal" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_tax"), col("l_discount")).as("hmax"),
+        least(col("l_tax"), col("l_discount")).as("hmin"),
+        (col("l_tax") + col("l_discount")).as("hsum"),
+        ((col("l_tax") + col("l_discount")) / 2).as("hmean"))),
+
+    // list namespace over the embedding array: len / element / min / max
+    // (comparisons only — no float arithmetic to diverge on)
+    "q_list_ops" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        array_min(col("embedding")).cast("double").as("vmin"))),
+
+    // n_unique / null_count per group (polars n_unique, null_count)
+    "q_nunique" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").isNull.cast("long")).as("null_price"))),
+
+    // is_duplicated / is_unique (polars): does this row's content occur
+    // more than once — one window count over the content hash
+    "q_is_duplicated" -> ((s, dir) => {
+      val w = Window.partitionBy(md5(col("text")))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        (count(lit(1)).over(w) > 1).cast("int").as("is_dup"))
+    }),
+
+    // mode per group (polars mode): most frequent value, ties to the
+    // smallest — count-per-value, then a 1-row-per-group window pick
+    "q_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("c").desc, col("l_quantity"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("c").as("freq"))
+    }),
+
+    // rolling median over the trailing 4 rows per key (polars
+    // rolling_median): sort the tiny frame list, take the interpolated
+    // middle — identical scalar steps in both engines
+    "q_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      val sorted = sort_array(collect_list(col("value")).over(w))
+      val n = size(sorted)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        when(n % 2 === 1, element_at(sorted, ((n + 1) / 2).cast("int")))
+          .otherwise((element_at(sorted, (n / 2).cast("int"))
+            + element_at(sorted, (n / 2).cast("int") + 1)) / 2)
+          .as("rmed"))
+    }),
+
     // banded range join (graft.operators.RangeJoin): interval
     // containment as a band-key EQUALITY join, not a nested loop
     "q_range_join" -> ((s, dir) =>
@@ -561,6 +628,47 @@ object Relational {
          FROM lineitem l JOIN part p
            ON l.l_extendedprice >= p.p_retailprice - 1
           AND l.l_extendedprice <= p.p_retailprice + 1""",
+    "q_horizontal" ->
+      """SELECT l_orderkey, l_linenumber,
+         greatest(l_tax, l_discount) AS hmax,
+         least(l_tax, l_discount) AS hmin,
+         l_tax + l_discount AS hsum,
+         (l_tax + l_discount) / 2 AS hmean
+         FROM lineitem""",
+    "q_list_ops" ->
+      """SELECT vec_id,
+         len(embedding) AS n_dims,
+         CAST(embedding[1] AS DOUBLE) AS first_dim,
+         CAST(list_max(embedding) AS DOUBLE) AS vmax,
+         CAST(list_min(embedding) AS DOUBLE) AS vmin
+         FROM embeddings""",
+    "q_nunique" ->
+      """SELECT o_orderpriority,
+         count(DISTINCT o_custkey) AS n_cust,
+         count(*) AS n_rows,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price
+         FROM orders GROUP BY o_orderpriority""",
+    "q_is_duplicated" ->
+      """SELECT doc_id,
+         CAST(count(*) OVER (PARTITION BY md5(text)) > 1 AS INT) AS is_dup
+         FROM documents""",
+    "q_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, c AS freq FROM (
+           SELECT l_returnflag, l_quantity, c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, l_quantity) AS rn
+           FROM (SELECT l_returnflag, l_quantity, count(*) AS c
+                 FROM lineitem GROUP BY 1, 2))
+         WHERE rn = 1""",
+    "q_rolling_median" ->
+      """SELECT user_id, event_id,
+         CASE WHEN len(sl) % 2 = 1 THEN sl[(len(sl) + 1) // 2]
+              ELSE (sl[len(sl) // 2] + sl[len(sl) // 2 + 1]) / 2 END AS rmed
+         FROM (
+           SELECT user_id, event_id,
+             list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS sl
+           FROM events)""",
     "q_cast" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
