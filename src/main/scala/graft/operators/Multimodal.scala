@@ -70,6 +70,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real implementation would decode, rescale, and
+    * re-encode `payload`. The deterministic fake emits a w×h×3 buffer
+    * sampled from the source bytes, so output size scales with the
+    * target dimensions exactly as a real RGB resize would. */
+  private def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = payload((i * 2654435761L % payload.length).toInt.abs)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Resize image-like payloads to `w`×`h`: new payload from the codec
+    * stub, metadata struct rewritten to the target dimensions. Same
+    * batched mapPartitions shape as [[decodeFeatures]] — a real codec
+    * inits once per batch; no shuffle, runs inside the scan stage. */
+  def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val enc = Encoders.row(StructType(media.schema.fields.toSeq.toArray))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // (real codec: init once per batch here)
+        batch.iterator.map { r =>
+          val meta = r.getStruct(metaIdx)
+          val vals = r.toSeq.toArray
+          vals(payloadIdx) = stubResize(r.getAs[Array[Byte]](payloadIdx), w, h)
+          vals(metaIdx) = Row(meta.get(0), w, h, meta.get(3), meta.get(4))
+          Row.fromSeq(vals.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video-like payloads: emit `everyN`-th frame
     * index with a per-frame stub feature hash — plan shape of a frame
     * extractor (explode on a generated sequence; no shuffle). */

@@ -83,6 +83,14 @@ object Pipeline {
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(media).select(col("media_id"), col("n_bytes"))
+    }),
+
+    // frame-sampling plumbing through the driver contract. Rows-only:
+    // n_frames derives from xxhash64, which DuckDB lacks.
+    "q_media_frames" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyN = 25)
+        .select(col("media_id"), col("n_frames"), col("frame_idx"))
     })
   )
 

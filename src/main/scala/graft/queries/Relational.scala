@@ -358,7 +358,10 @@ object Relational {
     // exponentially weighted mean (polars ewm_mean, adjust=true):
     // y_t = Σ w^(t-k) x_k / Σ w^(t-k) computed from two running sums of
     // x_k·w^(-k) and w^(-k) — the w^t factor cancels in the ratio, both
-    // engines sum in the same ORDER BY sequence, 4dp absorbs pow ulps
+    // engines sum in the same ORDER BY sequence, 4dp absorbs pow ulps.
+    // Bound: w^(-rn) overflows past ~6500 rows/group at decay 0.9 (the
+    // events-per-user unit here is far below it); an unbounded series
+    // belongs in a perGroupSeries recurrence, not a window sum
     "q_ewm" -> ((s, dir) => {
       val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)

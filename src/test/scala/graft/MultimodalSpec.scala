@@ -32,6 +32,26 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("resize rewrites payload size and metadata, keeps the rest") {
+    val out = Multimodal.resize(media.limit(20), w = 64, h = 32, batchSize = 6)
+    assert(out.schema == media.schema) // same layout in, same layout out
+    val rows = out.select(col("media_id"), length(col("payload")),
+      col("meta.width"), col("meta.height"), col("meta.sample_rate")).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 64 * 32 * 3, "payload not target-sized")
+      assert(r.getInt(2) == 64 && r.getInt(3) == 32)
+      assert(r.getInt(4) == 16000) // untouched metadata survives
+    }
+    // deterministic across batch sizes
+    val again = Multimodal.resize(media.limit(20), w = 64, h = 32, batchSize = 64)
+      .select(col("media_id"), md5(col("payload")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Multimodal.resize(media.limit(20), w = 64, h = 32, batchSize = 3)
+      .select(col("media_id"), md5(col("payload")).as("h")).collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
+  }
+
   test("sampleFrames emits ceil(n_frames/everyN) rows per media") {
     val counts = Multimodal.sampleFrames(media, everyN = 10)
       .groupBy(col("media_id"), col("n_frames")).agg(count(lit(1)).as("k")).collect()
