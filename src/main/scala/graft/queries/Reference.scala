@@ -89,6 +89,20 @@ object Reference {
           col("click_ts"), col("click_value"))
     }),
 
+    // nearest as-of: the closer of the backward/forward candidates,
+    // exact distance ties resolving backward
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOf.joinAsOf(purchases, clicks, "ts", Seq("user_id"),
+        Map("ts" -> "click_ts", "value" -> "click_value"), strategy = "nearest")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("click_ts"), col("click_value"))
+    }),
+
     // as-of with a tolerance band and exact matches excluded: strictly
     // earlier click within 3 days of each purchase, per user
     "q_asof_tolerance" -> ((s, dir) => {
@@ -236,6 +250,28 @@ object Reference {
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts <= r.ts""",
+    // nearest = the closer of two ASOF scans; an exact distance tie (or
+    // a zero-distance equal-timestamp match, visible to both scans)
+    // takes the backward row, matching AsOf.joinAsOf tie semantics
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+         bk AS (
+           SELECT l.event_id, r.ts AS bts, r.value AS bv
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+         fw AS (
+           SELECT l.event_id, r.ts AS fts, r.value AS fv
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+         SELECT l.user_id, l.event_id, l.ts,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN (fts - l.ts) < (l.ts - bts) THEN fts ELSE bts END AS click_ts,
+           CASE WHEN bts IS NULL THEN fv
+                WHEN fts IS NULL THEN bv
+                WHEN (fts - l.ts) < (l.ts - bts) THEN fv ELSE bv END AS click_value
+         FROM l
+         LEFT JOIN bk ON l.event_id = bk.event_id
+         LEFT JOIN fw ON l.event_id = fw.event_id""",
     // the backward match is the nearest earlier row, so nulling it when
     // out of band reproduces the tolerance exactly; `>` (not `>=`)
     // reproduces allow_exact_matches=false
