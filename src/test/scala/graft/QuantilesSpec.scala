@@ -41,6 +41,18 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("the skeleton and rank paths share one range shuffle at runtime") {
+    // both consumers of the range-partitioned data must resolve to the
+    // same exchange (AQE reuse) — otherwise the corpus is scanned and
+    // shuffled twice per quantile call
+    val df = Quantiles.exactQuantiles(
+      Tables.t(spark, Sf, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+      Seq("l_returnflag"), "l_extendedprice", Seq("p50" -> 0.5))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), s"range shuffle computed twice:\n$plan")
+  }
+
   test("quantiles handle a single-row group and ties") {
     import spark.implicits._
     val df = Seq(("a", 5.0), ("b", 1.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
