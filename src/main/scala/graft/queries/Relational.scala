@@ -375,6 +375,42 @@ object Relational {
             4).as("ewm"))
     }),
 
+    // full outer join with exclusive keys on both sides (filters keep
+    // deterministic key subsets so both null directions are exercised)
+    "q_full_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_custkey") % 5 =!= 0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_orders"))
+    }),
+
+    // per-group head (polars group_by.head): first 2 events per user in
+    // index order — compiles to WindowGroupLimit, not a full rank pass
+    "q_group_head" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+
+    // value_counts(normalize=true): proportions via a window total —
+    // one division of two exact longs, no rounding needed
+    "q_value_props" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("count"))
+      counts.select(
+        col("o_orderpriority").as("value"), col("count"),
+        (col("count").cast("double") /
+          sum(col("count")).over(Window.partitionBy())).as("prop"))
+    }),
+
     // horizontal namespace (polars min/max/sum/mean_horizontal):
     // row-wise folds over columns — single float ops, no rounding needed
     "q_horizontal" -> ((s, dir) =>
@@ -631,6 +667,24 @@ object Relational {
          FROM lineitem l JOIN part p
            ON l.l_extendedprice >= p.p_retailprice - 1
           AND l.l_extendedprice <= p.p_retailprice + 1""",
+    "q_full_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                c.c_acctbal, o.n_orders
+         FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0) c
+         FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                          FROM orders WHERE o_custkey % 5 <> 0
+                          GROUP BY o_custkey) o
+           ON c.c_custkey = o.o_custkey""",
+    "q_group_head" ->
+      """SELECT user_id, event_id, rn FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE rn <= 2""",
+    "q_value_props" ->
+      """SELECT o_orderpriority AS value, count(*) AS count,
+         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS prop
+         FROM orders GROUP BY o_orderpriority""",
     "q_horizontal" ->
       """SELECT l_orderkey, l_linenumber,
          greatest(l_tax, l_discount) AS hmax,

@@ -59,6 +59,14 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-static enrichment: a broadcast left join against a batch
+    * dimension table — stateless (no watermark needed), the dimension
+    * ships to every task and each micro-batch joins map-side. The
+    * attach-metadata shape: at 100 TB of stream, the dimension is the
+    * small side by definition or it belongs in a stream-stream join. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: each left event pairs with right
     * events of the same key whose timestamp falls in
     * [left.ts, left.ts + window]. Both sides carry a watermark and the

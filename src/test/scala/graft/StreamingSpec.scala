@@ -70,6 +70,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment attaches dimension columns per batch") {
+    import spark.implicits._
+    val evs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
+    evs.addData(
+      EventStreams.SessionEvent(1L, new java.sql.Timestamp(1700000000000L)),
+      EventStreams.SessionEvent(9L, new java.sql.Timestamp(1700000001000L)))
+    val dim = Seq((1L, "gold")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(evs.toDS().toDF(), dim, "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getString(2))).toMap
+      assert(rows == Map(1L -> "gold", 9L -> null)) // left join keeps unmatched
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs within the window only") {
     import spark.implicits._
     val base = 1700000000000L
