@@ -448,6 +448,34 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       .pivot(colKey, pivotValues)
       .agg(first(col(value)))
 
+  /** Exponentially weighted mean (polars ewm_mean, adjust=true) of
+    * every numeric value var, per id_vars group, in index order — the
+    * exact O(n) recurrence num_t = x_t + (1-α)·num_{t-1} (den likewise)
+    * inside the per-group series kernel, so arbitrarily long series
+    * work: the window-sum formulation (q_ewm) overflows its w^(-rn)
+    * weights past ~6500 rows/group. Parallelism = #groups, same unit
+    * as regrid/dft. */
+  def ewm(alpha: Double): GDataset = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val vars = numericValueVars
+    val w = 1.0 - alpha
+    perGroupSeries(
+      vars.map(v => s"ewm_$v"),
+      (xs, series) => {
+        val nums = series.map(_ => 0.0)
+        val dens = series.map(_ => 0.0)
+        xs.indices.iterator.map { i =>
+          val vals = Array.tabulate(series.length) { vi =>
+            nums(vi) = series(vi)(i) + w * nums(vi)
+            dens(vi) = 1.0 + w * dens(vi)
+            nums(vi) / dens(vi)
+          }
+          (xs(i), vals)
+        }
+      },
+      index)
+  }
+
   /** Magnitude spectrum (first `k` DFT bins) of every numeric value var,
     * per id_vars group, over the index-ordered series (README "Fourier
     * transform" capability). Output index column is `freq_bin`. */

@@ -375,6 +375,18 @@ object Relational {
             4).as("ewm"))
     }),
 
+    // approximate namespace — the sketches that replace exact
+    // distinct/quantile at 100 TB (HyperLogLog++, KLL-style quantile):
+    // constant memory per group vs O(distinct) / O(n). Rows-only:
+    // sketch internals differ across engines; the error bound vs the
+    // exact answers is spec-pinned (ApproxSpec).
+    "q_approx" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_med"))),
+
     // full outer join with exclusive keys on both sides (filters keep
     // deterministic key subsets so both null directions are exercised)
     "q_full_join" -> ((s, dir) => {

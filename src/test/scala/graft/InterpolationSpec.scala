@@ -115,6 +115,27 @@ class InterpolationSpec extends SparkSpec {
     assert(ds.regrid(grid).df.schema("sig").dataType.typeName == "struct")
   }
 
+  test("GDataset.ewm recurrence matches the weighted-sum definition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = for (k <- Seq(1L, 2L); i <- 0 until 50)
+      yield (k, i.toDouble, rnd.nextDouble() * 10)
+    val out = GDataset(rows.toDF("k", "x", "v"), "x", Seq("k"))
+      .ewm(alpha = 0.1).df
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // reference: direct weighted sums per point
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (k, series) =>
+      val vs = series.sortBy(_._2).map(_._3)
+      vs.indices.foreach { t =>
+        val ws = (0 to t).map(i => math.pow(0.9, t - i))
+        val expect = ws.zip(vs.take(t + 1)).map { case (w, v) => w * v }.sum / ws.sum
+        val got = out((k, t.toDouble))
+        assert(math.abs(got - expect) < 1e-9, s"key $k t=$t: $got vs $expect")
+      }
+    }
+  }
+
   test("events (user_id, ts) is unique — the q_dft oracle precondition") {
     // GDataset.dft collapses duplicate index values per group (keeps the
     // last observation) while the DuckDB trig-sum oracle enumerates all
