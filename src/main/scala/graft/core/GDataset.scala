@@ -222,11 +222,9 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * a sort (range-partitioned output preserves global order across
     * partitions). */
   def withRowIndex(name: String = "row_index"): GDataset = transform { d =>
-    // monotonically_increasing_id layout: partition id in the upper 31
-    // bits, 0-based record number within the partition in the lower 33
-    val localMask = (1L << 33) - 1
+    import graft.plans.PartitionIds
     val withIds = d.withColumn("__mid", monotonically_increasing_id())
-    val pid = call_function("shiftright", col("__mid"), lit(33))
+    val pid = PartitionIds.pid(col("__mid"))
     val perPartition = withIds
       .groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -235,7 +233,7 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     val offDf = d.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
     withIds
       .join(broadcast(offDf), pid === col("__pid"))
-      .select((col("__off") + col("__mid").bitwiseAND(lit(localMask))).as(name)
+      .select((col("__off") + PartitionIds.localPos(col("__mid"))).as(name)
         +: d.columns.map(col): _*)
   }
 
@@ -267,7 +265,8 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
   private def perGroupSeries(
       outValueNames: Seq[String],
       emit: (Array[Double], Array[Array[Double]]) => Iterator[(Double, Array[Double])],
-      outIndexName: String): GDataset = {
+      outIndexName: String,
+      dedupIndex: Boolean = true): GDataset = {
     val ids = prunedIdVars
     val vars = numericValueVars
     val sel = df.select(
@@ -292,10 +291,11 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
           .filterNot(_.isNullAt(nIds))
           .toArray
           .sortBy(_.getDouble(nIds))
-        // strictly-increasing x: on duplicates keep the last observation
+        // spline/DFT need strictly-increasing x (on duplicates keep the
+        // last observation); row-wise ops (ewm) keep every row
         val kept = scala.collection.mutable.ArrayBuffer.empty[Row]
         pts.foreach { r =>
-          if (kept.nonEmpty && kept.last.getDouble(nIds) == r.getDouble(nIds))
+          if (dedupIndex && kept.nonEmpty && kept.last.getDouble(nIds) == r.getDouble(nIds))
             kept(kept.length - 1) = r
           else kept += r
         }
@@ -453,7 +453,11 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * exact O(n) recurrence num_t = x_t + (1-α)·num_{t-1} (den likewise)
     * inside the per-group series kernel, so arbitrarily long series
     * work: the window-sum formulation (q_ewm) overflows its w^(-rn)
-    * weights past ~6500 rows/group. Parallelism = #groups, same unit
+    * weights past ~6500 rows/group. Row-wise like polars: duplicate
+    * index values all contribute (no coordinate dedup), and a null
+    * observation is skipped (polars ignore_nulls=true) — the weights
+    * don't advance and the previous mean carries forward (NaN only
+    * before the first observation). Parallelism = #groups, same unit
     * as regrid/dft. */
   def ewm(alpha: Double): GDataset = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
@@ -466,14 +470,18 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
         val dens = series.map(_ => 0.0)
         xs.indices.iterator.map { i =>
           val vals = Array.tabulate(series.length) { vi =>
-            nums(vi) = series(vi)(i) + w * nums(vi)
-            dens(vi) = 1.0 + w * dens(vi)
-            nums(vi) / dens(vi)
+            val x = series(vi)(i)
+            if (!x.isNaN) {
+              nums(vi) = x + w * nums(vi)
+              dens(vi) = 1.0 + w * dens(vi)
+            }
+            if (dens(vi) == 0.0) Double.NaN else nums(vi) / dens(vi)
           }
           (xs(i), vals)
         }
       },
-      index)
+      index,
+      dedupIndex = false)
   }
 
   /** Magnitude spectrum (first `k` DFT bins) of every numeric value var,

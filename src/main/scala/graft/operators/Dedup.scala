@@ -170,9 +170,16 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
+      dim: Int,
       bitsPerBand: Int = 4,
       bands: Int = 4,
       maxBucketSize: Int = 100000): DataFrame = {
+    // a band sliced past the vector end would hash EVERY vector to the
+    // same empty bucket — a degenerate all-pairs band (quadratic), or
+    // with the cap, a silently discarded band
+    require(dim >= bands * bitsPerBand,
+      s"vector dim $dim < bands*bitsPerBand = ${bands * bitsPerBand}: " +
+        "reduce bands/bitsPerBand or the sign bands run off the vector")
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val banded = vecs.select(
       col("id"),

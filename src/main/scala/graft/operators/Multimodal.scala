@@ -94,14 +94,23 @@ object Multimodal {
     val enc = Encoders.row(StructType(media.schema.fields.toSeq.toArray))
     val payloadIdx = media.schema.fieldIndex("payload")
     val metaIdx = media.schema.fieldIndex("meta")
+    // resolve the width/height slots by NAME from the actual struct
+    // schema — positional writes would silently scramble metadata on
+    // any source with a different field order
+    val metaSchema = media.schema(metaIdx).dataType.asInstanceOf[StructType]
+    val wIdx = metaSchema.fieldIndex("width")
+    val hIdx = metaSchema.fieldIndex("height")
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // (real codec: init once per batch here)
         batch.iterator.map { r =>
           val meta = r.getStruct(metaIdx)
+          val metaVals = meta.toSeq.toArray
+          metaVals(wIdx) = w
+          metaVals(hIdx) = h
           val vals = r.toSeq.toArray
           vals(payloadIdx) = stubResize(r.getAs[Array[Byte]](payloadIdx), w, h)
-          vals(metaIdx) = Row(meta.get(0), w, h, meta.get(3), meta.get(4))
+          vals(metaIdx) = Row.fromSeq(metaVals.toSeq)
           Row.fromSeq(vals.toSeq)
         }
       }

@@ -45,10 +45,15 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
     val g = groupCols.map(col)
 
-    // 1. range shuffle + local sort; mid encodes (partition, position)
+    // 1. range shuffle + local sort; mid encodes (partition, position).
+    //    Null values are excluded up front (SQL/DuckDB quantile
+    //    semantics: quantiles are over the non-null values; without the
+    //    filter, nulls sort first and shift every rank, and a
+    //    percentile landing on a null rank would sum to a wrong value).
     val keys = g :+ col(valCol)
     val sorted = df
       .select((groupCols :+ valCol).map(col): _*)
+      .filter(col(valCol).isNotNull)
       .repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("__mid", monotonically_increasing_id())
@@ -56,7 +61,7 @@ object Quantiles {
     // 2. tiny per-(partition, group) skeleton: row count + first id.
     //    #rows = #partitions × #groups-touching-them — broadcastable at
     //    any data scale (it grows with the cluster, not the data).
-    val pid = call_function("shiftright", col("__mid"), lit(33)).as("__pid")
+    val pid = graft.plans.PartitionIds.pid(col("__mid")).as("__pid")
     val skel = sorted
       .groupBy((pid +: g): _*)
       .agg(count(lit(1)).as("__c"), min(col("__mid")).as("__minmid"))
@@ -77,7 +82,7 @@ object Quantiles {
         Seq(col("__minmid"), col("__off"), col("__n")): _*)
     val cond = groupCols.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__g$i") }
-      .foldLeft(call_function("shiftright", col("__mid"), lit(33)) === col("__pid"))(_ && _)
+      .foldLeft(graft.plans.PartitionIds.pid(col("__mid")) === col("__pid"))(_ && _)
     val ranked = sorted
       .join(broadcast(offR), cond)
       .select(

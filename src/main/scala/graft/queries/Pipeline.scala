@@ -53,7 +53,7 @@ object Pipeline {
 
     // scale-path default: coordinate-sign LSH bands bound the pair space
     "q_dedup_cosine" -> ((s, dir) =>
-      Dedup.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+      Dedup.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)),
 
     // pre-existing locality column (cluster label) bounds the pair space
     "q_dedup_cosine_bucketed" -> ((s, dir) =>

@@ -136,6 +136,23 @@ class InterpolationSpec extends SparkSpec {
     }
   }
 
+  test("ewm is row-wise: duplicate index rows all contribute, nulls are skipped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0, Option(10.0)), (1L, 1.0, Option(20.0)), // duplicate x
+      (1L, 2.0, Option.empty[Double]),                   // null observation
+      (1L, 3.0, Option(30.0))
+    ).toDF("k", "x", "v")
+    // one group = one partition: collect preserves the emission order
+    val out = GDataset(df, "x", Seq("k")).ewm(alpha = 0.5)
+      .df.collect().map(_.getDouble(2))
+    assert(out.length == 4, "a duplicate-index row was dropped")
+    assert(math.abs(out(0) - 10.0) < 1e-12)
+    assert(math.abs(out(1) - (20 + 0.5 * 10) / 1.5) < 1e-12) // both x=1 rows count
+    assert(out(2) == out(1), "null must carry the previous mean, not poison it")
+    assert(math.abs(out(3) - (30 + 0.5 * out(1) * 1.5) / (1 + 0.5 * 1.5)) < 1e-12)
+  }
+
   test("events (user_id, ts) is unique — the q_dft oracle precondition") {
     // GDataset.dft collapses duplicate index values per group (keeps the
     // last observation) while the DuckDB trig-sum oracle enumerates all

@@ -53,12 +53,16 @@ class QuantilesSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), s"range shuffle computed twice:\n$plan")
   }
 
-  test("quantiles handle a single-row group and ties") {
+  test("quantiles handle a single-row group, ties, and ignore nulls") {
     import spark.implicits._
-    val df = Seq(("a", 5.0), ("b", 1.0), ("b", 1.0), ("b", 3.0)).toDF("g", "v")
+    val df = Seq(
+      ("a", Option(5.0)),
+      ("b", Option(1.0)), ("b", Option(1.0)), ("b", Option(3.0)),
+      ("b", Option.empty[Double]) // must not shift ranks or counts
+    ).toDF("g", "v")
     val got = Quantiles.exactQuantiles(df, Seq("g"), "v", Seq("p50" -> 0.5))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got("a") == 5.0)
-    assert(got("b") == 1.0) // median of (1, 1, 3)
+    assert(got("b") == 1.0) // median of the non-null (1, 1, 3)
   }
 }

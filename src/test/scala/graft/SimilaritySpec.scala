@@ -90,7 +90,10 @@ class SimilaritySpec extends SparkSpec {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = asSet(Dedup.cosinePairsExact(emb, "vec_id", "embedding", 0.4))
-    val lsh = asSet(Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4))
+    val lsh = asSet(Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, dim = 64))
+    // undersized vectors are rejected instead of degenerating to all-pairs
+    assertThrows[IllegalArgumentException](
+      Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, dim = 8))
     assert(lsh.nonEmpty, "LSH path found no pairs at all")
     assert(lsh.subsetOf(exact), s"LSH emitted pairs the exact path lacks: ${lsh -- exact}")
   }
@@ -102,7 +105,7 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     val dup = base.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val pairs = graft.operators.Dedup
-      .cosinePairsLsh(base.unionByName(dup), "vec_id", "embedding", 0.99)
+      .cosinePairsLsh(base.unionByName(dup), "vec_id", "embedding", 0.99, dim = 64)
       .collect()
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1000000L
       && r.getDouble(2) == 1.0))
