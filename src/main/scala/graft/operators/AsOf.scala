@@ -66,8 +66,15 @@ object AsOf {
     // exact matches disallowed, left rows sort first and the equal
     // right row stays outside the left row's frame in both directions.
     val sideTie = if (allowExactMatches) col("__side").asc else col("__side").desc
+    // total order among right rows that tie on (by, on): a content hash
+    // of the attached struct — without it, last() picks an arbitrary
+    // tied row and results flicker across partitionings/reruns. Both
+    // scan directions order the tie ascending, so both pick the same
+    // (hash-max) right row.
+    val rightRowTie = xxhash64(col("__r")).asc_nulls_first
     def w(desc: Boolean) = {
-      val ord = if (desc) Seq(col(on).desc, sideTie) else Seq(col(on).asc, sideTie)
+      val ord = if (desc) Seq(col(on).desc, sideTie, rightRowTie)
+                else Seq(col(on).asc, sideTie, rightRowTie)
       Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
@@ -102,10 +109,14 @@ object AsOf {
           .when(backOk, back)
           .when(fwdOk, fwd)
     }
-    // a left row with null `on` matches nothing (polars semantics) —
-    // without the guard the desc scan would hand it the min-`on` right
-    // row (left null sorts last under desc = after every right row)
-    val carried = unioned.withColumn("__match", when(col(on).isNotNull, matched))
+    // a left row with a null `on` OR any null by-key matches nothing
+    // (polars/SQL join semantics) — without the guards the desc scan
+    // would hand a null-`on` row the min-`on` right row, and
+    // Window.partitionBy would group null by-keys together and match
+    // them to each other (window partitioning, unlike joins, treats
+    // NULL as equal to NULL)
+    val keysOk = by.map(col(_).isNotNull).foldLeft(col(on).isNotNull)(_ && _)
+    val carried = unioned.withColumn("__match", when(keysOk, matched))
 
     val attached = rightCols.values.foldLeft(
       carried.filter(col("__side") === 1)

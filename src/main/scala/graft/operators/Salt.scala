@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
 object Salt {
 
   /** Inner/left equi-join with the LEFT side salted and the RIGHT side
-    * replicated. The salt is a deterministic hash of the whole left row
-    * (stable across retries — no rand()), so results are reproducible.
+    * replicated. The salt hashes the whole left row PLUS its
+    * partition-local ordinal: byte-identical duplicate rows of a hot
+    * key (the classic skew shape — sentinel keys, replayed records)
+    * would all hash to one salt under a pure content hash and defeat
+    * the fan-out. The salt only routes rows — the join result carries
+    * no salt dependence, so results stay reproducible even though the
+    * ordinal depends on the input partitioning.
     *
     * @param factor  number of sub-keys per join key (fan-out of a hot
     *                key); the right side is replicated this many times,
@@ -31,7 +36,9 @@ object Salt {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting supports inner/left joins, not $joinType")
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int"))
+      pmod(
+        xxhash64((left.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+        lit(factor)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -166,7 +166,9 @@ object Pipeline {
          WHERE jaccard >= 0.5""",
     // replicates Dedup.cosinePairsLsh exactly: sign-pattern band buckets
     // are pure comparisons (no float arithmetic), so both engines build
-    // identical candidate sets; scoring matches the all-pairs oracle form.
+    // identical candidate sets — including the mega-bucket cap
+    // (capBuckets maxBucketSize=100000), which would otherwise desync
+    // the engines the day a degenerate bucket crosses the cap.
     "q_dedup_cosine" -> {
       val bitsPerBand = 4
       val bands = 4
@@ -177,9 +179,15 @@ object Pipeline {
         s"SELECT vec_id AS id, $b AS band, $bucket AS bucket FROM embeddings"
       }.mkString(" UNION ALL ")
       s"""WITH banded AS ($bandSelects),
+         capped AS (
+           SELECT id, band, bucket FROM (
+             SELECT id, band, bucket,
+                    count(*) OVER (PARTITION BY band, bucket) AS bs
+             FROM banded)
+           WHERE bs <= 100000),
          cand AS (
            SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           FROM banded a JOIN banded b
+           FROM capped a JOIN capped b
              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
          SELECT id_a, id_b, cos FROM (
            SELECT id_a, id_b,

@@ -234,12 +234,15 @@ object Reference {
       "SELECT min(value) AS min, max(value) AS max FROM events",
     "q_select_data" ->
       "SELECT user_id, ts, value * 2 AS v2 FROM events",
+    // NULL is kept (polars drop_nan drops NaN only; Spark isnan(NULL) is
+    // false) — without the IS NULL arm DuckDB's NOT isnan(NULL) = NULL
+    // would drop null rows and desync the engines on nullable data
     "q_drop_nan" ->
       """SELECT event_id, value FROM (
            SELECT event_id,
                   CASE WHEN value < 1 THEN 'NaN'::DOUBLE ELSE value END AS value
            FROM events)
-         WHERE NOT isnan(value)""",
+         WHERE value IS NULL OR NOT isnan(value)""",
     "q_asof_join" ->
       """SELECT l.user_id, l.event_id, l.ts, r.ts AS click_ts, r.value AS click_value
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l

@@ -114,8 +114,17 @@ object EventStreams {
           sorted.foreach { e =>
             val t = e.ts.getTime
             cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
+              // within the session's reach — including a LATE event from
+              // an earlier micro-batch (t can be below s.start): min/max
+              // keep the interval consistent; the old `last = t` write
+              // moved the session end BACKWARD on late data and
+              // corrupted every later gap decision
+              case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+                cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+              // an orphan older than the open session's reach can't join
+              // it or any future one — emit as its own closed session
+              case Some(s) if t < s.start - gapMs =>
+                closed ::= Session(userId, new java.sql.Timestamp(t), 1)
               case Some(s) =>
                 closed ::= Session(userId, new java.sql.Timestamp(s.start), s.n)
                 cur = Some(SessionState(t, t, 1))

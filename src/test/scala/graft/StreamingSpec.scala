@@ -111,6 +111,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize survives late cross-batch events without corrupting state") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def ev(off: Long) = EventStreams.SessionEvent(1L, new java.sql.Timestamp(base + off))
+    val evs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
+    val q = EventStreams.sessionize(evs.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("late_sessions").start()
+    try {
+      evs.addData(ev(0), ev(60000))
+      q.processAllAvailable()
+      // batch 2: one orphan far in the past + one event past the gap
+      evs.addData(ev(-90 * 60000), ev(100 * 60000))
+      q.processAllAvailable()
+      val got = spark.table("late_sessions").as[EventStreams.Session].collect()
+        .map(s => (s.session_start.getTime - base, s.n_events)).toSet
+      // the orphan closes alone; the open session closes with BOTH its
+      // events and its original start (the old code merged the orphan,
+      // dragged `last` back 90min, then mis-closed with start=0, n=3)
+      assert(got == Set((-90 * 60000L, 1), (0L, 2)), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap") {
     import spark.implicits._
     val base = 1700000000000L
