@@ -106,11 +106,17 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     transform(_.drop(names: _*))
   }
 
-  /** Ordered unique values of a column (polars_dataset.py:274-275).
-    * polars' maintain_order=True means first-appearance order; in a
-    * distributed engine the scale-safe deterministic equivalent is
-    * sorted order. */
-  def coord(name: String): DataFrame = df.select(name).distinct().orderBy(name)
+  /** Unique values of a column in first-appearance order — exactly the
+    * reference's `unique(maintain_order=True)` (polars_dataset.py:274-275),
+    * kept distributed: a global row index stamps each row's position,
+    * then min(position) per value is the appearance rank. Appearance
+    * order is well-defined when the plan's output order is (parquet
+    * file listing is sorted; a trailing sort pins it completely). */
+  def coord(name: String): DataFrame =
+    withRowIndex("__ord").df
+      .groupBy(col(name)).agg(min(col("__ord")).as("__first"))
+      .orderBy(col("__first"))
+      .select(name)
 
   /** (min, max) of a column (polars_dataset.py:277-280). */
   def extrema(name: String): (Any, Any) = {
@@ -223,7 +229,14 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * partitions). */
   def withRowIndex(name: String = "row_index"): GDataset = transform { d =>
     import graft.plans.PartitionIds
+    // persisted so the upstream plan is scanned ONCE: the counts pass
+    // materializes the cache, the offset join reads it back — at 100 TB
+    // a second input scan costs more than the (columnar, spillable)
+    // cached copy. Also pins the nondeterministic ids, so the offsets
+    // provably describe the same row layout the join sees. Blocks free
+    // under LRU eviction or an explicit spark.catalog.clearCache().
     val withIds = d.withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pid = PartitionIds.pid(col("__mid"))
     val perPartition = withIds
       .groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))
@@ -484,6 +497,30 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       dedupIndex = false)
   }
 
+  /** Arbitrary per-group series transform — the reference's
+    * `group_by(...).map_groups(...)` power (polars_dataset.py:225-229)
+    * as a public, typed hook: `emit` receives each group's index-sorted
+    * coordinates `xs` and one value array per numeric value var
+    * (missing observations as NaN), and returns derived (x, values)
+    * rows. regrid/dft/ewm are this operator with fixed kernels; any
+    * other per-series computation (resample-then-aggregate, custom
+    * smoothing, z-scoring) plugs in the same way. Shuffles once on
+    * id_vars; parallelism = #groups, so at 100 TB the group count —
+    * not the kernel — is the scale unit. A group must fit an executor
+    * (same contract as polars map_groups on a partitioned frame).
+    *
+    * @param outValueNames output column name per emitted value slot
+    * @param outIndexName  name of the emitted coordinate column
+    * @param dedupIndex    collapse duplicate index values (keep last)
+    *                      before calling `emit`, as spline/DFT require;
+    *                      false = row-wise kernels see every row */
+  def mapGroupsSeries(
+      outValueNames: Seq[String],
+      outIndexName: String = index,
+      dedupIndex: Boolean = true)(
+      emit: (Array[Double], Array[Array[Double]]) => Iterator[(Double, Array[Double])]): GDataset =
+    perGroupSeries(outValueNames, emit, outIndexName, dedupIndex)
+
   /** Magnitude spectrum (first `k` DFT bins) of every numeric value var,
     * per id_vars group, over the index-ordered series (README "Fourier
     * transform" capability). Output index column is `freq_bin`. */
@@ -503,6 +540,16 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
 object GDataset {
 
   def apply(df: DataFrame, index: String): GDataset = GDataset(df, index, Nil)
+
+  /** Mixed-input concat — the reference `__init__` accepts a
+    * heterogeneous list of Dataset/DataFrame/LazyFrame members
+    * (polars_dataset.py:42-59); here raw DataFrames are wrapped with
+    * the supplied metadata before the same strict column checks run. */
+  def concat(index: String, idVars: Seq[String], members: Seq[Either[GDataset, DataFrame]]): GDataset =
+    concat(members.map {
+      case Left(ds)  => ds
+      case Right(df) => GDataset(df, index, idVars)
+    })
 
   /** Multi-dataset concat: all must share the index; id_vars are
     * unioned; columns aligned by name (polars_dataset.py:20-40).

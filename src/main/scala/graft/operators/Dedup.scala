@@ -143,19 +143,37 @@ object Dedup {
   /** Embedding near-dup pairs above a cosine threshold, pair space
     * bounded by an existing bucket column (a cluster / label / shard
     * key): shuffle join on the bucket key — the 100 TB shape when the
-    * data already carries a locality column. */
+    * data already carries a locality column. Same candidate
+    * architecture as the hash families: ids-only through the bucket
+    * join, vectors attached once per side, and a `maxBucketSize` cap
+    * so one degenerate label (an "unknown" catch-all) can't turn the
+    * self-join quadratic. */
   def cosinePairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bucketBy: String): DataFrame =
-    scoreCosine(
-      emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col(bucketBy).as("bk"))
-        .join(
-          emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col(bucketBy).as("bk")),
-          Seq("bk")),
-      threshold)
+      bucketBy: String,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = emb.select(col(idCol).as("id"), col(bucketBy).as("bk"))
+    // each id sits in exactly one bucket, so pairs are already unique —
+    // skip the cross-bucket distinct the multi-band families need
+    val candidates = candidatePairs(bucketed, Seq("bk"), maxBucketSize, dedupe = false)
+    scoreCosine(attachPerSide(candidates, vecs, "v"), threshold)
+  }
+
+  /** Derived sign-LSH band width: the number of sign bits per band
+    * that keeps the expected bucket population near `targetBucket`
+    * (2^bits buckets per band), i.e. `bitLength(ceil(n/target) - 1)`,
+    * clamped to [1, maxBits]. Pure integer arithmetic so the DuckDB
+    * oracle replica (`length(bin((n + t - 1) // t - 1))`) computes the
+    * identical width — no float log2 at an exact-power boundary. */
+  def autoBitsPerBand(corpusSize: Long, targetBucket: Long, maxBits: Int): Int = {
+    val buckets = (corpusSize + targetBucket - 1) / targetBucket
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(buckets - 1, 0L))
+    math.min(math.max(bitLen, 1), maxBits)
+  }
 
   /** Embedding near-dup pairs via coordinate-sign LSH — the scale-path
     * default when no bucket column exists. Band `b`'s key is the sign
@@ -163,25 +181,85 @@ object Dedup {
     * axis-aligned random-hyperplane LSH (deterministic, no arithmetic,
     * so any engine computes identical buckets). Vectors sharing any
     * band bucket become candidates (ids only through the shuffle);
-    * each pair is scored once. Recall rises with `bands`, candidate
-    * count with fewer `bitsPerBand` — tune to corpus cohesion. */
+    * each pair is scored once.
+    *
+    * Candidate volume ≈ `bands · n² / 2^(bitsPerBand+1)` on an
+    * uncorrelated corpus — QUADRATIC for any fixed band width. The
+    * default (`bitsPerBand = 0` = auto) therefore derives the width
+    * from the corpus size via [[autoBitsPerBand]] (one count() job, or
+    * pass `corpusSize` to skip it): buckets scale with n, expected
+    * candidates stay ~`bands · n · targetBucketSize / 2` — linear. A
+    * fixed explicit width is fine when the caller knows the corpus;
+    * widths that run past the vector end are rejected. Use
+    * [[lshBucketStats]] to see the dropped-bucket fraction the
+    * `maxBucketSize` cap silently discards. */
   def cosinePairsLsh(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       dim: Int,
-      bitsPerBand: Int = 4,
+      bitsPerBand: Int = 0,
       bands: Int = 4,
-      maxBucketSize: Int = 100000): DataFrame = {
-    // a band sliced past the vector end would hash EVERY vector to the
-    // same empty bucket — a degenerate all-pairs band (quadratic), or
-    // with the cap, a silently discarded band
-    require(dim >= bands * bitsPerBand,
-      s"vector dim $dim < bands*bitsPerBand = ${bands * bitsPerBand}: " +
-        "reduce bands/bitsPerBand or the sign bands run off the vector")
+      maxBucketSize: Int = 100000,
+      targetBucketSize: Long = 64,
+      corpusSize: Long = -1L): DataFrame = {
+    val bits = resolveBits(emb, dim, bitsPerBand, bands, targetBucketSize, corpusSize)
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = vecs.select(
+    val candidates = candidatePairs(signBanded(vecs, bits, bands), Seq("band", "bucket"), maxBucketSize)
+    scoreCosine(attachPerSide(candidates, vecs, "v"), threshold)
+  }
+
+  /** Per-band bucket diagnostics for [[cosinePairsLsh]] at the given
+    * settings: bucket and row counts, how many rows the
+    * `maxBucketSize` cap drops, and the candidate-pair volume the kept
+    * buckets will generate. Run this when recall matters — the cap
+    * trades silent recall loss for bounded cost, and `dropped_fraction`
+    * is that loss made visible. One aggregation job over the corpus. */
+  def lshBucketStats(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bitsPerBand: Int = 0,
+      bands: Int = 4,
+      maxBucketSize: Int = 100000,
+      targetBucketSize: Long = 64,
+      corpusSize: Long = -1L): DataFrame = {
+    val bits = resolveBits(emb, dim, bitsPerBand, bands, targetBucketSize, corpusSize)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    signBanded(vecs, bits, bands)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("bs"))
+      .groupBy(col("band")).agg(
+        lit(bits).as("bits_per_band"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("bs")).as("n_rows"),
+        count(when(col("bs") > maxBucketSize, 1)).as("dropped_buckets"),
+        coalesce(sum(when(col("bs") > maxBucketSize, col("bs"))), lit(0L)).as("dropped_rows"),
+        round(coalesce(sum(when(col("bs") > maxBucketSize, col("bs"))), lit(0L))
+          / sum(col("bs")).cast("double"), 6).as("dropped_fraction"),
+        coalesce(sum(when(col("bs") <= maxBucketSize, (col("bs") * (col("bs") - 1) / 2).cast("long"))),
+          lit(0L)).as("candidate_pairs"))
+  }
+
+  private def resolveBits(
+      emb: DataFrame, dim: Int, bitsPerBand: Int, bands: Int,
+      targetBucketSize: Long, corpusSize: Long): Int =
+    if (bitsPerBand == 0) {
+      val n = if (corpusSize >= 0) corpusSize else emb.count()
+      autoBitsPerBand(n, targetBucketSize, maxBits = dim / bands)
+    } else {
+      // an explicit band sliced past the vector end would hash EVERY
+      // vector to the same empty bucket — a degenerate all-pairs band
+      // (quadratic), or with the cap, a silently discarded band
+      require(bitsPerBand > 0 && dim >= bands * bitsPerBand,
+        s"vector dim $dim < bands*bitsPerBand = ${bands * bitsPerBand}: " +
+          "reduce bands/bitsPerBand or the sign bands run off the vector")
+      bitsPerBand
+    }
+
+  private def signBanded(vecs: DataFrame, bitsPerBand: Int, bands: Int): DataFrame =
+    vecs.select(
       col("id"),
       posexplode(
         transform(
@@ -192,22 +270,29 @@ object Dedup {
               x => when(x >= 0, lit(1)).otherwise(lit(0))))))
         .as(Seq("band", "bucket")))
       .select(col("id"), col("band"), col("bucket"))
-    val candidates = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
-    scoreCosine(attachPerSide(candidates, vecs, "v"), threshold)
-  }
 
   /** All-pairs cosine dedup — EXPLICIT OPT-IN, quadratic work and a
     * full broadcast of the corpus: only sane when the corpus fits the
-    * broadcast limit (≲10^6 rows / a few hundred MB of vectors). At
+    * broadcast limit (≲10^6 rows / a few hundred MB of vectors), and
+    * guarded by a count() against the `maxRows` bound so it fails
+    * loudly instead of OOMing the driver past ~8 GB of broadcast. At
     * scale use [[cosinePairsLsh]] or [[cosinePairs]] with a bucket
     * column. The nested-loop form (vs a constant-key join) keeps the
     * streamed side's parallelism; the repartition fans a small single
-    * parquet file across cores. */
+    * parquet file across cores. Pass `maxRows = Long.MaxValue` to skip
+    * the guard (and its count job) when the size is already known. */
   def cosinePairsExact(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxRows: Long = 2000000L): DataFrame = {
+    if (maxRows != Long.MaxValue) {
+      val n = emb.count()
+      require(n <= maxRows,
+        s"cosinePairsExact over $n rows exceeds maxRows=$maxRows: the corpus is " +
+          "broadcast whole and scored all-pairs — use cosinePairsLsh or cosinePairs(bucketBy)")
+    }
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     scoreCosine(
@@ -235,14 +320,18 @@ object Dedup {
 
   /** Distinct candidate (id_a, id_b) pairs from a (id, bucketKeys…)
     * table: self-join per bucket carrying ids only, ordered to one
-    * orientation, deduped across buckets BEFORE any scoring. */
-  private def candidatePairs(bucketed: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    * orientation, deduped across buckets BEFORE any scoring.
+    * `dedupe = false` skips the distinct shuffle when each id occurs
+    * in exactly one bucket (a single locality column). */
+  private def candidatePairs(
+      bucketed: DataFrame, keys: Seq[String], maxBucketSize: Int,
+      dedupe: Boolean = true): DataFrame = {
     val capped = capBuckets(bucketed, keys, maxBucketSize)
-    capped.select((keys.map(col) :+ col("id").as("id_a")): _*)
+    val pairs = capped.select((keys.map(col) :+ col("id").as("id_a")): _*)
       .join(capped.select((keys.map(col) :+ col("id").as("id_b")): _*), keys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
+    if (dedupe) pairs.distinct() else pairs
   }
 
   /** Attach a per-doc column to both sides of a candidate-pair table

@@ -167,18 +167,22 @@ object Pipeline {
     // replicates Dedup.cosinePairsLsh exactly: sign-pattern band buckets
     // are pure comparisons (no float arithmetic), so both engines build
     // identical candidate sets — including the mega-bucket cap
-    // (capBuckets maxBucketSize=100000), which would otherwise desync
-    // the engines the day a degenerate bucket crosses the cap.
+    // (capBuckets maxBucketSize=100000) and the auto-derived band width
+    // (Dedup.autoBitsPerBand): `length(bin((n + 63) // 64 - 1))` is the
+    // same integer bitLength Spark computes via numberOfLeadingZeros,
+    // so no float log2 can desync the engines at a power-of-two corpus.
     "q_dedup_cosine" -> {
-      val bitsPerBand = 4
       val bands = 4
-      val bandSelects = (0 until bands).map { b =>
-        val bucket = (1 to bitsPerBand)
-          .map(i => s"CASE WHEN embedding[${b * bitsPerBand + i}] >= 0 THEN '1' ELSE '0' END")
-          .mkString("concat(", ", ", ")")
-        s"SELECT vec_id AS id, $b AS band, $bucket AS bucket FROM embeddings"
-      }.mkString(" UNION ALL ")
-      s"""WITH banded AS ($bandSelects),
+      s"""WITH p AS (
+           SELECT CAST(least(greatest(length(bin((count(*) + 63) // 64 - 1)), 1), 16) AS INT) AS bits
+           FROM embeddings),
+         bd AS (SELECT unnest(range(0, $bands)) AS band),
+         banded AS (
+           SELECT e.vec_id AS id, bd.band AS band,
+                  array_to_string(list_transform(range(0, p.bits),
+                    i -> CASE WHEN e.embedding[bd.band * p.bits + i + 1] >= 0
+                         THEN '1' ELSE '0' END), '') AS bucket
+           FROM embeddings e, p, bd),
          capped AS (
            SELECT id, band, bucket FROM (
              SELECT id, band, bucket,
@@ -198,12 +202,21 @@ object Pipeline {
            JOIN embeddings eb ON cand.id_b = eb.vec_id)
          WHERE cos >= 0.4"""
     },
+    // cap replica: same windowed-count filter the Spark path applies
+    // (capBuckets maxBucketSize=100000), so a degenerate label past the
+    // cap drops identically in both engines
     "q_dedup_cosine_bucketed" ->
-      """SELECT id_a, id_b, cos FROM (
+      """WITH capped AS (
+           SELECT vec_id, label, embedding FROM (
+             SELECT vec_id, label, embedding,
+                    count(*) OVER (PARTITION BY label) AS bs
+             FROM embeddings)
+           WHERE bs <= 100000)
+         SELECT id_a, id_b, cos FROM (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
-           FROM embeddings a JOIN embeddings b
+           FROM capped a JOIN capped b
              ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE cos >= 0.4""",
     "q_ann_bruteforce" ->

@@ -715,7 +715,7 @@ object Relational {
       """SELECT o_orderpriority,
          count(DISTINCT o_custkey) AS n_cust,
          count(*) AS n_rows,
-         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price
          FROM orders GROUP BY o_orderpriority""",
     "q_is_duplicated" ->
       """SELECT doc_id,

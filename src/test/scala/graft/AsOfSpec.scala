@@ -27,6 +27,28 @@ class AsOfSpec extends SparkSpec {
     assert(out("p3") == null)           // right row is after left
   }
 
+  test("asof null left on/by keys match nothing in every strategy") {
+    import spark.implicits._
+    // polars join_asof: a null key is not comparable — no match. The
+    // forward scan sorts left NULL `on` last under desc order, so an
+    // unguarded last() would hand it the min-`on` right row; nearest
+    // would then inherit that spurious forward match.
+    val left = Seq(
+      (Some(1L), None: Option[Long], "null_on"),
+      (None: Option[Long], Some(100L), "null_by"),
+      (Some(1L), Some(100L), "clean")
+    ).toDF("k", "t", "name")
+    val right = Seq((1L, 50L, 7.0), (1L, 150L, 9.0)).toDF("k", "t", "v")
+    for (s <- Seq("backward", "forward", "nearest")) {
+      val out = AsOf.joinAsOf(left, right, "t", Seq("k"), Map("v" -> "rv"), strategy = s)
+        .select("name", "rv").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      assert(out("null_on") == null, s"$s matched a null `on` row")
+      assert(out("null_by") == null, s"$s matched a null by-key row")
+      assert(out("clean") != null, s"$s lost the clean row's match")
+    }
+  }
+
   test("asof forward picks earliest right row at-or-after; nearest picks closer side") {
     import spark.implicits._
     val left = Seq(

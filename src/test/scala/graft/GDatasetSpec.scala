@@ -66,12 +66,53 @@ class GDatasetSpec extends SparkSpec {
     assert(err.getMessage.contains("user_id"))
   }
 
-  test("coord returns ordered uniques; extrema returns min/max") {
+  test("coord returns uniques in first-appearance order; extrema returns min/max") {
+    // polars unique(maintain_order=True) parity: the value first seen
+    // earliest in frame order comes first, NOT sorted order
+    import spark.implicits._
+    val df = Seq((1L, "c"), (2L, "a"), (3L, "c"), (4L, "b"), (5L, "a"))
+      .toDF("ts", "k").coalesce(1)
+    val ks = GDataset(df, "ts", Nil).coord("k").collect().map(_.getString(0)).toSeq
+    assert(ks == Seq("c", "a", "b"), s"appearance order broken: $ks")
+
     val ds = GDataset(events, "ts", Seq("user_id"))
     val ids = ds.coord("user_id").collect().map(_.getLong(0)).toSeq
-    assert(ids == ids.sorted && ids.distinct == ids)
+    assert(ids.distinct == ids && ids.toSet == events.select("user_id")
+      .distinct().collect().map(_.getLong(0)).toSet)
     val (mn, mx) = ds.extrema("value")
     assert(mn.asInstanceOf[Double] <= mx.asInstanceOf[Double])
+  }
+
+  test("mapGroupsSeries runs a custom per-group kernel (z-score)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0, 10.0), (1L, 2.0, 20.0), (1L, 3.0, 30.0),
+      (2L, 1.0, 5.0), (2L, 2.0, 5.0)
+    ).toDF("k", "x", "v")
+    val out = GDataset(df, "x", Seq("k"))
+      .mapGroupsSeries(Seq("z")) { (xs, series) =>
+        val ys = series(0)
+        val mean = ys.sum / ys.length
+        val sd = math.sqrt(ys.map(y => (y - mean) * (y - mean)).sum / ys.length)
+        xs.indices.iterator.map(i => (xs(i), Array(if (sd == 0) 0.0 else (ys(i) - mean) / sd)))
+      }
+    assert(out.index == "x" && out.idVars == Seq("k"))
+    val rows = out.df.collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(rows((1L, 2.0))) < 1e-12)             // center of 10/20/30
+    assert(math.abs(rows((1L, 3.0)) - math.sqrt(1.5)) < 1e-12)
+    assert(rows((2L, 1.0)) == 0.0 && rows((2L, 2.0)) == 0.0) // zero variance
+  }
+
+  test("concat accepts raw DataFrames wrapped with supplied metadata") {
+    val a = GDataset(events.select(col("ts"), col("user_id"), col("value")),
+      "ts", Seq("user_id"))
+    val raw = events.select(col("ts"), col("user_id"), col("value"))
+    val c = GDataset.concat("ts", Seq("user_id"), Seq(Left(a), Right(raw)))
+    assert(c.idVars == Seq("user_id"))
+    assert(c.df.count() == 2 * events.count())
+    // a raw member missing the index still errors through the wrap
+    assertThrows[IllegalArgumentException](
+      GDataset.concat("ts", Nil, Seq(Right(events.drop("ts")))))
   }
 
   test("dropNan drops rows with NaN in any double column (incl. structs)") {

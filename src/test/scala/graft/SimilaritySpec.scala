@@ -91,11 +91,62 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val exact = asSet(Dedup.cosinePairsExact(emb, "vec_id", "embedding", 0.4))
     val lsh = asSet(Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, dim = 64))
-    // undersized vectors are rejected instead of degenerating to all-pairs
+    // an explicit width past the vector end is rejected instead of
+    // degenerating to all-pairs (auto mode clamps to dim/bands instead)
     assertThrows[IllegalArgumentException](
-      Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, dim = 8))
+      Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4, dim = 8, bitsPerBand = 4))
     assert(lsh.nonEmpty, "LSH path found no pairs at all")
     assert(lsh.subsetOf(exact), s"LSH emitted pairs the exact path lacks: ${lsh -- exact}")
+  }
+
+  test("auto band width derivation is integer-exact and clamped") {
+    import graft.operators.Dedup.autoBitsPerBand
+    assert(autoBitsPerBand(2000, 64, 16) == 5)   // ceil(2000/64)=32 -> bitLength(31)=5
+    assert(autoBitsPerBand(2048, 64, 16) == 5)   // exact power boundary: 32 buckets still 5 bits
+    assert(autoBitsPerBand(2049, 64, 16) == 6)   // one past -> 33 buckets -> 6 bits
+    assert(autoBitsPerBand(30, 64, 16) == 1)     // tiny corpus clamps up to 1 bit
+    assert(autoBitsPerBand(100000000L, 64, 16) == 16) // clamps down to dim/bands
+  }
+
+  test("auto band width keeps LSH candidate volume ~linear when n doubles") {
+    // deterministic pseudo-random corpus: sign pattern from xxhash64 of
+    // (id, coordinate) — uncorrelated vectors, the worst case for a
+    // fixed band width (candidates ~ n²/2^bits). Auto derivation adds a
+    // bit when n doubles, so candidate volume should ~double, not 4×.
+    def corpus(n: Int) = {
+      import org.apache.spark.sql.functions._
+      spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (xxhash64(col("id"), d) % 1000).cast("float") / 500.0f).as("embedding"))
+    }
+    def candidates(n: Int): Long =
+      graft.operators.Dedup
+        .lshBucketStats(corpus(n), "vec_id", "embedding", dim = 64)
+        .agg(org.apache.spark.sql.functions.sum("candidate_pairs")).head().getLong(0)
+    val c2k = candidates(2000)
+    val c4k = candidates(4000)
+    assert(c2k > 0, "no candidates at n=2000")
+    assert(c4k <= 3 * c2k,
+      s"candidate volume grew superlinearly: $c2k -> $c4k (fixed-width would be ~4x)")
+  }
+
+  test("lshBucketStats surfaces the dropped-bucket fraction under a tight cap") {
+    import org.apache.spark.sql.functions._
+    // 100 copies of one vector collide in every band bucket; a cap of 10
+    // drops them all and the stats must say so
+    val dupes = spark.range(100).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d => lit(1.0f)).as("embedding"))
+    val stats = graft.operators.Dedup
+      .lshBucketStats(dupes, "vec_id", "embedding", dim = 64, maxBucketSize = 10)
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("dropped_rows") == 100L)
+      assert(r.getAs[Double]("dropped_fraction") == 1.0)
+      assert(r.getAs[Long]("candidate_pairs") == 0L)
+    }
   }
 
   test("cosinePairsLsh always surfaces an identical-vector duplicate") {

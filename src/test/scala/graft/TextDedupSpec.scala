@@ -139,6 +139,27 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(r(0).getDouble(2) - 6.0 / 7.0) < 1e-3)
   }
 
+  test("cosinePairs(bucketBy) caps a degenerate mega-bucket") {
+    import spark.implicits._
+    // 50 vectors under one catch-all label blow past the cap and drop;
+    // the 3-row label stays and its identical pair must still surface
+    val mega = (1L to 50L).map(i => (i, "unknown", Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val small = Seq(
+      (101L, "clean", Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (102L, "clean", Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (103L, "clean", Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val df = (mega ++ small).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.cosinePairs(df, "vec_id", "embedding", 0.9,
+        bucketBy = "label", maxBucketSize = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((101L, 102L)),
+      s"expected only the small-bucket pair, got $pairs")
+    // without a binding cap the mega-bucket pairs come back
+    val uncapped = Dedup.cosinePairs(df, "vec_id", "embedding", 0.9, bucketBy = "label")
+      .count()
+    assert(uncapped == 50L * 49 / 2 + 1)
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other")).toDF("doc_id", "text")
