@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, DedupCluster, Multimodal, Sessionize, Similarity, Vocab}
 
 /** LLM-data-pipeline queries (SURVEY.md §2.3): dedup family, similarity
   * search, text analysis, multimodal plumbing — the operators a 100 TB
@@ -91,11 +91,49 @@ object Pipeline {
       val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(media, everyN = 25)
         .select(col("media_id"), col("n_frames"), col("frame_idx"))
-    })
+    }),
+
+    // batch sessionization: gaps-and-islands per user at a 1-hour gap
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
+        gapSeconds = 3600, valueCol = "value", tieBreak = Seq(col("event_id")))),
+
+    // corpus vocabulary: top tokens by term frequency + doc frequency
+    "q_vocab" -> ((s, dir) =>
+      Vocab.topK(t(s, dir, "documents"), "doc_id", "text", k = 100)),
+
+    // near-dup clusters: connected components over the exact-jaccard
+    // candidate pairs — the keep-one-per-cluster step after pair finding
+    "q_dedup_cluster" -> ((s, dir) =>
+      DedupCluster.connectedComponents(
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, threshold = 0.5)))
   )
 
   private val TokSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  // exact 5-gram jaccard pairs at threshold 0.5 — replica of
+  // Dedup.jaccardPairs; shared by q_dedup_jaccard and, as a CTE, by the
+  // q_dedup_cluster connected-components oracle
+  private val JaccardPairsSql =
+    s"""WITH toks AS (
+         SELECT doc_id, $TokSql AS tk
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+         FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
+         FROM inter
+         JOIN sizes na ON id_a = na.doc_id
+         JOIN sizes nb ON id_b = nb.doc_id)
+       WHERE jaccard >= 0.5"""
 
   private def hitsSql(words: Seq[String]): String =
     s"""len(list_filter($TokSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"""
@@ -146,24 +184,7 @@ object Pipeline {
       s"""SELECT doc_id, CASE $branches ELSE '${langs.last}' END AS pred_lang
           FROM (SELECT doc_id, $hitCols FROM documents)"""
     },
-    "q_dedup_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
-           FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, jaccard FROM (
-           SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
-           FROM inter
-           JOIN sizes na ON id_a = na.doc_id
-           JOIN sizes nb ON id_b = nb.doc_id)
-         WHERE jaccard >= 0.5""",
+    "q_dedup_jaccard" -> JaccardPairsSql,
     // replicates Dedup.cosinePairsLsh exactly: sign-pattern band buckets
     // are pure comparisons (no float arithmetic), so both engines build
     // identical candidate sets — including the mega-bucket cap
@@ -231,7 +252,52 @@ object Pipeline {
          WHERE rank <= 5""",
     "q_multimodal" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
-         FROM documents"""
+         FROM documents""",
+    // gaps-and-islands replica: µs epochs are integers in both engines
+    // (ns ts truncated to µs), so the gap test and the running break
+    // sum are exact; only sum_value is float and it is rounded like
+    // every aggregate oracle. Window order (us, event_id) == Spark's
+    // (ts, event_id) because both sides see µs-truncated time.
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         b AS (
+           SELECT user_id, event_id, us, value,
+                  CASE WHEN us - lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, us, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           FROM b)
+         SELECT user_id, CAST(seq - 1 AS BIGINT) AS session_seq,
+                count(*) AS n_events,
+                max(us) - min(us) AS duration_us,
+                round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, seq""",
+    "q_vocab" ->
+      s"""SELECT token, count(*) AS tf, count(DISTINCT id) AS df
+          FROM (SELECT doc_id AS id, unnest($TokSql) AS token FROM documents)
+          GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+    // transitive closure of the jaccard pair graph via a recursive CTE:
+    // every node's reachable-label set, then min per node — the same
+    // fixpoint DedupCluster's min-label propagation converges to
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE
+         jp AS ($JaccardPairsSql),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM jp
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM jp),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS lbl FROM nodes
+           UNION
+           SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+         SELECT id, min(lbl) AS comp FROM reach GROUP BY id"""
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf:
     // hash/quantizer approximations not expressible in DuckDB —
     // rows-only + recall specs.

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupCluster, Sessionize, Vocab}
+
+class CorpusOpsSpec extends SparkSpec {
+
+  test("sessionize splits on gaps > threshold and aggregates per session") {
+    import spark.implicits._
+    // user 1: events at 0s, 10s, 2h, 2h+30s -> sessions {0,10}, {2h, 2h+30}
+    // user 2: one event -> one singleton session
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      (1L, ts(0), 1L, 1.0), (1L, ts(10), 2L, 2.0),
+      (1L, ts(7200), 3L, 3.0), (1L, ts(7230), 4L, 4.0),
+      (2L, ts(5), 5L, 9.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+
+    val assigned = Sessionize.assign(ev, "user_id", "ts", gapSeconds = 3600,
+        tieBreak = Seq(col("event_id")))
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+
+    val sess = Sessionize.sessions(ev, "user_id", "ts", 3600, "value",
+        Seq(col("event_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(sess((1L, 0L)) == ((2L, 10000000L, 3.0)))
+    assert(sess((1L, 1L)) == ((2L, 30000000L, 7.0)))
+    assert(sess((2L, 0L)) == ((1L, 0L, 9.0)))
+  }
+
+  test("an exact-gap event stays in the session (strict > breaks)") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq((1L, ts(0), 1L, 0.0), (1L, ts(60), 2L, 0.0)).toDF("user_id", "ts", "event_id", "value")
+    val seqs = Sessionize.assign(ev, "user_id", "ts", gapSeconds = 60, tieBreak = Seq(col("event_id")))
+      .select("session_seq").collect().map(_.getLong(0)).toSet
+    assert(seqs == Set(0L), "a gap exactly equal to the threshold must not break")
+  }
+
+  test("vocab topK counts term and document frequency with deterministic ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple   cherry\tcherry")
+    ).toDF("doc_id", "text")
+    val out = Vocab.topK(docs, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // apple tf=3 df=2; cherry tf=3 df=2 — tie broken by token asc
+    assert(out.toSeq == Seq(("apple", 3L, 2L), ("cherry", 3L, 2L)))
+  }
+
+  test("connected components merge transitive pairs and leave islands apart") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comps = DedupCluster.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components converge on a chain and fail loudly past maxIter") {
+    import spark.implicits._
+    // a 12-node path: min label walks one hop per round
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = DedupCluster.connectedComponents(chain, maxIter = 20).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(comps == Set(1L), "chain must collapse to one component")
+    assertThrows[IllegalArgumentException](
+      DedupCluster.connectedComponents(chain, maxIter = 3))
+  }
+
+  test("dropDuplicates keeps exactly the min-id document per cluster") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (5L, "b"), (6L, "b"), (9L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = DedupCluster.dropDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 9L)) // 9 untouched: never in a pair
+  }
+}
