@@ -92,6 +92,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "offset attach is not a broadcast join")
   }
 
+  test("q_vocab top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"), "vocab top-k is a full sort")
+  }
+
+  test("q_sessionize windows and session aggregation share one user-key shuffle") {
+    // the (user, session_seq) groupBy is satisfied by the window's
+    // user-hash partitioning (subset-key clustering), so the whole
+    // query is scan → one exchange → sort → windows → agg
+    val p = planOf("q_sessionize")
+    val n = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(n == 1, s"expected a single user-key exchange, saw $n")
+  }
+
   test("no cartesian/nested-loop joins outside the declared brute-force path") {
     // q_ann_bruteforce is the one declared all-pairs scan (tiny query
     // side × corpus); every other pipeline query must pair via
