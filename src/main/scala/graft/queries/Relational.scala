@@ -289,12 +289,16 @@ object Relational {
     }),
 
     // pct_change per key (polars pct_change): one lag window, a single
-    // divide — no rounding needed, one float op is bit-identical
+    // divide — no rounding needed, one float op is bit-identical. A
+    // zero base yields NULL (NULLIF convention on both sides): under
+    // ANSI mode a bare divide would instead kill the whole job the
+    // first time the data contains an exact 0 (sf0.1 does).
     "q_pct_change" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("value"), 1).over(w)
       t(s, dir, "events").select(
         col("user_id"), col("event_id"),
-        (col("value") / lag(col("value"), 1).over(w) - 1).as("pct"))
+        when(prev =!= 0, col("value") / prev - 1).as("pct"))
     }),
 
     // cumulative namespace (polars cum_sum / cum_max / cum_count) per
@@ -613,7 +617,7 @@ object Relational {
          FROM events""",
     "q_pct_change" ->
       """SELECT user_id, event_id,
-         value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pct
+         value / nullif(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1 AS pct
          FROM events""",
     "q_cumulative" ->
       """SELECT user_id, event_id,
