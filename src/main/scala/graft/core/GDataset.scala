@@ -63,6 +63,11 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
   /** Raw projection escaping the wrapper (polars_dataset.py:160-161). */
   def fetch(cols: Column*): DataFrame = df.select(cols: _*)
 
+  /** Single-column accessor (reference `__getitem__`,
+    * polars_dataset.py:80-81): Spark's `Column` is the lazy Series
+    * analogue — usable in any expression against this dataset. */
+  def apply(name: String): Column = df(name)
+
   def filter(cond: Column): GDataset = transform(_.filter(cond))
 
   def withColumns(pairs: (String, Column)*): GDataset =
@@ -108,12 +113,16 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
 
   /** Unique values of a column in first-appearance order — exactly the
     * reference's `unique(maintain_order=True)` (polars_dataset.py:274-275),
-    * kept distributed: a global row index stamps each row's position,
-    * then min(position) per value is the appearance rank. Appearance
-    * order is well-defined when the plan's output order is (parquet
-    * file listing is sorted; a trailing sort pins it completely). */
+    * kept distributed AND single-pass: `monotonically_increasing_id`
+    * encodes (partition, local position), so its NUMERIC ORDER is
+    * frame appearance order even though the ids aren't contiguous —
+    * min(id) per value is the appearance rank without the two-pass
+    * offset computation a contiguous index (withRowIndex) needs.
+    * Appearance order is well-defined when the plan's output order is
+    * (parquet file listing is sorted; a trailing sort pins it
+    * completely). */
   def coord(name: String): DataFrame =
-    withRowIndex("__ord").df
+    df.select(col(name), monotonically_increasing_id().as("__ord"))
       .groupBy(col(name)).agg(min(col("__ord")).as("__first"))
       .orderBy(col("__first"))
       .select(name)
@@ -233,8 +242,11 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     // materializes the cache, the offset join reads it back — at 100 TB
     // a second input scan costs more than the (columnar, spillable)
     // cached copy. Also pins the nondeterministic ids, so the offsets
-    // provably describe the same row layout the join sees. Blocks free
-    // under LRU eviction or an explicit spark.catalog.clearCache().
+    // provably describe the same row layout the join sees. The cache
+    // entry lives until spark.catalog.clearCache() (CacheManager
+    // entries are not LRU-dropped from disk) — callers looping over
+    // withRowIndex should clearCache between iterations or accept one
+    // pinned copy per call.
     val withIds = d.withColumn("__mid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pid = PartitionIds.pid(col("__mid"))
@@ -247,7 +259,7 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     withIds
       .join(broadcast(offDf), pid === col("__pid"))
       .select((col("__off") + PartitionIds.localPos(col("__mid"))).as(name)
-        +: d.columns.map(col): _*)
+        +: d.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Horizontal concat. polars hstack aligns by row position — at scale

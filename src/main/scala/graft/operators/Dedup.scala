@@ -246,6 +246,12 @@ object Dedup {
       emb: DataFrame, dim: Int, bitsPerBand: Int, bands: Int,
       targetBucketSize: Long, corpusSize: Long): Int =
     if (bitsPerBand == 0) {
+      // dim/bands == 0 would clamp the derived width to 0 bits — every
+      // vector in one empty-string bucket, the degenerate all-pairs
+      // band the explicit path rejects; reject it just as loudly here
+      require(dim >= bands,
+        s"vector dim $dim < bands = $bands: auto band width needs at least one " +
+          "sign coordinate per band — reduce bands")
       val n = if (corpusSize >= 0) corpusSize else emb.count()
       autoBitsPerBand(n, targetBucketSize, maxBits = dim / bands)
     } else {

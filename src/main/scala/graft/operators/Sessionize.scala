@@ -33,7 +33,12 @@ object Sessionize {
       gapSeconds: Long,
       tieBreak: Seq[Column] = Nil): DataFrame = {
     require(gapSeconds > 0, "gapSeconds must be positive")
-    val ord = Window.partitionBy(col(userCol)).orderBy(col(tsCol) +: tieBreak: _*)
+    // NULLS LAST, matching SQL-default window order (Spark's bare asc
+    // is NULLS FIRST): a null-ts event sorts after the real timeline
+    // and its null gap opens a fresh session — same in both engines,
+    // instead of silently renumbering every session differently
+    val ord = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc_nulls_last +: tieBreak: _*)
     val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val us = epochUs(tsCol)
     val gap = us - lag(us, 1).over(ord)

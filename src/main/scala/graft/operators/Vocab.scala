@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
+
 /** Corpus vocabulary statistics — the token-frequency table a
   * training-data pipeline builds before tokenizer training or
   * stopword/quality analysis.
@@ -26,7 +28,7 @@ object Vocab {
     require(k > 0, "k must be positive")
     val toks = docs.select(
       col(idCol).as("id"),
-      explode(filter(split(col(textCol), "\\s+"), t => t =!= "")).as("token"))
+      explode(TF.tokens(col(textCol))).as("token"))
     toks
       .groupBy(col("token"), col("id")).agg(count(lit(1)).as("c"))
       .groupBy(col("token")).agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))

@@ -40,6 +40,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(seqs == Set(0L), "a gap exactly equal to the threshold must not break")
   }
 
+  test("a null-ts event sorts after the timeline and opens its own session") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      (1L, Option(ts(0)), 1L, 1.0), (1L, Option(ts(10)), 2L, 2.0),
+      (1L, None: Option[java.sql.Timestamp], 3L, 5.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val assigned = Sessionize.assign(ev, "user_id", "ts", 3600, Seq(col("event_id")))
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // SQL NULLS LAST: the null row comes after the real events and its
+    // null gap starts session 1, leaving the timeline numbering intact
+    assert(assigned == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("vocab topK counts term and document frequency with deterministic ties") {
     import spark.implicits._
     val docs = Seq(

@@ -16,6 +16,12 @@ class GDatasetSpec extends SparkSpec {
     assert(ds.valueVars.toSet == Set("event_id", "event_type", "value", "props"))
   }
 
+  test("apply returns the column as an expression bound to this dataset") {
+    val ds = GDataset(events, "ts", Seq("user_id"))
+    val n = ds.df.filter(ds("value") >= 0).count()
+    assert(n == ds.df.filter(col("value") >= 0).count())
+  }
+
   test("transform preserving index keeps metadata, prunes dropped idVars") {
     val ds = GDataset(events, "ts", Seq("user_id"))
     val out = ds.transform(_.drop("user_id"))

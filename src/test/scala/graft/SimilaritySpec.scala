@@ -106,6 +106,11 @@ class SimilaritySpec extends SparkSpec {
     assert(autoBitsPerBand(2049, 64, 16) == 6)   // one past -> 33 buckets -> 6 bits
     assert(autoBitsPerBand(30, 64, 16) == 1)     // tiny corpus clamps up to 1 bit
     assert(autoBitsPerBand(100000000L, 64, 16) == 16) // clamps down to dim/bands
+    // dim < bands would derive a 0-bit band (one empty bucket = all
+    // pairs); auto mode must reject it as loudly as the explicit path
+    assertThrows[IllegalArgumentException](
+      graft.operators.Dedup.cosinePairsLsh(emb, "vec_id", "embedding", 0.4,
+        dim = 3, bands = 4))
   }
 
   test("auto band width keeps LSH candidate volume ~linear when n doubles") {
