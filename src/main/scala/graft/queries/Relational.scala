@@ -288,6 +288,17 @@ object Relational {
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))
     }),
 
+    // skew-salted fact-dim join, aggregated after the join (the shape
+    // AQE's skew rewrite does not cover): the salt routes rows only, so
+    // the result — and the oracle — is the plain join + agg
+    "q_salted_join" -> ((s, dir) =>
+      graft.operators.Salt.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        Seq("l_suppkey"), factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))),
+
     // pct_change per key (polars pct_change): one lag window, a single
     // divide — no rounding needed, one float op is bit-identical. A
     // zero base yields NULL (NULLIF convention on both sides): under
@@ -615,6 +626,10 @@ object Relational {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
     "q_pct_change" ->
       """SELECT user_id, event_id,
          value / nullif(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1 AS pct
