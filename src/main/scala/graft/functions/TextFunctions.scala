@@ -82,6 +82,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
 
+  // PII patterns restricted to syntax both Java regex and RE2 (DuckDB)
+  // compile identically — no backrefs, no lookaround, so the DuckDB
+  // oracle replica (regexp_replace ... 'g') masks the same spans
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Mask common PII spans before a corpus ships to training: emails,
+    * then IPv4 addresses, then NNN-NNN-NNNN phone numbers (this order —
+    * emails and IPs contain digit runs a phone pattern could clip).
+    * Pure codegen'd regexp_replace chain, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Word n-gram shingles (n consecutive tokens, space-joined). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -93,6 +93,11 @@ object Pipeline {
         .select(col("media_id"), col("n_frames"), col("frame_idx"))
     }),
 
+    // PII masking: emails / IPv4 / phone spans replaced before training
+    "q_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.redactPii(col("text")).as("clean_text"))),
+
     // batch sessionization: gaps-and-islands per user at a 1-hour gap
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
@@ -253,6 +258,15 @@ object Pipeline {
     "q_multimodal" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
          FROM documents""",
+    // backslashes interpolate raw: DuckDB single-quoted strings have no
+    // escape processing, so RE2 sees the same pattern Java does
+    "q_redact" ->
+      s"""SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '${TF.EmailRe}', '<EMAIL>', 'g'),
+            '${TF.Ipv4Re}', '<IP>', 'g'),
+            '${TF.PhoneRe}', '<PHONE>', 'g') AS clean_text
+          FROM documents""",
     // gaps-and-islands replica: µs epochs are integers in both engines
     // (ns ts truncated to µs), so the gap test and the running break
     // sum are exact; only sum_value is float and it is rounded like

@@ -68,6 +68,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("apple", 3L, 2L), ("cherry", 3L, 2L)))
   }
 
+  test("redactPii masks emails, IPs, and phone numbers but not clean text") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      "mail a.b+c@ex.co and 10.0.0.1 then 555-123-4567 twice x@y.org",
+      "clean text no pii 1.2 3.4",
+      "versions 1.2.3.4 are masked as ip by design"
+    ).toDF("text")
+    val out = df.select(TF.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> and <IP> then <PHONE> twice <EMAIL>")
+    assert(out(1) == "clean text no pii 1.2 3.4")
+    assert(out(2) == "versions <IP> are masked as ip by design")
+  }
+
   test("connected components merge transitive pairs and leave islands apart") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
