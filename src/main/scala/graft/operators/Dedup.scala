@@ -140,6 +140,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus n-gram overlap — the decontamination primitive: for
+    * every (corpus doc, probe doc) pair sharing at least one shingle,
+    * exact jaccard plus CONTAINMENT = |A∩B| / |probe shingles| (the
+    * decontamination metric of record: a benchmark item fully quoted
+    * inside a long document has low jaccard but containment 1). Same
+    * candidate shape as [[jaccardPairs]] — shingles travel as XXH64
+    * longs, stop-shingles capped on the corpus side, intersections
+    * counted per pair through a key-equality join. */
+  def crossJaccardPairs(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      containmentThreshold: Double = 0.5,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    def side(df: DataFrame, tag: String) = {
+      val arr = df.select(col(idCol).as(s"id_$tag"),
+        TextHashColumns.shingleHashes(col(textCol), shingleN).as("shs"))
+      (arr.select(col(s"id_$tag"), size(col("shs")).as(s"n_$tag")),
+        arr.select(col(s"id_$tag"), explode(col("shs")).as("sh")))
+    }
+    val (cSizes, cSh) = side(corpus, "c")
+    val (pSizes, pSh) = side(probes, "p")
+    val inter = capBuckets(cSh.withColumnRenamed("id_c", "id"), Seq("sh"), maxShingleFreq)
+      .select(col("id").as("id_c"), col("sh"))
+      .join(pSh, Seq("sh"))
+      .groupBy(col("id_c"), col("id_p"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cSizes, Seq("id_c"))
+      .join(pSizes, Seq("id_p"))
+      .select(col("id_c"), col("id_p"),
+        round(col("i").cast("double") / (col("n_c") + col("n_p") - col("i")), 4).as("jaccard"),
+        round(col("i").cast("double") / col("n_p"), 4).as("containment"))
+      .filter(col("containment") >= containmentThreshold)
+  }
+
+  /** Drop corpus documents contaminated by any probe above the
+    * containment threshold — a left-anti join on the flagged ids. */
+  def decontaminate(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      containmentThreshold: Double = 0.5,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val flagged = crossJaccardPairs(corpus, probes, idCol, textCol,
+        shingleN, containmentThreshold, maxShingleFreq)
+      .select(col("id_c").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, pair space
     * bounded by an existing bucket column (a cluster / label / shard
     * key): shuffle join on the bucket key — the 100 TB shape when the

@@ -93,6 +93,15 @@ object Pipeline {
         .select(col("media_id"), col("n_frames"), col("frame_idx"))
     }),
 
+    // decontamination: benchmark items (probe = low doc_ids) checked for
+    // n-gram containment inside the training corpus (the rest)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", shingleN = 5, containmentThreshold = 0.2)
+    }),
+
     // PII masking: emails / IPv4 / phone spans replaced before training
     "q_redact" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -258,6 +267,26 @@ object Pipeline {
     "q_multimodal" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
          FROM documents""",
+    "q_decontaminate" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $TokSql AS tk
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.doc_id AS id_c, p.doc_id AS id_p, count(*) AS i
+           FROM sh c JOIN sh p ON c.s = p.s AND c.doc_id >= 50 AND p.doc_id < 50
+           GROUP BY 1, 2)
+         SELECT id_c, id_p, jaccard, containment FROM (
+           SELECT id_c, id_p,
+                  round(i * 1.0 / (nc.n + np.n - i), 4) AS jaccard,
+                  round(i * 1.0 / np.n, 4) AS containment
+           FROM inter
+           JOIN sizes nc ON id_c = nc.doc_id
+           JOIN sizes np ON id_p = np.doc_id)
+         WHERE containment >= 0.2""",
     // backslashes interpolate raw: DuckDB single-quoted strings have no
     // escape processing, so RE2 sees the same pattern Java does
     "q_redact" ->

@@ -160,6 +160,29 @@ class TextDedupSpec extends SparkSpec {
     assert(uncapped == 50L * 49 / 2 + 1)
   }
 
+  test("crossJaccardPairs flags a benchmark item quoted inside a long document") {
+    import spark.implicits._
+    val probe = "alpha beta gamma delta epsilon zeta eta theta"  // 8 toks → 4 5-shingles
+    val corpus = Seq(
+      (100L, s"lots of unrelated leading words here then $probe and trailing content afterwards too"),
+      (101L, "completely different text about catalyst plans and shuffles going on")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, probe)).toDF("doc_id", "text")
+    val out = Dedup.crossJaccardPairs(corpus, probes, "doc_id", "text",
+        shingleN = 5, containmentThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 1)
+    val (idC, idP, jac, containment) = out(0)
+    assert(idC == 100L && idP == 1L)
+    assert(containment == 1.0, s"full quote must have containment 1, got $containment")
+    assert(jac < 0.5, "jaccard alone would have missed the quoted benchmark item")
+    // removal drops exactly the contaminated doc
+    val kept = Dedup.decontaminate(corpus, probes, "doc_id", "text",
+        shingleN = 5, containmentThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L))
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other")).toDF("doc_id", "text")
