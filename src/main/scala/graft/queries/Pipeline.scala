@@ -93,6 +93,15 @@ object Pipeline {
         .select(col("media_id"), col("n_frames"), col("frame_idx"))
     }),
 
+    // sequence packing into 256-token training bins. Rows-only: pack
+    // assignment is partition-order-dependent by design; the invariants
+    // (row count = doc count, bins within budget) are spec-pinned.
+    "q_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCount(col("text")).as("n_tok"))
+      graft.operators.Pack.greedyPack(docs, "doc_id", "n_tok", budget = 256)
+    }),
+
     // decontamination: benchmark items (probe = low doc_ids) checked for
     // n-gram containment inside the training corpus (the rest)
     "q_decontaminate" -> ((s, dir) => {

@@ -68,6 +68,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("apple", 3L, 2L), ("cherry", 3L, 2L)))
   }
 
+  test("greedyPack fills bins to the budget, isolates oversized docs, keeps every doc") {
+    import spark.implicits._
+    import graft.operators.Pack
+    val docs = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), // 1+2 fit a 256 bin, 3 spills
+      (4L, 999L),                         // oversized: own pack
+      (5L, 10L)
+    ).toDF("doc_id", "n_tok").coalesce(1)
+    val out = Pack.greedyPack(docs, "doc_id", "n_tok", budget = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L), "a document was dropped")
+    val byPack = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    // every pack within budget unless it holds a single oversized doc
+    byPack.foreach { case (pack, total) =>
+      val members = out.filter(_._3 == pack)
+      assert(total <= 256 || members.length == 1,
+        s"pack $pack holds $total tokens across ${members.length} docs")
+    }
+    // greedy trace on one partition: {1,2} fill bin0; 3 opens bin1; the
+    // oversized 4 opens bin2 alone; 5 can't join a full bin -> bin3
+    val packOf = out.map(t => t._1 -> t._3).toMap
+    assert(packOf(1L) == packOf(2L))
+    assert(packOf(3L) != packOf(1L))
+    assert(out.count(_._3 == packOf(4L)) == 1, "oversized doc must pack alone")
+  }
+
   test("redactPii masks emails, IPs, and phone numbers but not clean text") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
