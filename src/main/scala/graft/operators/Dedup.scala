@@ -164,8 +164,7 @@ object Dedup {
     }
     val (cSizes, cSh) = side(corpus, "c")
     val (pSizes, pSh) = side(probes, "p")
-    val inter = capBuckets(cSh.withColumnRenamed("id_c", "id"), Seq("sh"), maxShingleFreq)
-      .select(col("id").as("id_c"), col("sh"))
+    val inter = capBuckets(cSh, Seq("sh"), maxShingleFreq)
       .join(pSh, Seq("sh"))
       .groupBy(col("id_c"), col("id_p"))
       .agg(count(lit(1)).as("i"))

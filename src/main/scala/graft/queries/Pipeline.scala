@@ -284,9 +284,14 @@ object Pipeline {
            SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
            FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         capped_c AS (
+           SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS f
+             FROM sh WHERE doc_id >= 50)
+           WHERE f <= 1000),
          inter AS (
            SELECT c.doc_id AS id_c, p.doc_id AS id_p, count(*) AS i
-           FROM sh c JOIN sh p ON c.s = p.s AND c.doc_id >= 50 AND p.doc_id < 50
+           FROM capped_c c JOIN sh p ON c.s = p.s AND p.doc_id < 50
            GROUP BY 1, 2)
          SELECT id_c, id_p, jaccard, containment FROM (
            SELECT id_c, id_p,

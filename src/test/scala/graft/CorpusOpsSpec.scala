@@ -94,6 +94,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.count(_._3 == packOf(4L)) == 1, "oversized doc must pack alone")
   }
 
+  test("a zero-token doc cannot share a pack with an oversized doc; bad inputs fail fast") {
+    import spark.implicits._
+    import graft.operators.Pack
+    val docs = Seq((1L, 0L), (2L, 999L), (3L, 5L)).toDF("doc_id", "n_tok").coalesce(1)
+    val out = Pack.greedyPack(docs, "doc_id", "n_tok", budget = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val packOf = out.toMap
+    assert(packOf(1L) != packOf(2L), "oversized doc joined a zero-token doc's pack")
+    assert(out.count(_._2 == packOf(2L)) == 1)
+    // non-integral id column fails on the driver with a clear message
+    val badIds = Seq(("a", 10L)).toDF("doc_id", "n_tok")
+    assertThrows[IllegalArgumentException](
+      Pack.greedyPack(badIds, "doc_id", "n_tok", 256))
+    // null token count packs as zero, not an executor NPE
+    val nullTok = Seq((1L, Option(5L)), (2L, None: Option[Long])).toDF("doc_id", "n_tok")
+    val n = Pack.greedyPack(nullTok, "doc_id", "n_tok", 256).collect()
+    assert(n.length == 2 && n.forall(_.getLong(1) >= 0))
+  }
+
   test("redactPii masks emails, IPs, and phone numbers but not clean text") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
