@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{TextFunctions => TF}
 
@@ -34,5 +35,29 @@ object Vocab {
       .groupBy(col("token")).agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(k)
+  }
+
+  /** Top-`k` keywords per document by tf-idf (tf · ln(N/df)) — the
+    * keyword-extraction / topic-tagging pass. One corpus count job for
+    * N, then the same two-level aggregation as [[topK]]; the per-doc
+    * top-k ranks over the ROUNDED score (4dp) with a token tie-break,
+    * so the cut is deterministic and engine-independent (raw-double
+    * ordering would let a ulp of libm `ln` reorder near-ties). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = docs.count()
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(TF.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    // df = rows per token in the (id, token) table — already distinct
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("token"), col("tfidf"))
   }
 }

@@ -125,6 +125,10 @@ object Pipeline {
     "q_vocab" -> ((s, dir) =>
       Vocab.topK(t(s, dir, "documents"), "doc_id", "text", k = 100)),
 
+    // keyword extraction: top-3 tf-idf terms per document
+    "q_tfidf" -> ((s, dir) =>
+      Vocab.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
     // near-dup clusters: connected components over the exact-jaccard
     // candidate pairs — the keep-one-per-cluster step after pair finding
     "q_dedup_cluster" -> ((s, dir) =>
@@ -276,6 +280,23 @@ object Pipeline {
     "q_multimodal" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
          FROM documents""",
+    // rank over the 4dp-rounded score with a token tie-break — raw
+    // doubles would let a ulp of ln() reorder near-ties across engines
+    "q_tfidf" ->
+      s"""WITH toks AS (
+           SELECT doc_id AS id, unnest($TokSql) AS token FROM documents),
+         tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT id, token, round(tf * ln(n.n * 1.0 / df.df), 4) AS tfidf
+           FROM tf JOIN df USING (token), n)
+         SELECT id, token, tfidf FROM (
+           SELECT id, token, tfidf,
+                  row_number() OVER (PARTITION BY id
+                                     ORDER BY tfidf DESC, token) AS rn
+           FROM scored)
+         WHERE rn <= 3""",
     "q_decontaminate" ->
       s"""WITH toks AS (
            SELECT doc_id, $TokSql AS tk

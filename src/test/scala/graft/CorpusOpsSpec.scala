@@ -94,6 +94,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.count(_._3 == packOf(4L)) == 1, "oversized doc must pack alone")
   }
 
+  test("tfidfTopK ranks distinctive terms above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2"),
+      (3L, "common filler")
+    ).toDF("doc_id", "text")
+    val out = Vocab.tfidfTopK(docs, "doc_id", "text", k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // "common" is in every doc -> idf = ln(1) = 0; the rare terms win
+    assert(out(1L)._1 == "rare1" && out(2L)._1 == "rare2" && out(3L)._1 == "filler")
+    val ln3 = math.round(math.log(3.0) * 10000) / 10000.0
+    assert(out(1L)._2 == ln3, s"tf=1 df=1 n=3 -> ln(3), got ${out(1L)._2}")
+  }
+
   test("a zero-token doc cannot share a pack with an oversized doc; bad inputs fail fast") {
     import spark.implicits._
     import graft.operators.Pack
