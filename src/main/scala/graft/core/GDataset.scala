@@ -438,6 +438,29 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       }
     }
 
+  /** Insert the missing regular-grid rows per id_vars group — polars
+    * `upsample` (forwarded surface): every `step` index units between
+    * each group's min and max index gets a row, original (possibly
+    * off-grid) rows are retained, inserted rows carry null values —
+    * the precursor to [[ffill]]/[[interpolate]]. The index must cast
+    * to long (epoch seconds/micros or an integer axis) so grid points
+    * join on exact integer equality — a float grid would drift off the
+    * originals. One aggregation for the per-group extrema, a generated
+    * grid (no driver loop), and a full outer join on (id_vars, index). */
+  def upsample(step: Long): GDataset = {
+    require(step > 0, "step must be positive")
+    val ids = prunedIdVars
+    transform { d =>
+      val longIdx = d.withColumn(index, col(index).cast("long"))
+      val grid = longIdx
+        .groupBy(ids.map(col): _*)
+        .agg(min(col(index)).as("__mn"), max(col(index)).as("__mx"))
+        .select(ids.map(col) :+
+          explode(sequence(col("__mn"), col("__mx"), lit(step))).as(index): _*)
+      grid.join(longIdx, ids :+ index, "full_outer")
+    }
+  }
+
   /** Linear interpolation of nulls over the index per id_vars group
     * (polars `interpolate`): nulls between two observations get the
     * line through them; leading/trailing nulls stay null. Two window

@@ -177,6 +177,19 @@ object Reference {
         .fetch(col("event_id"), col("v"))
     }),
 
+    // upsample: hourly grid rows inserted per user between min and max
+    // event second; originals retained, inserted rows null (polars
+    // upsample). Integer epoch-second index -> exact grid equality.
+    "q_upsample" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("x"),
+        col("value"))
+      GDataset(ev, "x", Seq("user_id"))
+        .upsample(3600L)
+        .fetch(col("user_id"), col("x"), col("value"))
+    }),
+
     // describe: per-column summary stats in one unpivot + groupBy pass.
     // mean/std rounded to 2dp on both engines (sum-order tolerance).
     "q_describe" -> ((s, dir) =>
@@ -293,6 +306,14 @@ object Reference {
          FROM (SELECT user_id, event_id, ts,
                  CASE WHEN value < 1 THEN NULL ELSE value END AS v
                FROM events)""",
+    "q_upsample" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS x, value
+           FROM events),
+         ex AS (SELECT user_id, min(x) AS mn, max(x) AS mx FROM e GROUP BY user_id),
+         g AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS x FROM ex)
+         SELECT user_id, x, value
+         FROM g FULL JOIN e USING (user_id, x)""",
     "q_interpolate" ->
       """SELECT event_id,
          CASE WHEN v IS NOT NULL THEN v

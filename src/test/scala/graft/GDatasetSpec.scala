@@ -89,6 +89,19 @@ class GDatasetSpec extends SparkSpec {
     assert(mn.asInstanceOf[Double] <= mx.asInstanceOf[Double])
   }
 
+  test("upsample inserts grid rows, keeps off-grid originals, nulls new values") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 7200L, 3.0), (2L, 50L, 9.0))
+      .toDF("k", "x", "v")
+    val out = GDataset(df, "x", Seq("k")).upsample(3600L).df
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // group 1 grid {0, 3600, 7200} + off-grid original 100; group 2 singleton
+    assert(out.keySet == Set((1L, 0L), (1L, 100L), (1L, 3600L), (1L, 7200L), (2L, 50L)))
+    assert(out((1L, 3600L)) == null, "inserted grid row must carry a null value")
+    assert(out((1L, 100L)) == 2.0 && out((1L, 0L)) == 1.0 && out((2L, 50L)) == 9.0)
+  }
+
   test("mapGroupsSeries runs a custom per-group kernel (z-score)") {
     import spark.implicits._
     val df = Seq(
