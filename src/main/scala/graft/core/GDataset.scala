@@ -438,26 +438,43 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       }
     }
 
-  /** Insert the missing regular-grid rows per id_vars group — polars
-    * `upsample` (forwarded surface): every `step` index units between
-    * each group's min and max index gets a row, original (possibly
-    * off-grid) rows are retained, inserted rows carry null values —
-    * the precursor to [[ffill]]/[[interpolate]]. The index must cast
-    * to long (epoch seconds/micros or an integer axis) so grid points
-    * join on exact integer equality — a float grid would drift off the
-    * originals. One aggregation for the per-group extrema, a generated
-    * grid (no driver loop), and a full outer join on (id_vars, index). */
-  def upsample(step: Long): GDataset = {
+  /** Regular-grid resample rows per id_vars group — polars `upsample`
+    * (forwarded surface, polars_dataset.py:61-78): every `step` index
+    * units between each group's min and max index gets a row; values
+    * come from originals that land EXACTLY on a grid point, all other
+    * grid rows are null — polars' grid-left join, where off-grid
+    * originals are dropped (`keepOffGrid = true` keeps them instead,
+    * via a full outer join — the variant that feeds [[interpolate]]
+    * without losing observations). The index must cast to long (epoch
+    * seconds/micros or an integer axis) so grid points join on exact
+    * integer equality — a float grid would drift off the originals.
+    *
+    * The grid is generated in bounded chunks (≤4096 points per
+    * exploded array), so a month-long µs-index span at a small step
+    * cannot materialize one giant per-group array (Spark `sequence`
+    * caps at 2^31 elements and a single wide row OOMs long before
+    * that); one extrema aggregation, no driver loop. */
+  def upsample(step: Long, keepOffGrid: Boolean = false): GDataset = {
     require(step > 0, "step must be positive")
     val ids = prunedIdVars
     transform { d =>
       val longIdx = d.withColumn(index, col(index).cast("long"))
-      val grid = longIdx
+      val chunk = 4096L
+      val span = lit(step * chunk)
+      val extrema = longIdx
         .groupBy(ids.map(col): _*)
         .agg(min(col(index)).as("__mn"), max(col(index)).as("__mx"))
+      val grid = extrema
+        .select((ids.map(col) :+ col("__mn") :+ col("__mx") :+
+          explode(sequence(
+            lit(0L),
+            ((col("__mx") - col("__mn")) / span).cast("long"))).as("__chunk")): _*)
         .select(ids.map(col) :+
-          explode(sequence(col("__mn"), col("__mx"), lit(step))).as(index): _*)
-      grid.join(longIdx, ids :+ index, "full_outer")
+          explode(sequence(
+            col("__mn") + col("__chunk") * span,
+            least(col("__mn") + (col("__chunk") + 1) * span - step, col("__mx")),
+            lit(step))).as(index): _*)
+      grid.join(longIdx, ids :+ index, if (keepOffGrid) "full_outer" else "left_outer")
     }
   }
 

@@ -177,9 +177,10 @@ object Reference {
         .fetch(col("event_id"), col("v"))
     }),
 
-    // upsample: hourly grid rows inserted per user between min and max
-    // event second; originals retained, inserted rows null (polars
-    // upsample). Integer epoch-second index -> exact grid equality.
+    // upsample: hourly grid rows per user between min and max event
+    // second; values only where an original lands exactly on the grid
+    // (polars upsample grid-left join). Integer epoch-second index ->
+    // exact grid equality.
     "q_upsample" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
         col("user_id"),
@@ -313,7 +314,7 @@ object Reference {
          ex AS (SELECT user_id, min(x) AS mn, max(x) AS mx FROM e GROUP BY user_id),
          g AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS x FROM ex)
          SELECT user_id, x, value
-         FROM g FULL JOIN e USING (user_id, x)""",
+         FROM g LEFT JOIN e USING (user_id, x)""",
     "q_interpolate" ->
       """SELECT event_id,
          CASE WHEN v IS NOT NULL THEN v

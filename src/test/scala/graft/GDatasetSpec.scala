@@ -89,17 +89,31 @@ class GDatasetSpec extends SparkSpec {
     assert(mn.asInstanceOf[Double] <= mx.asInstanceOf[Double])
   }
 
-  test("upsample inserts grid rows, keeps off-grid originals, nulls new values") {
+  test("upsample emits grid rows polars-style; keepOffGrid retains off-grid originals") {
     import spark.implicits._
     val df = Seq((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 7200L, 3.0), (2L, 50L, 9.0))
       .toDF("k", "x", "v")
-    val out = GDataset(df, "x", Seq("k")).upsample(3600L).df
-      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+    def collect(ds: GDataset) = ds.df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
         (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
-    // group 1 grid {0, 3600, 7200} + off-grid original 100; group 2 singleton
-    assert(out.keySet == Set((1L, 0L), (1L, 100L), (1L, 3600L), (1L, 7200L), (2L, 50L)))
-    assert(out((1L, 3600L)) == null, "inserted grid row must carry a null value")
-    assert(out((1L, 100L)) == 2.0 && out((1L, 0L)) == 1.0 && out((2L, 50L)) == 9.0)
+    // polars parity: grid {0, 3600, 7200}; the off-grid row at 100 drops
+    val polars = collect(GDataset(df, "x", Seq("k")).upsample(3600L))
+    assert(polars.keySet == Set((1L, 0L), (1L, 3600L), (1L, 7200L), (2L, 50L)))
+    assert(polars((1L, 3600L)) == null, "inserted grid row must carry a null value")
+    assert(polars((1L, 0L)) == 1.0 && polars((1L, 7200L)) == 3.0 && polars((2L, 50L)) == 9.0)
+    // the interpolate-feeding variant keeps the observation at 100
+    val kept = collect(GDataset(df, "x", Seq("k")).upsample(3600L, keepOffGrid = true))
+    assert(kept.keySet == polars.keySet + ((1L, 100L)))
+    assert(kept((1L, 100L)) == 2.0)
+  }
+
+  test("upsample chunks long grids instead of one giant per-group array") {
+    import spark.implicits._
+    // 10001 grid points at step 5 spans three 4096-point chunks
+    val df = Seq((1L, 0L, 1.0), (1L, 50000L, 2.0)).toDF("k", "x", "v")
+    val out = GDataset(df, "x", Seq("k")).upsample(5L).df
+    assert(out.count() == 10001)
+    assert(out.select("x").distinct().count() == 10001, "chunk seams duplicated grid points")
   }
 
   test("mapGroupsSeries runs a custom per-group kernel (z-score)") {
