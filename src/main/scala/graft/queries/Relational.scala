@@ -505,6 +505,25 @@ object Relational {
           .as("rmed"))
     }),
 
+    // rolling quantile (polars rolling_quantile, linear interpolation)
+    // over the trailing 4 rows: pos = (n-1)·q with q = 0.25, so the
+    // fraction is an exact binary value in both engines and the lerp
+    // is bit-identical — no rounding needed
+    "q_rolling_quantile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      val sorted = sort_array(collect_list(col("value")).over(w))
+      val pos = (size(sorted) - 1).cast("double") * 0.25
+      val lo = floor(pos).cast("int")
+      val frac = pos - lo
+      val base = element_at(sorted, lo + 1)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        when(frac === 0, base)
+          .otherwise(base + (element_at(sorted, lo + 2) - base) * frac)
+          .as("rq25"))
+    }),
+
     // banded range join (graft.operators.RangeJoin): interval
     // containment as a band-key EQUALITY join, not a nested loop
     "q_range_join" -> ((s, dir) =>
@@ -757,6 +776,19 @@ object Relational {
              list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS sl
            FROM events)""",
+    "q_rolling_quantile" ->
+      """SELECT user_id, event_id,
+         CASE WHEN frac = 0 THEN sl[lo + 1]
+              ELSE sl[lo + 1] + (sl[lo + 2] - sl[lo + 1]) * frac END AS rq25
+         FROM (
+           SELECT user_id, event_id, sl,
+             CAST(floor((len(sl) - 1) * 0.25) AS INT) AS lo,
+             (len(sl) - 1) * 0.25 - floor((len(sl) - 1) * 0.25) AS frac
+           FROM (
+             SELECT user_id, event_id,
+               list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) AS sl
+             FROM events))""",
     "q_cast" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(floor(l_extendedprice) AS BIGINT) AS price_int,
