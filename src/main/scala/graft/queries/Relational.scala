@@ -229,6 +229,18 @@ object Relational {
         trim(substring(col("text"), 1, 30)).as("head_trim"))
     }),
 
+    // string namespace, regex side (polars str.extract / replace /
+    // pad_start / split.first): capture-group extract and padding are
+    // RE2/Java-common syntax, same as the redaction rules
+    "q_str_extract" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "\\b(\\w{7,})\\b", 1).as("first_long_word"),
+        regexp_replace(col("text"), "\\d+", "#").as("digits_masked"),
+        lpad(col("lang"), 5, "_").as("lang_padded"),
+        split(col("text"), " ", 2).getItem(0).as("first_token"))
+    }),
+
     // datetime namespace: year/month/day/weekday/quarter
     "q_dt_ops" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -820,6 +832,13 @@ object Relational {
          CAST(contains(text, 'the') AS INT) AS has_the,
          length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
          trim(substr(text, 1, 30)) AS head_trim
+         FROM documents""",
+    "q_str_extract" ->
+      """SELECT doc_id,
+         regexp_extract(text, '\b(\w{7,})\b', 1) AS first_long_word,
+         regexp_replace(text, '\d+', '#', 'g') AS digits_masked,
+         lpad(lang, 5, '_') AS lang_padded,
+         split_part(text, ' ', 1) AS first_token
          FROM documents""",
     "q_dt_ops" ->
       """SELECT o_orderkey,
