@@ -229,6 +229,18 @@ object Relational {
         trim(substring(col("text"), 1, 30)).as("head_trim"))
     }),
 
+    // vector namespace over the embedding column: L2 norm and max
+    // magnitude. Elements cast to double BEFORE any arithmetic (the
+    // same rule the cosine oracles use), so both engines square and
+    // accumulate the identical doubles in the identical order
+    "q_vector_norms" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 4).as("l2_norm"),
+        round(array_max(transform(v, x => abs(x))), 4).as("max_abs"))
+    }),
+
     // string namespace, regex side (polars str.extract / replace /
     // pad_start / split.first): capture-group extract and padding are
     // RE2/Java-common syntax, same as the redaction rules
@@ -833,6 +845,13 @@ object Relational {
          length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len,
          trim(substr(text, 1, 30)) AS head_trim
          FROM documents""",
+    "q_vector_norms" ->
+      """SELECT vec_id,
+         round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x), 'sum')), 4) AS l2_norm,
+         round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))), 4) AS max_abs
+         FROM embeddings""",
     "q_str_extract" ->
       """SELECT doc_id,
          regexp_extract(text, '\b(\w{7,})\b', 1) AS first_long_word,
