@@ -77,6 +77,40 @@ object TextFunctions {
     round((lenScore + punctScore + stopScore) / lit(3.0), 4)
   }
 
+  /** Fraction of characters that are neither alphanumeric nor
+    * whitespace — the "symbol soup" signal of boilerplate/markup. */
+  def symbolRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean word length over non-whitespace chars — degenerate docs
+    * (char soup, minified code) land far outside the natural-language
+    * 2..12 band. */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Gopher-style quality gate: the FIRST failing rule's name, or "ok".
+    * Rule order is fixed (cheapest signals first) so the reason is
+    * deterministic; `keep = reason == "ok"`. Thresholds follow the
+    * published Gopher/C4 heuristics scaled to short synthetic docs. */
+  def filterReason(
+      text: Column,
+      minWords: Int = 5,
+      maxWords: Int = 1000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1): Column = {
+    val nw = tokenCount(text)
+    val mwl = meanWordLen(text)
+    when(nw < minWords, "too_short")
+      .when(nw > maxWords, "too_long")
+      .when(mwl < minMeanWordLen || mwl > maxMeanWordLen, "word_len")
+      .when(symbolRatio(text) > maxSymbolRatio, "symbols")
+      .when(stopwordHits(text, Stopwords.flatMap(_._2)) === 0, "no_stopwords")
+      .otherwise("ok")
+  }
+
   /** Content fingerprint: md5 of lowercased alphanumeric-only text —
     * the normalized-hash dedup key. */
   def fingerprint(text: Column): Column =

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation (SURVEY.md §2.3).
+  *
+  * Both samplers are pure functions of a key column — the kept set is
+  * identical across partitionings, reruns, cluster sizes, and engines
+  * (reference: polars `sample(seed=)` can only promise that on one
+  * machine; at 100 TB reproducibility must not depend on row order).
+  * No shuffle: the predicate evaluates row-local inside the scan.
+  */
+object Sampling {
+
+  private def hexBucket(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 1)
+
+  /** Keep rows whose md5(key) falls in the first `sixteenths`/16 of hex
+    * space — the flat-rate form (GDataset.sampleByHash exposes the same
+    * predicate on the wrapper). */
+  def hashSample(df: DataFrame, key: Column, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 0 && sixteenths <= 16, "sixteenths must be in [0, 16]")
+    if (sixteenths == 16) df
+    else df.filter(hexBucket(key) < lit(sixteenths.toHexString))
+  }
+
+  /** Stratified hash sample: a per-stratum keep rate (in sixteenths of
+    * hash space), e.g. down-sample dominant languages while keeping the
+    * long tail whole — the corpus-rebalancing step of a training
+    * pipeline. Strata missing from `rates` use `defaultSixteenths`.
+    * The rate threshold compiles to a codegen'd when-chain over the
+    * stratum column; rows never shuffle.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      rates: Map[String, Int],
+      defaultSixteenths: Int): DataFrame = {
+    (rates.values.toSeq :+ defaultSixteenths).foreach(r =>
+      require(r >= 0 && r <= 16, s"rate $r not in [0, 16]"))
+    // rate 16 can't be expressed as a single-hex-char compare — use the
+    // always-true sentinel 'g' (sorts after every hex digit)
+    def hex(r: Int): String = if (r == 16) "g" else r.toHexString
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(hex(defaultSixteenths))) {
+      case (acc, (value, r)) => when(stratum === value, lit(hex(r))).otherwise(acc)
+    }
+    df.filter(hexBucket(key) < threshold)
+  }
+}

@@ -137,7 +137,8 @@ object Pipeline {
           shingleN = 5, threshold = 0.5)))
   )
 
-  private val TokSql =
+  // shared with Relational's list-namespace oracle
+  private[queries] val TokSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   // exact 5-gram jaccard pairs at threshold 0.5 — replica of

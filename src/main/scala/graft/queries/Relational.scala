@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables.t
+import graft.queries.Pipeline.TokSql
 
 /** Relational core of the engine (SURVEY.md §2.2): the polars
   * DataFrame surface the reference forwards to, re-expressed as lazy
@@ -558,7 +559,139 @@ object Relational {
           (col("p_retailprice") - 1).as("lo"), (col("p_retailprice") + 1).as("hi")),
         "l_extendedprice", "lo", "hi", bandWidth = 2.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
-          col("l_extendedprice")))
+          col("l_extendedprice"))),
+
+    // rle_id (polars): run-length id per key — a new run whenever the
+    // value changes; one lag pass + one running sum over the same
+    // window order, so the key shuffles once
+    "q_rle" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("event_type"), 1).over(w)
+      t(s, dir, "events")
+        .withColumn("brk",
+          when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+        .select(col("user_id"), col("event_id"),
+          sum(col("brk")).over(wRun).cast("long").as("run_id"))
+    }),
+
+    // replace_strict (polars): value remap through a broadcast-joined
+    // literal mapping table — the at-scale form of a when-chain once the
+    // dictionary stops being tiny; unmapped values fall to the default
+    "q_replace_strict" -> ((s, dir) => {
+      val mapping = s.createDataFrame(Seq(
+        ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3), ("5-LOW", 5)))
+        .toDF("o_orderpriority", "prio_rank")
+      t(s, dir, "orders")
+        .join(broadcast(mapping), Seq("o_orderpriority"), "left")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          coalesce(col("prio_rank"), lit(0)).as("prio_rank"))
+    }),
+
+    // hist (polars Series.hist): fixed-width value binning + count —
+    // single partial-agg pass, bins derived arithmetically (no
+    // per-row table lookup)
+    "q_hist" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select((floor(col("n_chars") / lit(100.0)).cast("long") * 100).as("bin_lo"))
+        .groupBy(col("bin_lo"))
+        .agg(count(lit(1)).as("n"))),
+
+    // gather_every (polars): every 3rd row per key in index order —
+    // positional semantics stay distributed because the position is
+    // per-group, never a global row number
+    "q_gather_every" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") - 1) % 3 === 0)
+        .select(col("user_id"), col("event_id"), col("rn"))
+    }),
+
+    // arg_max / arg_min (polars): the key attaining the extreme value,
+    // via min/max over a (value, key) struct — partial-agg friendly
+    // (no window pass over the whole table), ties resolve to the
+    // extreme key deterministically
+    "q_arg_minmax" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(struct(col("l_extendedprice"), col("l_orderkey")))
+            .getField("l_orderkey").as("argmax_key"),
+          min(struct(col("l_extendedprice"), col("l_orderkey")))
+            .getField("l_orderkey").as("argmin_key"),
+          max(col("l_extendedprice")).as("max_price"))),
+
+    // datetime namespace, arithmetic side (polars dt.truncate /
+    // offset_by / month_end): codegen'd date math; date outputs cross
+    // the oracle as strings (bare DATE columns render differently)
+    "q_dt_arith" -> ((s, dir) => {
+      val d = col("o_orderdate").cast("date")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_trunc("week", col("o_orderdate")).cast("date").cast("string").as("week_start"),
+        add_months(d, 1).cast("string").as("next_month"),
+        last_day(d).cast("string").as("month_end"),
+        datediff(d, lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+    }),
+
+    // list namespace over a real list value (split tokens): distinct
+    // count / contains / slice+join — all codegen'd array builtins,
+    // token split identical to the text-pipeline tokenizer
+    "q_list_words" -> ((s, dir) => {
+      val words = filter(split(col("text"), "\\s+"), x => x =!= "")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_distinct"),
+        array_contains(words, "the").cast("int").as("has_the"),
+        concat_ws("|", slice(words, 1, 3)).as("first3"))
+    }),
+
+    // windowed cum_prod (polars rolling product): fold over the
+    // trailing-5 frame list — both engines multiply the same doubles in
+    // the same frame order, so the product is bit-identical before the
+    // rounding; an unbounded product belongs in ln/exp space
+    "q_cum_prod" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      val factors = collect_list(lit(1.0) + col("value") / 1000.0).over(w)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(aggregate(factors, lit(1.0), (acc, x) => acc * x), 6).as("prod5"))
+    }),
+
+    // peak_max (polars): strict local maxima per key — one lag + one
+    // lead over a single window order, edges are not peaks
+    "q_peaks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("value"), 1).over(w)
+      val nxt = lead(col("value"), 1).over(w)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        (prev.isNotNull && nxt.isNotNull &&
+          col("value") > prev && col("value") > nxt).cast("int").as("is_peak"))
+    }),
+
+    // group first/last in index order (polars group_by agg first/last):
+    // min_by/max_by over the (ts, event_id) struct — partial-agg
+    // friendly, no window pass; (ts, event_id) is unique per user
+    "q_first_last" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_type"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"),
+          count(lit(1)).as("n"))),
+
+    // binary namespace (polars bin): byte length / base64 — binary
+    // payloads measured and re-encoded without leaving codegen
+    "q_binary_ops" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        bit_length(col("text").cast("binary")).as("n_bits"),
+        base64(substring(col("text"), 1, 9).cast("binary")).as("head_b64")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -877,6 +1010,88 @@ object Relational {
          count(*) OVER w AS rn3d
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                      RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)"""
+                      RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)""",
+    "q_rle" ->
+      """SELECT user_id, event_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS run_id
+         FROM (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""",
+    "q_replace_strict" ->
+      """SELECT o_orderkey, o_orderpriority,
+         coalesce(m.prio_rank, 0) AS prio_rank
+         FROM orders LEFT JOIN (
+           VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3), ('5-LOW', 5)
+         ) m(o_orderpriority, prio_rank) USING (o_orderpriority)""",
+    "q_hist" ->
+      """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) * 100 AS bin_lo, count(*) AS n
+         FROM documents GROUP BY 1""",
+    "q_gather_every" ->
+      """SELECT user_id, event_id, rn FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events)
+         WHERE (rn - 1) % 3 = 0""",
+    "q_arg_minmax" ->
+      """SELECT l_returnflag,
+         max(CASE WHEN rmax = 1 THEN l_orderkey END) AS argmax_key,
+         max(CASE WHEN rmin = 1 THEN l_orderkey END) AS argmin_key,
+         max(l_extendedprice) AS max_price
+         FROM (
+           SELECT l_returnflag, l_orderkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC, l_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rmin
+           FROM lineitem)
+         GROUP BY l_returnflag""",
+    "q_dt_arith" ->
+      """SELECT o_orderkey,
+         CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR) AS week_start,
+         CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS next_month,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+         FROM orders""",
+    "q_list_words" ->
+      s"""SELECT doc_id,
+          len($TokSql) AS n_words,
+          len(list_distinct($TokSql)) AS n_distinct,
+          CAST(list_contains($TokSql, 'the') AS INT) AS has_the,
+          array_to_string(($TokSql)[1:3], '|') AS first3
+          FROM documents""",
+    "q_cum_prod" ->
+      """SELECT user_id, event_id,
+         round(list_aggregate(f, 'product'), 6) AS prod5
+         FROM (
+           SELECT user_id, event_id,
+             list(1.0 + value / 1000.0)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS f
+           FROM events)""",
+    "q_peaks" ->
+      """SELECT user_id, event_id,
+         CAST(CASE WHEN lag(value) OVER w IS NOT NULL
+                    AND lead(value) OVER w IS NOT NULL
+                    AND value > lag(value) OVER w
+                    AND value > lead(value) OVER w
+               THEN 1 ELSE 0 END AS INT) AS is_peak
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q_first_last" ->
+      """SELECT user_id,
+         first(event_type ORDER BY ts, event_id) AS first_type,
+         last(event_type ORDER BY ts, event_id) AS last_type,
+         count(*) AS n
+         FROM events GROUP BY user_id""",
+    "q_binary_ops" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         octet_length(encode(text)) * 8 AS n_bits,
+         to_base64(encode(substr(text, 1, 9))) AS head_b64
+         FROM documents"""
   )
 }
