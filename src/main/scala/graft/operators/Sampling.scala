@@ -48,4 +48,24 @@ object Sampling {
     }
     df.filter(hexBucket(key) < threshold)
   }
+
+  /** Keep rows per stratum until a cumulative `weight` budget is hit,
+    * in `order` within the stratum — the token-budget corpus balancer
+    * ("at most N tokens per language"). One stratum-key shuffle, one
+    * window pass; the budget cut is a pure function of (stratum,
+    * order), so it reproduces anywhere. Emits the running total as
+    * `cum_<weightCol>` for auditability. */
+  def budgetPerStratum(
+      df: DataFrame,
+      stratum: Column,
+      order: Seq[Column],
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(order: _*)
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn(s"cum_$weightCol", sum(col(weightCol)).over(w).cast("long"))
+      .filter(col(s"cum_$weightCol") <= budget)
+  }
 }

@@ -60,4 +60,29 @@ object Vocab {
       .filter(col("rn") <= k)
       .select(col("id"), col("token"), col("tfidf"))
   }
+
+  /** Per-document word-repetition signals (the Gopher repetition
+    * filters): `dup_ratio` = fraction of tokens that are repeats of an
+    * earlier token, `top_frac` = share of the single most frequent
+    * token. Same two-level (id, token) aggregation as [[topK]] — both
+    * shuffles stay partial-agg friendly, nothing is per-occurrence
+    * past the first groupBy. Docs with zero tokens drop out (no tokens
+    * to measure). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(TF.tokens(col(textCol))).as("token"))
+    toks
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(
+        col("id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"), 4)
+          .as("dup_ratio"),
+        round(col("top_c").cast("double") / col("n_words").cast("double"), 4)
+          .as("top_frac"))
+  }
 }

@@ -134,7 +134,50 @@ object Pipeline {
     "q_dedup_cluster" -> ((s, dir) =>
       DedupCluster.connectedComponents(
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 5, threshold = 0.5)))
+          shingleN = 5, threshold = 0.5))),
+
+    // corpus rebalancing: down-sample the dominant language, keep the
+    // tail whole — deterministic hash sample, no shuffle
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        t(s, dir, "documents"), col("doc_id"), col("lang"),
+        rates = Map("en" -> 6, "zh" -> 16), defaultSixteenths = 10)
+        .select(col("doc_id"), col("lang"))),
+
+    // Gopher repetition signals: repeated-token fraction + share of the
+    // single most frequent token, per document
+    "q_repetition" -> ((s, dir) =>
+      Vocab.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // symmetric int8 embedding quantization: 4× smaller vectors for the
+    // ANN recall stage; summary stats cross the oracle, the quantized
+    // array itself is spec-tested
+    "q_embed_quant" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val q = VF.int8Quantize(col("embedding"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(VF.maxAbs(col("embedding")), 6).as("max_abs"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(q).as("q_min"),
+        array_max(q).as("q_max"))
+    }),
+
+    // per-language token budget: keep docs in doc_id order until each
+    // language hits 2000 tokens
+    "q_lang_budget" -> ((s, dir) =>
+      graft.operators.Sampling.budgetPerStratum(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("n_tok")),
+        col("lang"), Seq(col("doc_id")), "n_tok", budget = 2000)),
+
+    // Gopher-style quality gate with a first-fail reason per document
+    "q_quality_filter" -> ((s, dir) => {
+      val reason = TF.filterReason(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"), reason.as("reason"),
+        (reason === "ok").cast("int").as("keep"))
+    })
   )
 
   // shared with Relational's list-namespace oracle
@@ -376,7 +419,67 @@ object Pipeline {
            SELECT id, id AS lbl FROM nodes
            UNION
            SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
-         SELECT id, min(lbl) AS comp FROM reach GROUP BY id"""
+         SELECT id, min(lbl) AS comp FROM reach GROUP BY id""",
+    // same md5-hex-bucket predicate as the Spark side; the rate-16
+    // stratum uses the 'g' sentinel (sorts after every hex digit)
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+           CASE WHEN lang = 'en' THEN '6'
+                WHEN lang = 'zh' THEN 'g'
+                ELSE 'a' END""",
+    "q_repetition" ->
+      s"""WITH tf AS (
+           SELECT doc_id AS id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest($TokSql) AS tok FROM documents)
+           GROUP BY 1, 2)
+         SELECT id,
+           round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_ratio,
+           round(max(c) * 1.0 / sum(c), 4) AS top_frac
+         FROM tf GROUP BY id""",
+    // floor(x·scale + 0.5) = explicit half-up rounding — engine round()
+    // builtins differ (half-up vs half-even) and never touch the oracle
+    "q_embed_quant" ->
+      """WITH m AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> abs(x))) AS ma
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, ma,
+                  list_transform(v, x -> CAST(floor(x * (127.0 / ma) + 0.5)
+                                              AS BIGINT)) AS qv
+           FROM m)
+         SELECT vec_id, round(ma, 6) AS max_abs,
+                CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+                list_min(qv) AS q_min,
+                list_max(qv) AS q_max
+         FROM q""",
+    "q_lang_budget" ->
+      s"""SELECT doc_id, lang, n_tok, cum_n_tok FROM (
+           SELECT doc_id, lang, len($TokSql) AS n_tok,
+             CAST(sum(len($TokSql)) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n_tok
+           FROM documents)
+         WHERE cum_n_tok <= 2000""",
+    "q_quality_filter" ->
+      s"""SELECT doc_id, reason, CAST(reason = 'ok' AS INT) AS keep FROM (
+           SELECT doc_id,
+             CASE WHEN nw < 5 THEN 'too_short'
+                  WHEN nw > 1000 THEN 'too_long'
+                  WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len'
+                  WHEN sym > 0.1 THEN 'symbols'
+                  WHEN stop_hits = 0 THEN 'no_stopwords'
+                  ELSE 'ok' END AS reason
+           FROM (
+             SELECT doc_id,
+               len($TokSql) AS nw,
+               length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                 / greatest(len($TokSql), 1) AS mwl,
+               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                 / greatest(length(text), 1) AS sym,
+               ${hitsSql(TF.Stopwords.flatMap(_._2))} AS stop_hits
+             FROM documents))"""
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf:
     // hash/quantizer approximations not expressible in DuckDB —
     // rows-only + recall specs.

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratified hash sample: rate 0 drops a stratum, rate 16 keeps it whole") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedHashSample(
+      df, col("id"), col("lang"), rates = Map("a" -> 0, "b" -> 16),
+      defaultSixteenths = 8)
+      .select("lang").collect().map(_.getString(0))
+    assert(!kept.contains("a"), "rate-0 stratum must be dropped entirely")
+    assert(kept.count(_ == "b") == 200, "rate-16 stratum must be kept whole")
+  }
+
+  test("stratified hash sample is a pure function of the key (repartition-stable)") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, "x")).toDF("id", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedHashSample(d, col("id"), col("lang"), Map.empty, 4)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val once = ids(df)
+    assert(ids(df.repartition(7)) == once)
+    assert(once.nonEmpty && once.size < 500, "4/16 rate should keep a strict subset")
+  }
+
+  test("budgetPerStratum keeps a prefix per stratum within the budget") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L), // cum 40, 80, 120
+      ("b", 1L, 100L), ("b", 2L, 1L)                  // cum 100, 101
+    ).toDF("lang", "id", "n_tok")
+    val kept = Sampling.budgetPerStratum(df, col("lang"), Seq(col("id")), "n_tok", 100)
+      .select("lang", "id", "cum_n_tok").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(kept == Map(("a", 1L) -> 40L, ("a", 2L) -> 80L, ("b", 1L) -> 100L))
+  }
+
+  test("int8 quantization bounds, sign, and zero-vector passthrough") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = df.select(col("id"), VF.int8Quantize(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(64L, -127L, 32L)) // 127*0.5=63.5 -> floor(+0.5)=64
+    assert(out(2L) == Seq(0L, 0L, 0L), "zero vector must quantize to zeros, not NaN")
+    assert(out.values.flatten.forall(q => q >= -127L && q <= 127L))
+  }
+
+  test("unitNorm produces unit vectors and passes zero vectors through") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f))).toDF("id", "v")
+    val norms = df.select(col("id"), VF.norm2(VF.unitNorm(col("v"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(norms(1L) - 1.0) < 1e-12)
+    assert(norms(2L) == 0.0)
+  }
+
+  test("filterReason fires the FIRST failing rule in fixed order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short text here now"),                       // 4 words -> too_short
+      (2L, "@@@@ #### $$$$ %%%% ^^^^ &&&&"),             // symbols ratio high, but word_len=4 ok -> symbols
+      (3L, "the quick brown fox jumps over the lazy dog today"), // ok
+      (4L, "aa bb cc dd ee ff gg hh")                    // mean word len 2.0 ok but no stopwords
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TF.filterReason(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "too_short")
+    assert(got(2L) == "symbols")
+    assert(got(3L) == "ok")
+    assert(got(4L) == "no_stopwords")
+  }
+
+  test("repetitionStats measures duplicate and top-token fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"), // 5 tokens, 2 distinct: dup 0.6, top 0.8
+      (2L, "x y z")      // no repeats
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Vocab.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((0.6, 0.8)))
+    assert(got(2L) == ((0.0, math.rint(1.0 / 3 * 10000) / 10000)))
+  }
+}
