@@ -41,6 +41,40 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rank"))
   }
 
+  /** Exact top-k cosine neighbors over int8-QUANTIZED vectors
+    * (VectorFunctions.int8Quantize): the memory-bound recall stage —
+    * 4× less data per vector moves through the scan, at a small
+    * similarity error the rank order mostly absorbs. All products and
+    * sums are exact integer arithmetic (only the final norm/divide is
+    * float), so the scores are bit-identical on any engine — unlike
+    * float-accumulated cosine, this variant is exactly
+    * oracle-checkable end to end. */
+  def bruteForceTopKInt8(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    def qz(d: DataFrame, id: String, v: String) =
+      d.select(col(idCol).as(id), VF.int8Quantize(col(vecCol)).as(v))
+    val q = qz(queries, "qid", "qv")
+    val c = qz(corpus, "cid", "cv")
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val sim = round(
+      idot(col("qv"), col("cv")).cast("double") /
+        (sqrt(idot(col("qv"), col("qv")).cast("double")) *
+          sqrt(idot(col("cv"), col("cv")).cast("double"))), 6)
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), sim.as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: `numPlanes` hyperplane bits split into `bands`
     * bucket keys; a corpus vector is a candidate for a query iff they
     * share at least one band bucket. */

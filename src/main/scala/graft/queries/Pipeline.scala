@@ -177,6 +177,15 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"), reason.as("reason"),
         (reason === "ok").cast("int").as("keep"))
+    }),
+
+    // brute-force top-k over int8-quantized vectors: the recall stage
+    // at 1/4 the scan bytes; integer dots are exact, so unlike float
+    // cosine this ANN variant is fully oracle-checkable
+    "q_ann_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
     })
   )
 
@@ -479,7 +488,32 @@ object Pipeline {
                length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
                  / greatest(length(text), 1) AS sym,
                ${hitsSql(TF.Stopwords.flatMap(_._2))} AS stop_hits
-             FROM documents))"""
+             FROM documents))""",
+    // int8Quantize replica (floor(x·(127/maxabs) + 0.5)); integer dot
+    // products are exact, so scores are bit-identical pre-rounding
+    "q_ann_quantized" ->
+      """WITH qz AS (
+           SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * (127.0 / list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), y -> abs(y)))) + 0.5)
+                    AS BIGINT)) AS qv
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             round(
+               CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1),
+                      i -> q.qv[i] * c.qv[i]), 'sum') AS DOUBLE)
+               / (sqrt(CAST(list_aggregate(list_transform(q.qv, x -> x * x),
+                            'sum') AS DOUBLE))
+                  * sqrt(CAST(list_aggregate(list_transform(c.qv, x -> x * x),
+                              'sum') AS DOUBLE))), 6) AS sim
+           FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         SELECT qid, cid, sim, rank FROM (
+           SELECT qid, cid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           FROM scored)
+         WHERE rank <= 5"""
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf:
     // hash/quantizer approximations not expressible in DuckDB —
     // rows-only + recall specs.

@@ -691,7 +691,72 @@ object Relational {
         col("doc_id"),
         octet_length(col("text").cast("binary")).as("n_bytes"),
         bit_length(col("text").cast("binary")).as("n_bits"),
-        base64(substring(col("text"), 1, 9).cast("binary")).as("head_b64")))
+        base64(substring(col("text"), 1, 9).cast("binary")).as("head_b64"))),
+
+    // per-group z-score normalization: unordered group window (one
+    // shuffle, no sort); zero-variance groups yield NULL via the
+    // nullif convention, 4dp absorbs the engines' variance merge order
+    "q_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      val sd = stddev_samp(col("value")).over(w)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        round((col("value") - avg(col("value")).over(w)) /
+          when(sd =!= 0, sd), 4).as("z"))
+    }),
+
+    // winsorize: clip at per-group exact p05/p95 — composes the
+    // distributed range-partition quantiles with a tiny broadcast
+    // join back onto the fact (same machinery as qcut)
+    "q_winsorize" -> ((s, dir) => {
+      val breaks = graft.operators.Quantiles.exactQuantiles(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("p05" -> 0.05, "p95" -> 0.95))
+      t(s, dir, "lineitem")
+        .join(broadcast(breaks), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+            .as("price_w"))
+    }),
+
+    // skewness / kurtosis per group from explicit raw moments — engine
+    // builtins disagree on bias correction (Spark population vs DuckDB
+    // sample), so BOTH sides compute the same population formula; the
+    // small integer domain (quantity 1..50) keeps the moment sums
+    // exact, and σ powers come from sqrt (IEEE correctly-rounded, so
+    // bit-identical) rather than libm pow (which is not)
+    "q_skew_kurt" -> ((s, dir) => {
+      val x = col("l_quantity")
+      val v = col("m2") - col("m1") * col("m1")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          avg(x).as("m1"), avg(x * x).as("m2"),
+          avg(x * x * x).as("m3"), avg(x * x * x * x).as("m4"))
+        .select(
+          col("l_returnflag"),
+          round((col("m3") - lit(3) * col("m1") * col("m2")
+            + lit(2) * col("m1") * col("m1") * col("m1"))
+            / (v * sqrt(v)), 4).as("skew"),
+          round((col("m4") - lit(4) * col("m1") * col("m3")
+            + lit(6) * col("m1") * col("m1") * col("m2")
+            - lit(3) * col("m1") * col("m1") * col("m1") * col("m1"))
+            / (v * v) - 3, 4).as("kurt"))
+    }),
+
+    // search_sorted (polars): left insertion index of each probe into
+    // the sorted corpus = count of strictly smaller values — broadcast
+    // probes × one corpus scan, no corpus shuffle
+    "q_search_sorted" -> ((s, dir) => {
+      val probes = s.createDataFrame(
+        Seq(Tuple1(1000.0), Tuple1(10000.0), Tuple1(30000.0), Tuple1(60000.0)))
+        .toDF("probe")
+      t(s, dir, "lineitem")
+        .join(broadcast(probes), col("l_extendedprice") < col("probe"), "right")
+        .groupBy(col("probe"))
+        .agg(count(col("l_extendedprice")).as("insert_idx"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1092,6 +1157,48 @@ object Relational {
          octet_length(encode(text)) AS n_bytes,
          octet_length(encode(text)) * 8 AS n_bits,
          to_base64(encode(substr(text, 1, 9))) AS head_b64
-         FROM documents"""
+         FROM documents""",
+    "q_zscore" ->
+      """SELECT user_id, event_id,
+         round((value - avg(value) OVER w)
+               / nullif(stddev_samp(value) OVER w, 0), 4) AS z
+         FROM events WINDOW w AS (PARTITION BY user_id)""",
+    // breaks CTE = the q_quantile oracle at p05/p95, so the clip edges
+    // are bit-identical to Quantiles.exactQuantiles
+    "q_winsorize" ->
+      """WITH b AS (
+           SELECT l_returnflag, l_extendedprice AS v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS DOUBLE) - 1 AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+           FROM lineitem),
+         breaks AS (
+           SELECT l_returnflag,
+             sum(CASE WHEN rn = floor((n-1)*0.05) OR rn = ceil((n-1)*0.05)
+                      THEN v * (1.0 - abs(rn - (n-1)*0.05)) ELSE 0.0 END) AS p05,
+             sum(CASE WHEN rn = floor((n-1)*0.95) OR rn = ceil((n-1)*0.95)
+                      THEN v * (1.0 - abs(rn - (n-1)*0.95)) ELSE 0.0 END) AS p95
+           FROM b GROUP BY l_returnflag)
+         SELECT l_orderkey, l_linenumber,
+           least(greatest(l_extendedprice, p05), p95) AS price_w
+         FROM lineitem JOIN breaks USING (l_returnflag)""",
+    "q_skew_kurt" ->
+      """SELECT l_returnflag,
+         round((m3 - 3*m1*m2 + 2*m1*m1*m1) / (v * sqrt(v)), 4) AS skew,
+         round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / (v * v) - 3, 4) AS kurt
+         FROM (
+           SELECT l_returnflag, m1, m2, m3, m4, m2 - m1*m1 AS v
+           FROM (
+             SELECT l_returnflag,
+               avg(l_quantity) AS m1,
+               avg(l_quantity*l_quantity) AS m2,
+               avg(l_quantity*l_quantity*l_quantity) AS m3,
+               avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4
+             FROM lineitem GROUP BY l_returnflag))""",
+    "q_search_sorted" ->
+      """SELECT p.probe, count(l.l_extendedprice) AS insert_idx
+         FROM (VALUES (1000.0), (10000.0), (30000.0), (60000.0)) p(probe)
+         LEFT JOIN lineitem l ON l.l_extendedprice < p.probe
+         GROUP BY p.probe"""
   )
 }
