@@ -107,17 +107,48 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no cartesian/nested-loop joins outside the declared brute-force path") {
-    // q_ann_bruteforce is the one declared all-pairs scan (tiny query
-    // side × corpus); every other pipeline query must pair via
-    // key-equality joins or it goes quadratic at scale
+    // q_ann_bruteforce / q_ann_quantized / q_search_sorted are the
+    // declared small-side × corpus scans; every other pipeline query
+    // must pair via key-equality joins or it goes quadratic at scale
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
                   "q_dedup_cosine", "q_dedup_cosine_bucketed", "q_ann_lsh",
                   "q_ann_ivf", "q_dedup_exact", "q_multimodal",
                   "q_range_join", "q_qcut", "q_decontaminate", "q_vocab",
-                  "q_tfidf", "q_upsample", "q_sessionize", "q_salted_join")) {
+                  "q_tfidf", "q_upsample", "q_sessionize", "q_salted_join",
+                  "q_repetition", "q_quality_filter", "q_lang_budget",
+                  "q_embed_quant", "q_winsorize")) {
       val p = planNoAutoBroadcast(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q contains a non-equi pairing join")
     }
+  }
+
+  test("stratified hash sampling is a scan-side filter — no shuffle, no join") {
+    val p = planNoAutoBroadcast("q_sample_stratified")
+    assert(!p.contains("Exchange"),
+      "the sampling predicate must evaluate row-local inside the scan")
+  }
+
+  test("q_lang_budget pays exactly one stratum-key shuffle") {
+    val p = planOf("q_lang_budget")
+    val n = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(n == 1, s"expected a single lang-key exchange, saw $n")
+  }
+
+  test("arg extremes and group first/last aggregate partially — no window pass") {
+    // (value, key) struct min/max and min_by/max_by keep map-side
+    // partial aggregation; a row_number formulation would instead sort
+    // every row through a window task
+    for (q <- Seq("q_arg_minmax", "q_first_last")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q fell back to a window pass")
+      assert(p.contains("partial"), s"$q lost map-side partial aggregation")
+    }
+  }
+
+  test("q_winsorize attaches the quantile breaks via broadcast") {
+    val p = planOf("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-group clip edges must broadcast back onto the fact table")
   }
 }
