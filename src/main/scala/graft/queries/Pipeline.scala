@@ -186,7 +186,13 @@ object Pipeline {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
-    })
+    }),
+
+    // RAG-style chunking: 64-token windows at stride 32 (50% overlap),
+    // pure per-row explode — no shuffle
+    "q_chunk" -> ((s, dir) =>
+      graft.operators.Chunk.tokenWindows(
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 32))
   )
 
   // shared with Relational's list-namespace oracle
@@ -513,7 +519,21 @@ object Pipeline {
            SELECT qid, cid, sim,
                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
            FROM scored)
-         WHERE rank <= 5"""
+         WHERE rank <= 5""",
+    // chunk starts = multiples of the stride strictly below the token
+    // count; list slices are 1-based inclusive in DuckDB, (start, len)
+    // in Spark — both cut the same 64-token windows
+    "q_chunk" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $TokSql AS tk FROM documents),
+         st AS (
+           SELECT doc_id, tk,
+             unnest(range(0, ((len(tk) - 1) // 32) * 32 + 1, 32)) AS s
+           FROM toks WHERE len(tk) > 0)
+         SELECT doc_id AS id, s // 32 AS chunk_idx,
+           array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text,
+           len(tk[s + 1 : s + 64]) AS n_tok
+         FROM st"""
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf:
     // hash/quantizer approximations not expressible in DuckDB —
     // rows-only + recall specs.

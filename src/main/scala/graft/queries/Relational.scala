@@ -756,6 +756,46 @@ object Relational {
         .join(broadcast(probes), col("l_extendedprice") < col("probe"), "right")
         .groupBy(col("probe"))
         .agg(count(col("l_extendedprice")).as("insert_idx"))
+    }),
+
+    // Shannon entropy of the per-key categorical distribution (polars
+    // entropy): counts → window total → -Σ p·ln p; the window reuses
+    // the groupBy's hash clustering, so the key shuffles once
+    "q_entropy" -> ((s, dir) => {
+      val tot = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+        .withColumn("p", col("c").cast("double") / sum(col("c")).over(tot).cast("double"))
+        .groupBy(col("user_id"))
+        .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"))
+    }),
+
+    // rank methods (polars rank: average/min/max): min = SQL rank();
+    // average/max derive from the tie-group size — one extra unordered
+    // window over the same key, no second sort
+    "q_rank_avg" -> ((s, dir) => {
+      val wp = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+      val ties = Window.partitionBy(col("o_custkey"), col("o_orderpriority"))
+      val rmin = rank().over(wp)
+      val nt = count(lit(1)).over(ties)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        rmin.cast("long").as("rank_min"),
+        (rmin + nt - 1).cast("long").as("rank_max"),
+        (rmin + (nt - 1) / lit(2.0)).as("rank_avg"))
+    }),
+
+    // duration namespace (polars dt duration components): inter-event
+    // gap per key in exact integer microseconds/seconds (µs epochs are
+    // integers in both engines — no float time math)
+    "q_duration" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val gap = us - lag(us, 1).over(w)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        gap.as("gap_us"),
+        floor(gap / lit(1000000.0)).cast("long").as("gap_s"))
     })
   )
 
@@ -1199,6 +1239,30 @@ object Relational {
       """SELECT p.probe, count(l.l_extendedprice) AS insert_idx
          FROM (VALUES (1000.0), (10000.0), (30000.0), (60000.0)) p(probe)
          LEFT JOIN lineitem l ON l.l_extendedprice < p.probe
-         GROUP BY p.probe"""
+         GROUP BY p.probe""",
+    "q_entropy" ->
+      """SELECT user_id, round(-sum(p * ln(p)), 4) AS entropy
+         FROM (
+           SELECT user_id, c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p
+           FROM (SELECT user_id, event_type, count(*) AS c
+                 FROM events GROUP BY 1, 2))
+         GROUP BY user_id""",
+    "q_rank_avg" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(rank() OVER wp AS BIGINT) AS rank_min,
+         CAST(rank() OVER wp + count(*) OVER ties - 1 AS BIGINT) AS rank_max,
+         rank() OVER wp + (count(*) OVER ties - 1) / 2.0 AS rank_avg
+         FROM orders
+         WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+                ties AS (PARTITION BY o_custkey, o_orderpriority)""",
+    "q_duration" ->
+      """SELECT user_id, event_id, gap_us,
+         CAST(floor(gap_us / 1000000.0) AS BIGINT) AS gap_s
+         FROM (
+           SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events)"""
   )
 }

@@ -79,6 +79,25 @@ class SamplingSpec extends SparkSpec {
     assert(got(4L) == "no_stopwords")
   }
 
+  test("tokenWindows tiles and overlaps correctly, keeping the short tail") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4"), // 5 tokens, size 2 stride 2 -> [t0 t1][t2 t3][t4]
+      (2L, "a"),              // single token -> one chunk
+      (3L, "")                // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val tiled = graft.operators.Chunk.tokenWindows(docs, "doc_id", "text", 2, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    assert(tiled == Map(
+      (1L, 0) -> ("t0 t1", 2), (1L, 1) -> ("t2 t3", 2), (1L, 2) -> ("t4", 1),
+      (2L, 0) -> ("a", 1)))
+
+    // 50% overlap: every consecutive pair shares stride tokens
+    val over = graft.operators.Chunk.tokenWindows(docs.filter($"doc_id" === 1), "doc_id", "text", 4, 2)
+      .orderBy("chunk_idx").collect().map(_.getString(2))
+    assert(over.toSeq == Seq("t0 t1 t2 t3", "t2 t3 t4", "t4"))
+  }
+
   test("repetitionStats measures duplicate and top-token fractions") {
     import spark.implicits._
     val docs = Seq(
