@@ -796,6 +796,37 @@ object Relational {
         col("user_id"), col("event_id"),
         gap.as("gap_us"),
         floor(gap / lit(1000000.0)).cast("long").as("gap_s"))
+    }),
+
+    // per-group tail (polars group_by.tail): last 2 events per user in
+    // index order — rank from the reversed order, WindowGroupLimit
+    // prunes like group_head
+    "q_group_tail" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn_back", row_number().over(w))
+        .filter(col("rn_back") <= 2)
+        .select(col("user_id"), col("event_id"), col("rn_back"))
+    }),
+
+    // rolling sample stddev over the trailing 4 rows (polars
+    // rolling_std); 4dp absorbs the engines' summation strategies on
+    // the tiny frame
+    "q_rolling_std" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        round(stddev_samp(col("value")).over(w), 4).as("rstd"))
+    }),
+
+    // cume_dist over a tied ordering — exact rational p/n in both
+    // engines, no rounding needed
+    "q_cume_dist" -> ((s, dir) => {
+      val wp = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        cume_dist().over(wp).as("cd"))
     })
   )
 
@@ -1263,6 +1294,23 @@ object Relational {
              epoch_us(CAST(ts AS TIMESTAMP))
                - lag(epoch_us(CAST(ts AS TIMESTAMP)))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-           FROM events)"""
+           FROM events)""",
+    "q_group_tail" ->
+      """SELECT user_id, event_id, rn_back FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_back
+           FROM events)
+         WHERE rn_back <= 2""",
+    "q_rolling_std" ->
+      """SELECT user_id, event_id,
+         round(stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+               4) AS rstd
+         FROM events""",
+    "q_cume_dist" ->
+      """SELECT o_custkey, o_orderkey,
+         cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS cd
+         FROM orders"""
   )
 }

@@ -151,4 +151,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "per-group clip edges must broadcast back onto the fact table")
   }
+
+  test("document pipeline scans stay column-pruned") {
+    // a documents scan that drags `text` into a metadata-only query (or
+    // lang/source into a text-only one) multiplies the scan bytes at
+    // 100 TB — ReadSchema is the contract
+    val hist = planOf("q_hist").linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!hist.contains("text"), s"q_hist reads the text payload: $hist")
+    val chunk = planOf("q_chunk").linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!chunk.contains("lang") && !chunk.contains("source") && !chunk.contains("n_chars"),
+      s"q_chunk reads unneeded metadata columns: $chunk")
+  }
 }
