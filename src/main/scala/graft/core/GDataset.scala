@@ -164,6 +164,29 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 
+  /** Notebook HTML repr with metadata highlighting (reference
+    * `_repr_html_`, polars_dataset.py:86-96: index cells green-tinted,
+    * id_vars cells blue-tinted). Renders the first `n` rows only —
+    * a bounded `take(n)`, never a full collect. */
+  def reprHtml(n: Int = 10): String = {
+    def esc(s: String) = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val cols = df.columns.toSeq
+    val style = cols.map {
+      case c if c == index => " style=\"background-color: rgba(0,128,0,0.1);\""
+      case c if idVars.contains(c) => " style=\"background-color: rgba(0,128,255,0.1);\""
+      case _ => ""
+    }
+    val head = cols.map(c => s"<th>${esc(c)}</th>").mkString
+    val body = df.take(n).map { row =>
+      cols.indices.map { i =>
+        val v = row.get(i)
+        s"<td${style(i)}>${esc(if (v == null) "null" else v.toString)}</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString
+    s"<table class=\"dataframe\"><thead><tr>$head</tr></thead><tbody>$body</tbody></table>"
+  }
+
   /** Unnest a struct column into top-level fields (reference
     * polars_dataset.py:240-263 round-trip, polars `unnest`). */
   def unnest(structCol: String): GDataset = transform { d =>

@@ -736,13 +736,15 @@ object Relational {
           avg(x * x * x).as("m3"), avg(x * x * x * x).as("m4"))
         .select(
           col("l_returnflag"),
-          round((col("m3") - lit(3) * col("m1") * col("m2")
+          // + 0.0 normalizes IEEE negative zero (round can emit -0.0,
+          // and the engines disagree on which zero they produce)
+          (round((col("m3") - lit(3) * col("m1") * col("m2")
             + lit(2) * col("m1") * col("m1") * col("m1"))
-            / (v * sqrt(v)), 4).as("skew"),
-          round((col("m4") - lit(4) * col("m1") * col("m3")
+            / (v * sqrt(v)), 4) + 0.0).as("skew"),
+          (round((col("m4") - lit(4) * col("m1") * col("m3")
             + lit(6) * col("m1") * col("m1") * col("m2")
             - lit(3) * col("m1") * col("m1") * col("m1") * col("m1"))
-            / (v * v) - 3, 4).as("kurt"))
+            / (v * v) - 3, 4) + 0.0).as("kurt"))
     }),
 
     // search_sorted (polars): left insertion index of each probe into
@@ -1255,8 +1257,8 @@ object Relational {
          FROM lineitem JOIN breaks USING (l_returnflag)""",
     "q_skew_kurt" ->
       """SELECT l_returnflag,
-         round((m3 - 3*m1*m2 + 2*m1*m1*m1) / (v * sqrt(v)), 4) AS skew,
-         round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / (v * v) - 3, 4) AS kurt
+         round((m3 - 3*m1*m2 + 2*m1*m1*m1) / (v * sqrt(v)), 4) + 0.0 AS skew,
+         round((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / (v * v) - 3, 4) + 0.0 AS kurt
          FROM (
            SELECT l_returnflag, m1, m2, m3, m4, m2 - m1*m1 AS v
            FROM (

@@ -299,6 +299,17 @@ class GDatasetSpec extends SparkSpec {
     assert(ds.drop("value").unnest("s").df.columns.contains("uid"))
   }
 
+  test("reprHtml highlights index and id_vars cells and escapes content") {
+    import spark.implicits._
+    val ds = GDataset(
+      Seq((1L, "a<b", 2.0)).toDF("ts", "who", "value"), "ts", Seq("who"))
+    val html = ds.reprHtml()
+    assert(html.contains("<th>ts</th><th>who</th><th>value</th>"))
+    assert(html.contains("rgba(0,128,0,0.1)"), "index cell not green-tinted")
+    assert(html.contains("rgba(0,128,255,0.1)"), "id_var cell not blue-tinted")
+    assert(html.contains("a&lt;b"), "cell content must be HTML-escaped")
+  }
+
   test("interpolate at a duplicated index value keeps the neighbor value") {
     import spark.implicits._
     // both bracketing observations sit at x=1: slope divide would be
