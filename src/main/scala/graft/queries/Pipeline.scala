@@ -192,7 +192,14 @@ object Pipeline {
     // pure per-row explode — no shuffle
     "q_chunk" -> ((s, dir) =>
       graft.operators.Chunk.tokenWindows(
-        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 32))
+        t(s, dir, "documents"), "doc_id", "text", chunkSize = 64, stride = 32)),
+
+    // the composed curation spine: quality gate → exact dedup →
+    // per-language token budget, one pipelined plan, fully
+    // deterministic and oracle-checked end to end
+    "q_curate" -> ((s, dir) =>
+      graft.operators.Curate.corpus(
+        t(s, dir, "documents"), "doc_id", "text", "lang", budgetPerLang = 2000))
   )
 
   // shared with Relational's list-namespace oracle
@@ -223,6 +230,26 @@ object Pipeline {
 
   private def hitsSql(words: Seq[String]): String =
     s"""len(list_filter($TokSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"""
+
+  // TextFunctions.filterReason replica (same rule order and
+  // thresholds) — shared by q_quality_filter and the q_curate spine
+  private val ReasonedDocsSql =
+    s"""SELECT doc_id, lang, text,
+          CASE WHEN nw < 5 THEN 'too_short'
+               WHEN nw > 1000 THEN 'too_long'
+               WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len'
+               WHEN sym > 0.1 THEN 'symbols'
+               WHEN stop_hits = 0 THEN 'no_stopwords'
+               ELSE 'ok' END AS reason
+        FROM (
+          SELECT doc_id, lang, text,
+            len($TokSql) AS nw,
+            length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+              / greatest(len($TokSql), 1) AS mwl,
+            length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+              / greatest(length(text), 1) AS sym,
+            ${hitsSql(TF.Stopwords.flatMap(_._2))} AS stop_hits
+          FROM documents)"""
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -478,23 +505,25 @@ object Pipeline {
            FROM documents)
          WHERE cum_n_tok <= 2000""",
     "q_quality_filter" ->
-      s"""SELECT doc_id, reason, CAST(reason = 'ok' AS INT) AS keep FROM (
-           SELECT doc_id,
-             CASE WHEN nw < 5 THEN 'too_short'
-                  WHEN nw > 1000 THEN 'too_long'
-                  WHEN mwl < 2.0 OR mwl > 12.0 THEN 'word_len'
-                  WHEN sym > 0.1 THEN 'symbols'
-                  WHEN stop_hits = 0 THEN 'no_stopwords'
-                  ELSE 'ok' END AS reason
-           FROM (
-             SELECT doc_id,
-               len($TokSql) AS nw,
-               length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-                 / greatest(len($TokSql), 1) AS mwl,
-               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
-                 / greatest(length(text), 1) AS sym,
-               ${hitsSql(TF.Stopwords.flatMap(_._2))} AS stop_hits
-             FROM documents))""",
+      s"""SELECT doc_id, reason, CAST(reason = 'ok' AS INT) AS keep
+          FROM ($ReasonedDocsSql)""",
+    "q_curate" ->
+      s"""WITH ok AS (
+           SELECT doc_id, lang, text FROM ($ReasonedDocsSql) WHERE reason = 'ok'),
+         ded AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM ok)
+           WHERE rn = 1),
+         tok AS (SELECT doc_id, lang, len($TokSql) AS n_tok FROM ded)
+         SELECT doc_id, lang, n_tok, cum_n_tok FROM (
+           SELECT doc_id, lang, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n_tok
+           FROM tok)
+         WHERE cum_n_tok <= 2000""",
     // int8Quantize replica (floor(x·(127/maxabs) + 0.5)); integer dot
     // products are exact, so scores are bit-identical pre-rounding
     "q_ann_quantized" ->

@@ -152,6 +152,15 @@ class PlanAuditSpec extends SparkSpec {
       "per-group clip edges must broadcast back onto the fact table")
   }
 
+  test("q_curate pipelines its stages through exactly two exchanges") {
+    // quality gate is scan-local; exact dedup shuffles once on the
+    // constant-width content hash; the budget shuffles once on the
+    // language key — nothing else may exchange
+    val p = planOf("q_curate")
+    val n = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(n == 2, s"expected hash + lang exchanges only, saw $n")
+  }
+
   test("document pipeline scans stay column-pruned") {
     // a documents scan that drags `text` into a metadata-only query (or
     // lang/source into a text-only one) multiplies the scan bytes at

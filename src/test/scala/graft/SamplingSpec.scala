@@ -98,6 +98,20 @@ class SamplingSpec extends SparkSpec {
     assert(over.toSeq == Seq("t0 t1 t2 t3", "t2 t3 t4", "t4"))
   }
 
+  test("curation stages only ever shrink the corpus, and the budget holds") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val stats = graft.operators.Curate.stageStats(docs, "doc_id", "text", "lang", 2000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("input") >= stats("quality_gate"))
+    assert(stats("quality_gate") >= stats("exact_dedup"))
+    assert(stats("exact_dedup") >= stats("token_budget"))
+    assert(stats("token_budget") > 0, "curation must not empty the corpus")
+
+    val corpus = graft.operators.Curate.corpus(docs, "doc_id", "text", "lang", 2000)
+    val over = corpus.filter(org.apache.spark.sql.functions.col("cum_n_tok") > 2000).count()
+    assert(over == 0, "per-language budget exceeded")
+  }
+
   test("repetitionStats measures duplicate and top-token fractions") {
     import spark.implicits._
     val docs = Seq(
