@@ -43,7 +43,25 @@ object GraftFunctions {
         ShingleHashes(args.head, intArg(args(1), "shingleN"))),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    // Column-composed kernels ride the same registry through the eager
+    // node converter (a lazy wrapper would reach codegen unevaluable
+    // when embedded mid-tree by the registry)
+    ("graft_quality_reason",
+      new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
+        "graft_quality_reason"),
+      (args: Seq[Expression]) => GraftShim.resolvedExpression(
+        graft.functions.TextFunctions.filterReason(GraftShim.column(args.head)))),
+    ("graft_int8_quantize",
+      new ExpressionInfo(graft.functions.VectorFunctions.getClass.getName,
+        "graft_int8_quantize"),
+      (args: Seq[Expression]) => GraftShim.resolvedExpression(
+        graft.functions.VectorFunctions.int8Quantize(GraftShim.column(args.head)))),
+    ("graft_redact",
+      new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
+        "graft_redact"),
+      (args: Seq[Expression]) => GraftShim.resolvedExpression(
+        graft.functions.TextFunctions.redactPii(GraftShim.column(args.head)))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -9,6 +9,14 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eager Column→Expression conversion: unlike [[expression]] (a lazy
+    * wrapper the analyzer unpacks only at plan boundaries), this runs
+    * the full node converter — required when a composed Column is
+    * returned from a FunctionRegistry builder, where the result embeds
+    * directly into an expression tree. */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** private[sql] session internals needed to register native functions
     * on a live session (the extensions path covers session build). */
   def functionRegistry(spark: SparkSession): catalyst.analysis.FunctionRegistry =

@@ -38,4 +38,19 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("composed Column kernels resolve through SQL like the Column API") {
+    registered
+    val reason = spark.sql("SELECT graft_quality_reason('hi there') AS r")
+      .head().getString(0)
+    assert(reason == "too_short")
+    val q = spark.sql(
+      "SELECT graft_int8_quantize(array(0.5D, -1.0D, 0.25D)) AS q")
+      .head().getSeq[Long](0)
+    assert(q == Seq(64L, -127L, 32L))
+    val masked = spark.sql(
+      "SELECT graft_redact('mail me at a.b@c.org or 10.0.0.1') AS m")
+      .head().getString(0)
+    assert(masked == "mail me at <EMAIL> or <IP>")
+  }
 }
