@@ -151,4 +151,24 @@ class StreamingSpec extends SparkSpec {
       assert(closed.exists(s => s.user_id == 1L && s.n_events == 2))
     } finally q.stop()
   }
+
+  test("the curation quality gate runs unchanged on a stream") {
+    // the gate (and every stateless text/sampling kernel) is a pure
+    // Column expression, so the same code curates a micro-batch stream
+    // with no batch/stream divergence
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    docs.addData(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "short one"))
+    val q = docs.toDF().toDF("doc_id", "text")
+      .filter(TF.filterReason(col("text")) === "ok")
+      .writeStream.outputMode("append").format("memory").queryName("gated").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("gated").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), "stream gate must keep exactly the batch-kept docs")
+    } finally q.stop()
+  }
 }
