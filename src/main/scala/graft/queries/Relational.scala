@@ -829,7 +829,30 @@ object Relational {
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
         cume_dist().over(wp).as("cd"))
-    })
+    }),
+
+    // null-safe equi-join (polars join nulls_equal): <=> hashes NULL as
+    // a join key value — still a hash join, NOT a fallback to
+    // nested-loop; null keys are synthesized on both sides
+    "q_null_safe_join" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_custkey") % 7 =!= 0, col("o_custkey")).as("k"))
+      val b = t(s, dir, "customer")
+        .select(when(col("c_custkey") % 7 =!= 0, col("c_custkey")).as("k"),
+          col("c_custkey"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nb"))
+      a.join(b, a("k") <=> b("k"))
+        .select(col("o_orderkey"), a("k").as("k"), col("nb"))
+    }),
+
+    // per-group sample covariance (polars cov); 4dp absorbs the
+    // engines' co-moment merge order, same as q_corr
+    "q_cov" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("qd_cov"),
+          count(lit(1)).as("n")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1313,6 +1336,21 @@ object Relational {
     "q_cume_dist" ->
       """SELECT o_custkey, o_orderkey,
          cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS cd
-         FROM orders"""
+         FROM orders""",
+    "q_null_safe_join" ->
+      """SELECT o_orderkey, a.k AS k, nb
+         FROM (SELECT o_orderkey,
+                 CASE WHEN o_custkey % 7 <> 0 THEN o_custkey END AS k
+               FROM orders) a
+         JOIN (SELECT k, count(*) AS nb FROM
+                 (SELECT CASE WHEN c_custkey % 7 <> 0 THEN c_custkey END AS k
+                  FROM customer)
+               GROUP BY k) b
+           ON a.k IS NOT DISTINCT FROM b.k""",
+    "q_cov" ->
+      """SELECT l_returnflag,
+         round(covar_samp(l_quantity, l_discount), 4) AS qd_cov,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -161,6 +161,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 2, s"expected hash + lang exchanges only, saw $n")
   }
 
+  test("null-safe equality still hash-joins (no nested-loop fallback)") {
+    val p = planNoAutoBroadcast("q_null_safe_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "<=> must remain a key-equality join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "null-safe join fell back to a non-equi pairing")
+  }
+
   test("document pipeline scans stay column-pruned") {
     // a documents scan that drags `text` into a metadata-only query (or
     // lang/source into a text-only one) multiplies the scan bytes at
