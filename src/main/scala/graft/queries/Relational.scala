@@ -852,7 +852,22 @@ object Relational {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("qd_cov"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // unique_counts (polars: counts per distinct value in
+    // first-appearance order) — the maintain-order twist rides a
+    // min-position aggregate, same trick as coord
+    "q_unique_counts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("value"))
+        .agg(count(lit(1)).as("count"), min(col("o_orderkey")).as("first_at"))),
+
+    // str.count_matches (polars): regex occurrence count per row
+    "q_str_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\bthe\\b")).as("n_the"),
+        regexp_count(col("text"), lit("[.!?]")).as("n_sentences")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1351,6 +1366,15 @@ object Relational {
       """SELECT l_returnflag,
          round(covar_samp(l_quantity, l_discount), 4) AS qd_cov,
          count(*) AS n
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_unique_counts" ->
+      """SELECT o_orderpriority AS value, count(*) AS count,
+         min(o_orderkey) AS first_at
+         FROM orders GROUP BY o_orderpriority""",
+    "q_str_count" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '\bthe\b')) AS n_the,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sentences
+         FROM documents"""
   )
 }
