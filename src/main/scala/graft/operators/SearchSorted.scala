@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** search_sorted (polars): the left insertion index of each probe into
+  * the sorted corpus = the count of strictly smaller values.
+  *
+  * Probes are known at plan time, so the whole operator is ONE corpus
+  * scan with a conditional-sum aggregate per probe — no join of any
+  * kind (the naive probe×corpus nested-loop join materializes
+  * |corpus|·|probes| intermediate rows; this form is a map-side
+  * partial aggregate that reduces to a single row before the result
+  * explodes back to (probe, insert_idx) pairs).
+  */
+object SearchSorted {
+
+  def insertionIndexes(
+      df: DataFrame,
+      valueCol: String,
+      probes: Seq[Double]): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val aggs = probes.zipWithIndex.map { case (p, i) =>
+      sum(when(col(valueCol) < p, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val counted = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = probes.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("probe"),
+        coalesce(col(s"__c$i"), lit(0L)).as("insert_idx"))
+    }
+    counted
+      .select(explode(array(pairs: _*)).as("pi"))
+      .select(col("pi.probe").as("probe"), col("pi.insert_idx").as("insert_idx"))
+  }
+}

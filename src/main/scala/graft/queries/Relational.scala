@@ -748,17 +748,12 @@ object Relational {
     }),
 
     // search_sorted (polars): left insertion index of each probe into
-    // the sorted corpus = count of strictly smaller values — broadcast
-    // probes × one corpus scan, no corpus shuffle
-    "q_search_sorted" -> ((s, dir) => {
-      val probes = s.createDataFrame(
-        Seq(Tuple1(1000.0), Tuple1(10000.0), Tuple1(30000.0), Tuple1(60000.0)))
-        .toDF("probe")
-      t(s, dir, "lineitem")
-        .join(broadcast(probes), col("l_extendedprice") < col("probe"), "right")
-        .groupBy(col("probe"))
-        .agg(count(col("l_extendedprice")).as("insert_idx"))
-    }),
+    // the sorted corpus — one scan with a conditional sum per probe,
+    // no join (graft.operators.SearchSorted)
+    "q_search_sorted" -> ((s, dir) =>
+      graft.operators.SearchSorted.insertionIndexes(
+        t(s, dir, "lineitem"), "l_extendedprice",
+        Seq(1000.0, 10000.0, 30000.0, 60000.0))),
 
     // Shannon entropy of the per-key categorical distribution (polars
     // entropy): counts → window total → -Σ p·ln p; the window reuses

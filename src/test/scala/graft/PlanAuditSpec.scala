@@ -161,6 +161,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 2, s"expected hash + lang exchanges only, saw $n")
   }
 
+  test("q_search_sorted is one scan with no join at all") {
+    val p = planNoAutoBroadcast("q_search_sorted")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "plan-time probes must compile to conditional aggregates, not a probe join")
+    assert(p.contains("partial"), "search_sorted lost map-side partial aggregation")
+  }
+
   test("null-safe equality still hash-joins (no nested-loop fallback)") {
     val p = planNoAutoBroadcast("q_null_safe_join")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
