@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * after a warmup pass at the smallest scale factor — the warmup
   * compiles every codegen path and JITs the hash kernels so measured
   * times reflect steady-state throughput, not first-query JVM startup.
+  *
+  * Failures are loud: a query that throws is reported per-run on
+  * stderr, lands in the JSON's `errors` field, and makes the process
+  * exit nonzero — a bench-only regression (e.g. an OOM at a scale the
+  * correctness gate doesn't reach) must never bench as ~0s and pass.
+  * The full result line is also written to BENCH_local.json so the
+  * complete per-query record survives any log truncation.
   */
 object Bench {
   /** Run a query to completion through the noop sink: every row is
@@ -28,24 +35,51 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       names.foreach { n =>
         try exec(SparkEntry.queries(n)(spark, warmDir))
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => () } // warmup errors re-surface in the timed runs
       }
     }
-    // best of two timed runs: the first run at the target scale still
+    // best of three timed runs: the first run at the target scale still
     // pays plan-specific JIT/codegen compilation that the small-scale
     // warmup cannot reach; the min is the steady-state number
-    val results = names.map { name =>
-      val ts = (1 to 2).map { _ =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = names.flatMap { name =>
+      val ts = (1 to 3).flatMap { run =>
         val t0 = System.nanoTime()
-        try exec(SparkEntry.queries(name)(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          exec(SparkEntry.queries(name)(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name run $run failed: $e")
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            None
+        }
       }
-      name -> ts.min
+      ts.minOption.map(name -> _)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jq(k) + ":" + jq(v.take(300)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // durable copy: the driver's artifact keeps only a stdout tail, so
+    // the committed file is the complete per-query record of the round
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

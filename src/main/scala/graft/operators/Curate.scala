@@ -21,7 +21,10 @@ import graft.functions.{TextFunctions => TF}
   * Shape at 100 TB: the gate is scan-local; dedup shuffles once on the
   * content hash (constant-width key, not the document); the budget
   * shuffles once on the language key. Catalyst pipelines the stages —
-  * nothing materializes between them.
+  * nothing materializes between them. Crucially, every text-derived
+  * value (hash, token count) is projected scan-side BEFORE the dedup
+  * window, so the content-hash exchange carries ~50 bytes/row
+  * (id, lang, hash, n_tok) — never the document text itself.
   */
 object Curate {
 
@@ -32,20 +35,27 @@ object Curate {
       textCol: String,
       langCol: String,
       budgetPerLang: Long): DataFrame = {
-    val ok = docs.filter(TF.filterReason(col(textCol)) === "ok")
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
-    val deduped = ok
-      .withColumn("__h", md5(col(textCol)))
+    val deduped = docs
+      .filter(TF.filterReason(col(textCol)) === "ok")
+      // narrow projection: text is consumed here, scan-side, and does
+      // not survive into the shuffle feeding the dedup window
+      .select(
+        col(idCol), col(langCol),
+        md5(col(textCol)).as("__h"),
+        TF.tokenCount(col(textCol)).as("n_tok"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col(idCol), col(langCol), TF.tokenCount(col(textCol)).as("n_tok"))
+      .select(col(idCol), col(langCol), col("n_tok"))
     Sampling.budgetPerStratum(
       deduped, col(langCol), Seq(col(idCol)), "n_tok", budgetPerLang)
   }
 
   /** Per-stage survivor counts — the audit trail a curation run ships
-    * with (how many docs each stage removed). One pass per stage over
-    * the same pipelined plan. */
+    * with (how many docs each stage removed). Exactly two jobs over the
+    * corpus: one aggregate computes input / gate / dedup counts as
+    * conditional aggregates over a single scan (no re-running the gate
+    * per stage), and one count over the budgeted corpus. */
   def stageStats(
       docs: DataFrame,
       idCol: String,
@@ -54,14 +64,18 @@ object Curate {
       budgetPerLang: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val total = docs.count()
-    val ok = docs.filter(TF.filterReason(col(textCol)) === "ok")
-    val nOk = ok.count()
-    val nDeduped = ok.select(md5(col(textCol))).distinct().count()
+    val head = docs
+      .select(when(TF.filterReason(col(textCol)) === "ok", md5(col(textCol)))
+        .as("__okHash"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(col("__okHash")).as("n_ok"),
+        count_distinct(col("__okHash")).as("n_dedup"))
+      .head()
     val nFinal = corpus(docs, idCol, textCol, langCol, budgetPerLang).count()
     Seq(
-      ("input", total), ("quality_gate", nOk),
-      ("exact_dedup", nDeduped), ("token_budget", nFinal)
+      ("input", head.getLong(0)), ("quality_gate", head.getLong(1)),
+      ("exact_dedup", head.getLong(2)), ("token_budget", nFinal)
     ).toDF("stage", "n_docs")
   }
 }

@@ -4,13 +4,22 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal column support (SURVEY.md §2.3): image/audio/video as
-  * opaque `binary` payloads plus a typed metadata struct. The Spark
-  * plumbing — schema, batched mapPartitions iteration, partition-size
-  * control — is real and tested; the codec itself is a clearly-marked
-  * deterministic STUB because this container ships no image/audio
-  * libraries. Swapping `stubDecode` for a real JNI/ffmpeg decoder
-  * changes no plan shape.
+  * opaque `binary` payloads plus a typed metadata struct.
+  *
+  * Images are decoded for REAL via the JDK's `javax.imageio` codecs
+  * (PNG/JPEG/BMP/GIF — no external dependency): `decodeFeatures`
+  * extracts pixel-derived statistics and `resize` rescales through
+  * `java.awt` and re-encodes as PNG. Payloads no JDK reader recognizes
+  * (audio/video, raw text) fall back to a clearly-marked deterministic
+  * stub so the batch plumbing — schema, batched mapPartitions
+  * iteration, partition-size control — is exercised end-to-end on any
+  * corpus; swapping the fallback for a JNI/ffmpeg decoder changes no
+  * plan shape.
   */
 object Multimodal {
 
@@ -34,10 +43,52 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (pmod(xxhash64(col(textCol), lit(2)), lit(300L)) + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** STUB decoder: a real implementation would hand `payload` to an
-    * image/audio codec. Deterministic fake: feature f(i) derived from
-    * payload bytes — keeps tests reproducible while exercising the
-    * exact batch shape a real decoder needs. */
+  /** ImageIO probes the payload's magic bytes against the JDK's
+    * registered readers; None = not a decodable image (the stub path).
+    * Disk caching is off — temp-file spills per decode would dominate
+    * executor I/O at scale. */
+  private def tryDecodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Pixel-derived feature vector, truncated / zero-padded to featDim:
+    * [width, height, meanR, meanG, meanB, meanLuma, minLuma, maxLuma]
+    * with channel means normalized to [0,1] and dimensions in pixels.
+    * One getRGB pass; Rec.601 luma. */
+  private def imageFeatures(img: BufferedImage, featDim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr, sg, sb = 0.0
+    var minL = 255.0
+    var maxL = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val l = 0.299 * r + 0.587 * g + 0.114 * b
+        if (l < minL) minL = l
+        if (l > maxL) maxL = l
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val stats = Array(
+      w.toFloat, h.toFloat,
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      ((0.299 * sr + 0.587 * sg + 0.114 * sb) / n / 255.0).toFloat,
+      (minL / 255.0).toFloat, (maxL / 255.0).toFloat)
+    Array.tabulate(featDim)(d => if (d < stats.length) stats(d) else 0.0f)
+  }
+
+  /** STUB fallback for payloads no JDK codec recognizes (audio/video):
+    * feature f(i) derived from payload bytes — deterministic, same
+    * batch shape a real decoder needs. */
   private def stubDecode(payload: Array[Byte], featDim: Int): Array[Float] = {
     var h = 1125899906842597L
     var i = 0
@@ -48,9 +99,11 @@ object Multimodal {
     }
   }
 
-  /** Decode + feature-extract over batches. Batched iteration inside
-    * mapPartitions mirrors how a real decoder amortizes codec init per
-    * batch, not per row; `batchSize` bounds peak memory per task. */
+  /** Decode + feature-extract over batches: real pixel statistics for
+    * JDK-decodable images, the stub for everything else. Batched
+    * iteration inside mapPartitions mirrors how a real decoder
+    * amortizes codec init per batch, not per row; `batchSize` bounds
+    * peak memory per task. */
   def decodeFeatures(media: DataFrame, featDim: Int = 8, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -60,20 +113,39 @@ object Multimodal {
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
+      ImageIO.setUseCache(false) // once per task; decodes stay on-heap
       rows.grouped(batchSize).flatMap { batch =>
-        // (real codec: init once per batch here)
+        // (heavier codecs: init once per batch here)
         batch.iterator.map { r =>
           val payload = r.getAs[Array[Byte]](payloadIdx)
-          Row(r.getLong(idIdx), payload.length, stubDecode(payload, featDim).toSeq)
+          val feats = tryDecodeImage(payload) match {
+            case Some(img) => imageFeatures(img, featDim)
+            case None => stubDecode(payload, featDim)
+          }
+          Row(r.getLong(idIdx), payload.length, feats.toSeq)
         }
       }
     }(enc)
   }
 
-  /** STUB resize: a real implementation would decode, rescale, and
-    * re-encode `payload`. The deterministic fake emits a w×h×3 buffer
+  /** Real image rescale: area-quality scaling through java.awt, re-encoded
+    * as PNG (deterministic — PNG encoding is exact, unlike JPEG). */
+  private def imageResize(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", buf)
+    buf.toByteArray
+  }
+
+  /** STUB resize fallback for non-image payloads: emits a w×h×3 buffer
     * sampled from the source bytes, so output size scales with the
-    * target dimensions exactly as a real RGB resize would. */
+    * target dimensions exactly as a raw RGB resize would. */
   private def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val out = new Array[Byte](w * h * 3)
     if (payload.nonEmpty) {
@@ -86,10 +158,11 @@ object Multimodal {
     out
   }
 
-  /** Resize image-like payloads to `w`×`h`: new payload from the codec
-    * stub, metadata struct rewritten to the target dimensions. Same
-    * batched mapPartitions shape as [[decodeFeatures]] — a real codec
-    * inits once per batch; no shuffle, runs inside the scan stage. */
+  /** Resize image-like payloads to `w`×`h`: decodable images go through
+    * the real ImageIO scale + PNG re-encode, the rest through the stub;
+    * the metadata struct is rewritten to the target dimensions either
+    * way. Same batched mapPartitions shape as [[decodeFeatures]] — no
+    * shuffle, runs inside the scan stage. */
   def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): DataFrame = {
     val enc = Encoders.row(StructType(media.schema.fields.toSeq.toArray))
     val payloadIdx = media.schema.fieldIndex("payload")
@@ -101,15 +174,21 @@ object Multimodal {
     val wIdx = metaSchema.fieldIndex("width")
     val hIdx = metaSchema.fieldIndex("height")
     media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
       rows.grouped(batchSize).flatMap { batch =>
-        // (real codec: init once per batch here)
+        // (heavier codecs: init once per batch here)
         batch.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]](payloadIdx)
+          val resized = tryDecodeImage(payload) match {
+            case Some(img) => imageResize(img, w, h)
+            case None => stubResize(payload, w, h)
+          }
           val meta = r.getStruct(metaIdx)
           val metaVals = meta.toSeq.toArray
           metaVals(wIdx) = w
           metaVals(hIdx) = h
           val vals = r.toSeq.toArray
-          vals(payloadIdx) = stubResize(r.getAs[Array[Byte]](payloadIdx), w, h)
+          vals(payloadIdx) = resized
           vals(metaIdx) = Row.fromSeq(metaVals.toSeq)
           Row.fromSeq(vals.toSeq)
         }

@@ -16,11 +16,31 @@ object Sampling {
   private def hexBucket(key: Column): Column =
     substring(md5(key.cast("string").cast("binary")), 1, 1)
 
+  // hexBucket hashes the key's STRING rendering, and its cross-engine
+  // determinism contract (same kept set in Spark and any SQL oracle)
+  // only holds where renderings agree — integers and strings. Doubles
+  // ("1.0" vs "1"), timestamps (zone/format), and decimals (trailing
+  // zeros) render differently across engines, silently changing the
+  // sample — so those keys are rejected at plan time.
+  private val hashableKeyTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, ByteType, ShortType, IntegerType, LongType)
+  }
+
+  private def requireHashableKey(df: DataFrame, key: Column): Unit = {
+    val dt = df.select(key).schema.head.dataType
+    require(hashableKeyTypes.contains(dt),
+      s"hash-sample key must be an integer or string column, got $dt — " +
+        "cast float/timestamp keys to string explicitly if their rendering is intended")
+  }
+
   /** Keep rows whose md5(key) falls in the first `sixteenths`/16 of hex
     * space — the flat-rate form (GDataset.sampleByHash exposes the same
-    * predicate on the wrapper). */
+    * predicate on the wrapper). Keys must be integer or string typed
+    * (see [[requireHashableKey]]). */
   def hashSample(df: DataFrame, key: Column, sixteenths: Int): DataFrame = {
     require(sixteenths >= 0 && sixteenths <= 16, "sixteenths must be in [0, 16]")
+    requireHashableKey(df, key)
     if (sixteenths == 16) df
     else df.filter(hexBucket(key) < lit(sixteenths.toHexString))
   }
@@ -40,6 +60,7 @@ object Sampling {
       defaultSixteenths: Int): DataFrame = {
     (rates.values.toSeq :+ defaultSixteenths).foreach(r =>
       require(r >= 0 && r <= 16, s"rate $r not in [0, 16]"))
+    requireHashableKey(df, key)
     // rate 16 can't be expressed as a single-hex-char compare — use the
     // always-true sentinel 'g' (sorts after every hex digit)
     def hex(r: Int): String = if (r == 16) "g" else r.toHexString

@@ -61,10 +61,13 @@ object Similarity {
     val c = qz(corpus, "cid", "cv")
     def idot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-    val sim = round(
-      idot(col("qv"), col("cv")).cast("double") /
-        (sqrt(idot(col("qv"), col("qv")).cast("double")) *
-          sqrt(idot(col("cv"), col("cv")).cast("double"))), 6)
+    // an exactly-zero vector quantizes to all zeros → 0/0 = NaN, and
+    // NaN sorts above every double under desc: guard the denominator so
+    // a zero vector scores 0 (engine-independent) instead of winning
+    val denom = sqrt(idot(col("qv"), col("qv")).cast("double")) *
+      sqrt(idot(col("cv"), col("cv")).cast("double"))
+    val sim = when(denom > 0,
+      round(idot(col("qv"), col("cv")).cast("double") / denom, 6)).otherwise(0.0)
     val scored = c
       .join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), sim.as("sim"))

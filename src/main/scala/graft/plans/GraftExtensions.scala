@@ -27,23 +27,42 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  // standard function-resolution behavior: a call with the wrong number
+  // of arguments fails analysis instead of silently ignoring extras
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`", "expectedNum" -> n.toString,
+          "actualNum" -> args.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+    args
+  }
+
   /** (name, info, builder) for every exposed kernel. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash64(args.head)),
+      (args: Seq[Expression]) => SimHash64(arity("graft_simhash", 1)(args).head)),
     ("graft_minhash",
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        arity("graft_minhash", 3)(args)
         MinHashSignature(args.head,
-          intArg(args(1), "shingleN"), intArg(args(2), "numHashes"))),
+          intArg(args(1), "shingleN"), intArg(args(2), "numHashes"))
+      }),
     ("graft_shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-      (args: Seq[Expression]) =>
-        ShingleHashes(args.head, intArg(args(1), "shingleN"))),
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", 2)(args)
+        ShingleHashes(args.head, intArg(args(1), "shingleN"))
+      }),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
+      (args: Seq[Expression]) => {
+        arity("graft_cosine", 2)(args)
+        CosineSim(args.head, args(1))
+      }),
     // Column-composed kernels ride the same registry through the eager
     // node converter (a lazy wrapper would reach codegen unevaluable
     // when embedded mid-tree by the registry)
@@ -51,17 +70,20 @@ object GraftFunctions {
       new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
         "graft_quality_reason"),
       (args: Seq[Expression]) => GraftShim.resolvedExpression(
-        graft.functions.TextFunctions.filterReason(GraftShim.column(args.head)))),
+        graft.functions.TextFunctions.filterReason(
+          GraftShim.column(arity("graft_quality_reason", 1)(args).head)))),
     ("graft_int8_quantize",
       new ExpressionInfo(graft.functions.VectorFunctions.getClass.getName,
         "graft_int8_quantize"),
       (args: Seq[Expression]) => GraftShim.resolvedExpression(
-        graft.functions.VectorFunctions.int8Quantize(GraftShim.column(args.head)))),
+        graft.functions.VectorFunctions.int8Quantize(
+          GraftShim.column(arity("graft_int8_quantize", 1)(args).head)))),
     ("graft_redact",
       new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
         "graft_redact"),
       (args: Seq[Expression]) => GraftShim.resolvedExpression(
-        graft.functions.TextFunctions.redactPii(GraftShim.column(args.head)))))
+        graft.functions.TextFunctions.redactPii(
+          GraftShim.column(arity("graft_redact", 1)(args).head)))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

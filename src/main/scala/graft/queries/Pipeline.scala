@@ -489,8 +489,10 @@ object Pipeline {
            FROM embeddings),
          q AS (
            SELECT vec_id, ma,
-                  list_transform(v, x -> CAST(floor(x * (127.0 / ma) + 0.5)
-                                              AS BIGINT)) AS qv
+                  CASE WHEN ma > 0
+                    THEN list_transform(v, x -> CAST(floor(x * (127.0 / ma) + 0.5)
+                                                     AS BIGINT))
+                    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
            FROM m)
          SELECT vec_id, round(ma, 6) AS max_abs,
                 CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
@@ -527,22 +529,31 @@ object Pipeline {
     // int8Quantize replica (floor(x·(127/maxabs) + 0.5)); integer dot
     // products are exact, so scores are bit-identical pre-rounding
     "q_ann_quantized" ->
-      """WITH qz AS (
-           SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CAST(floor(x * (127.0 / list_max(list_transform(
-                      CAST(embedding AS DOUBLE[]), y -> abs(y)))) + 0.5)
-                    AS BIGINT)) AS qv
+      """WITH m AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          y -> abs(y))) AS ma
            FROM embeddings),
+         qz0 AS (
+           SELECT vec_id,
+             CASE WHEN ma > 0
+               THEN list_transform(v, x -> CAST(floor(x * (127.0 / ma) + 0.5)
+                                                AS BIGINT))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+           FROM m),
+         qz AS (
+           SELECT vec_id, qv,
+             sqrt(CAST(list_aggregate(list_transform(qv, x -> x * x),
+                       'sum') AS DOUBLE)) AS nrm
+           FROM qz0),
          scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS cid,
-             round(
-               CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1),
-                      i -> q.qv[i] * c.qv[i]), 'sum') AS DOUBLE)
-               / (sqrt(CAST(list_aggregate(list_transform(q.qv, x -> x * x),
-                            'sum') AS DOUBLE))
-                  * sqrt(CAST(list_aggregate(list_transform(c.qv, x -> x * x),
-                              'sum') AS DOUBLE))), 6) AS sim
+             CASE WHEN q.nrm * c.nrm > 0 THEN
+               round(
+                 CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1),
+                        i -> q.qv[i] * c.qv[i]), 'sum') AS DOUBLE)
+                 / (q.nrm * c.nrm), 6)
+             ELSE 0.0 END AS sim
            FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
          SELECT qid, cid, sim, rank FROM (
            SELECT qid, cid, sim,

@@ -764,7 +764,9 @@ object Relational {
         .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
         .withColumn("p", col("c").cast("double") / sum(col("c")).over(tot).cast("double"))
         .groupBy(col("user_id"))
-        .agg(round(-sum(col("p") * log(col("p"))), 4).as("entropy"))
+        // + 0.0 canonicalizes IEEE -0.0 (a single event type yields
+        // -sum(+0.0)) — same normalization as q_skew_kurt
+        .agg((round(-sum(col("p") * log(col("p"))), 4) + lit(0.0)).as("entropy"))
     }),
 
     // rank methods (polars rank: average/min/max): min = SQL rank();
@@ -842,11 +844,12 @@ object Relational {
     }),
 
     // per-group sample covariance (polars cov); 4dp absorbs the
-    // engines' co-moment merge order, same as q_corr
+    // engines' co-moment merge order, same as q_corr; + 0.0
+    // canonicalizes a near-zero covariance rounding to IEEE -0.0
     "q_cov" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("qd_cov"),
+        .agg((round(covar_samp(col("l_quantity"), col("l_discount")), 4) + lit(0.0)).as("qd_cov"),
           count(lit(1)).as("n"))),
 
     // unique_counts (polars: counts per distinct value in
@@ -1307,7 +1310,7 @@ object Relational {
          LEFT JOIN lineitem l ON l.l_extendedprice < p.probe
          GROUP BY p.probe""",
     "q_entropy" ->
-      """SELECT user_id, round(-sum(p * ln(p)), 4) AS entropy
+      """SELECT user_id, round(-sum(p * ln(p)), 4) + 0.0 AS entropy
          FROM (
            SELECT user_id, c * 1.0 / sum(c) OVER (PARTITION BY user_id) AS p
            FROM (SELECT user_id, event_type, count(*) AS c
@@ -1359,7 +1362,7 @@ object Relational {
            ON a.k IS NOT DISTINCT FROM b.k""",
     "q_cov" ->
       """SELECT l_returnflag,
-         round(covar_samp(l_quantity, l_discount), 4) AS qd_cov,
+         round(covar_samp(l_quantity, l_discount), 4) + 0.0 AS qd_cov,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "q_unique_counts" ->

@@ -21,4 +21,9 @@ object GraftShim {
     * on a live session (the extensions path covers session build). */
   def functionRegistry(spark: SparkSession): catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** Drain the (private[spark]) listener bus — lets tests that count
+    * jobs via a SparkListener observe a deterministic event count. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

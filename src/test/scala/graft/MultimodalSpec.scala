@@ -52,6 +52,52 @@ class MultimodalSpec extends SparkSpec {
       .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
   }
 
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("real PNG payloads decode through ImageIO with pixel-derived features") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, png(8, 4, 0xff0000)), // solid red
+      (2L, png(3, 3, 0xffffff)), // solid white
+      (3L, "definitely not an image payload".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "payload")
+    val got = Multimodal.decodeFeatures(media, featDim = 8, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val red = got(1L)
+    assert(red(0) == 8.0f && red(1) == 4.0f, "decoded dimensions wrong")
+    assert(math.abs(red(2) - 1.0f) < 1e-6f && red(3) == 0.0f && red(4) == 0.0f,
+      "channel means must be pixel-derived (pure red)")
+    // Rec.601 luma of pure red = 0.299; min == mean == max on a solid fill
+    Seq(red(5), red(6), red(7)).foreach(l => assert(math.abs(l - 0.299f) < 1e-4f))
+    val white = got(2L)
+    assert(white(0) == 3.0f && white(1) == 3.0f && white(2) == 1.0f && white(7) == 1.0f)
+    // non-image payloads take the declared stub path, same shape
+    assert(got(3L).length == 8)
+  }
+
+  test("resize really rescales decodable images and re-encodes as PNG") {
+    import spark.implicits._
+    val src = Seq((1L, png(8, 4, 0xff0000))).toDF("media_id", "payload")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image").as("modality"), lit(8).as("width"), lit(4).as("height"),
+          lit(16000).as("sample_rate"), lit(1).as("n_frames")).as("meta"))
+    val out = Multimodal.resize(src, w = 4, h = 2).collect().head
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](1)))
+    assert(back != null, "resized payload is not a decodable PNG")
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == 0xff0000, s"pixel ($x,$y) lost its color")
+    val meta = out.getStruct(2)
+    assert(meta.getInt(1) == 4 && meta.getInt(2) == 2 && meta.getInt(3) == 16000)
+  }
+
   test("sampleFrames emits ceil(n_frames/everyN) rows per media") {
     val counts = Multimodal.sampleFrames(media, everyN = 10)
       .groupBy(col("media_id"), col("n_frames")).agg(count(lit(1)).as("k")).collect()

@@ -161,6 +161,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 2, s"expected hash + lang exchanges only, saw $n")
   }
 
+  test("q_curate exchanges never carry the document text") {
+    // hash and token count must be projected scan-side so the dedup
+    // shuffle moves ~50 bytes/row, not the corpus itself — the width of
+    // the exchange, not just its existence, is the 100 TB contract
+    val p = planOf("q_curate")
+    // formatted mode prints one detail section per operator; the
+    // Exchange sections' Input lines are the shuffled schema
+    val sections = p.split("""\n\n""")
+    val exchanges = sections.filter(_.matches("""(?s)\(\d+\) Exchange\b.*"""))
+    assert(exchanges.nonEmpty, "no Exchange detail sections found in plan")
+    exchanges.foreach { sec =>
+      val input = sec.linesIterator.filter(_.trim.startsWith("Input")).mkString
+      assert(!input.contains("text#"),
+        s"an exchange shuffles the full document text: $input")
+    }
+  }
+
   test("q_search_sorted is one scan with no join at all") {
     val p = planNoAutoBroadcast("q_search_sorted")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),

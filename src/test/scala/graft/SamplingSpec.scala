@@ -100,12 +100,33 @@ class SamplingSpec extends SparkSpec {
 
   test("curation stages only ever shrink the corpus, and the budget holds") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
-    val stats = graft.operators.Curate.stageStats(docs, "doc_id", "text", "lang", 2000)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(stats("input") >= stats("quality_gate"))
-    assert(stats("quality_gate") >= stats("exact_dedup"))
-    assert(stats("exact_dedup") >= stats("token_budget"))
-    assert(stats("token_budget") > 0, "curation must not empty the corpus")
+    // the audit trail must not re-run the gate/hash per stage: one
+    // conditional-aggregate job + one budgeted-corpus count, nothing more
+    // (AQE off so one action == one job and the count is deterministic)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    spark.sparkContext.addSparkListener(listener)
+    val stats =
+      try {
+        val s = graft.operators.Curate.stageStats(docs, "doc_id", "text", "lang", 2000)
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+        s
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set(aqeKey, aqePrev)
+      }
+    assert(jobs.get() <= 2, s"stageStats ran ${jobs.get()} jobs; the stage counts must share one scan")
+    val statsMap = stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statsMap("input") >= statsMap("quality_gate"))
+    assert(statsMap("quality_gate") >= statsMap("exact_dedup"))
+    assert(statsMap("exact_dedup") >= statsMap("token_budget"))
+    assert(statsMap("token_budget") > 0, "curation must not empty the corpus")
 
     val corpus = graft.operators.Curate.corpus(docs, "doc_id", "text", "lang", 2000)
     val over = corpus.filter(org.apache.spark.sql.functions.col("cum_n_tok") > 2000).count()

@@ -53,4 +53,16 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getString(0)
     assert(masked == "mail me at <EMAIL> or <IP>")
   }
+
+  test("wrong argument counts fail analysis instead of being ignored") {
+    registered
+    for (bad <- Seq(
+        "SELECT graft_quality_reason('a', 'b')",
+        "SELECT graft_simhash()",
+        "SELECT graft_cosine(array(1.0D))",
+        "SELECT graft_redact('a', 'b', 'c')")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad).collect())
+      assert(e.getMessage.contains("parameters"), s"unexpected error for: $bad — ${e.getMessage}")
+    }
+  }
 }
