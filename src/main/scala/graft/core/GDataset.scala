@@ -501,12 +501,20 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     }
   }
 
-  /** Linear interpolation of nulls over the index per id_vars group
-    * (polars `interpolate`): nulls between two observations get the
-    * line through them; leading/trailing nulls stay null. Two window
-    * passes, no self-join — shuffles once on id_vars. */
-  def interpolate(valueCols: Seq[String], tieBreak: Seq[Column] = Nil): GDataset =
+  /** Interpolation of nulls over the index per id_vars group (polars
+    * `interpolate`): strategy "linear" gives nulls between two
+    * observations the line through them; "nearest" copies the closer
+    * neighbor's value (ties and duplicate-index neighbors resolve
+    * backward, to the previous observation). Leading/trailing nulls
+    * stay null either way. Two window passes, no self-join — shuffles
+    * once on id_vars. */
+  def interpolate(
+      valueCols: Seq[String],
+      tieBreak: Seq[Column] = Nil,
+      strategy: String = "linear"): GDataset =
     transform { d =>
+      require(strategy == "linear" || strategy == "nearest",
+        s"unknown interpolate strategy '$strategy' (linear | nearest)")
       val wb = seriesWindowAsc(tieBreak)
       val wf = seriesWindowDesc(tieBreak)
       val x = col(index).cast("double")
@@ -516,13 +524,17 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
         val px = last(when(v.isNotNull, x), ignoreNulls = true).over(wb)
         val nv = last(v, ignoreNulls = true).over(wf)
         val nx = last(when(v.isNotNull, x), ignoreNulls = true).over(wf)
+        val filled =
+          if (strategy == "nearest") when((x - px) <= (nx - x), pv).otherwise(nv)
+          else
+            // both neighbors at the same x (duplicate index): the slope
+            // divide would be null/NaN, but either value is consistent
+            when(nx === px, pv)
+              .otherwise(pv + (nv - pv) * ((x - px) / (nx - px)))
         acc.withColumn(vName,
           when(v.isNotNull, v)
             .when(pv.isNull || nv.isNull, lit(null))
-            // both neighbors at the same x (duplicate index): the slope
-            // divide would be null/NaN, but either value is consistent
-            .when(nx === px, pv)
-            .otherwise(pv + (nv - pv) * ((x - px) / (nx - px))))
+            .otherwise(filled))
       }
     }
 

@@ -177,6 +177,19 @@ object Reference {
         .fetch(col("event_id"), col("v"))
     }),
 
+    // nearest-neighbor interpolation (polars interpolate
+    // strategy="nearest"): null takes the closer observation's value,
+    // ties resolve backward
+    "q_interpolate_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("x"),
+        when(col("value") < 1, lit(null)).otherwise(col("value")).as("v"))
+      GDataset(ev, "x", Seq("user_id"))
+        .interpolate(Seq("v"), Seq(col("event_id")), strategy = "nearest")
+        .fetch(col("event_id"), col("v"))
+    }),
+
     // upsample: hourly grid rows per user between min and max event
     // second; values only where an original lands exactly on the grid
     // (polars upsample grid-left join). Integer epoch-second index ->
@@ -320,6 +333,25 @@ object Reference {
          CASE WHEN v IS NOT NULL THEN v
               WHEN pv IS NULL OR nv IS NULL THEN NULL
               ELSE pv + (nv - pv) * ((x - px) / (nx - px)) END AS v
+         FROM (
+           SELECT event_id, v, CAST(epoch_us(ts) AS DOUBLE) AS x,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER wb AS px,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch_us(ts) AS DOUBLE) END IGNORE NULLS) OVER wf AS nx
+           FROM (SELECT user_id, event_id, ts,
+                   CASE WHEN value < 1 THEN NULL ELSE value END AS v
+                 FROM events)
+           WINDOW wb AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""",
+    "q_interpolate_nearest" ->
+      """SELECT event_id,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL OR nv IS NULL THEN NULL
+              WHEN (x - px) <= (nx - x) THEN pv
+              ELSE nv END AS v
          FROM (
            SELECT event_id, v, CAST(epoch_us(ts) AS DOUBLE) AS x,
              last_value(v IGNORE NULLS) OVER wb AS pv,

@@ -561,6 +561,20 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
           col("l_extendedprice"))),
 
+    // generic join_where (polars): arbitrary inequality conjuncts; the
+    // two-sided acctbal band drives a banded equi-join, the nationkey
+    // disequality rides as a residual filter — never a nested loop
+    "q_join_where" -> ((s, dir) =>
+      graft.operators.RangeJoin.joinWhere(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"), col("c_nationkey")),
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey")),
+        Seq(
+          col("c_acctbal") >= col("s_acctbal") - 100,
+          col("c_acctbal") <= col("s_acctbal"),
+          col("c_nationkey") =!= col("s_nationkey")),
+        bandWidth = 100.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("c_acctbal"), col("s_acctbal"))),
+
     // rle_id (polars): run-length id per key — a new run whenever the
     // value changes; one lag pass + one running sum over the same
     // window order, so the key shuffles once
@@ -1048,6 +1062,12 @@ object Relational {
          FROM lineitem l JOIN part p
            ON l.l_extendedprice >= p.p_retailprice - 1
           AND l.l_extendedprice <= p.p_retailprice + 1""",
+    "q_join_where" ->
+      """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+         FROM customer c JOIN supplier s
+           ON c.c_acctbal >= s.s_acctbal - 100
+          AND c.c_acctbal <= s.s_acctbal
+          AND c.c_nationkey <> s.s_nationkey""",
     "q_full_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
                 c.c_acctbal, o.n_orders

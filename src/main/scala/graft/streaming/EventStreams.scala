@@ -90,6 +90,63 @@ object EventStreams {
         col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
   }
 
+  final case class AsOfEvent(key: Long, ts: java.sql.Timestamp, v: Double)
+  final case class AsOfUnion(key: Long, ts: java.sql.Timestamp, isRef: Boolean, v: Double)
+  final case class AsOfEnrichState(
+      refs: List[(Long, Double)], pending: List[(Long, Double)])
+  final case class AsOfEnriched(
+      key: Long, ts: java.sql.Timestamp, v: Double, ref_v: Option[Double])
+
+  /** Streaming as-of enrichment — the online counterpart of
+    * [[graft.operators.AsOf]]: each fact event picks up the LATEST
+    * reference value for its key with ref.ts <= fact.ts, where the
+    * reference side is itself a slowly-updating stream. Interval joins
+    * can't express "latest at-or-before" (they emit every match in the
+    * range), so this runs on flatMapGroupsWithState over the union of
+    * the two streams:
+    *
+    *  - facts are held in state until the event-time watermark passes
+    *    their timestamp, so a LATE-arriving reference row that belongs
+    *    before a buffered fact still wins the as-of match;
+    *  - reference state is evicted down to the single latest row at or
+    *    below the watermark (any older ref can never be the as-of match
+    *    of a fact the watermark still admits) plus the in-flight rows
+    *    above it — state is O(refs within the lateness budget), not
+    *    O(stream history).
+    *
+    * Facts with no reference at or before them emit ref_v = None.
+    * Like [[sessionize]], a key's buffered facts emit on the key's
+    * next batch with data (NoTimeout keeps draining deterministic). */
+  def asOfEnrich(
+      facts: Dataset[AsOfEvent],
+      refs: Dataset[AsOfEvent],
+      lateness: String = "10 minutes"): Dataset[AsOfEnriched] = {
+    import facts.sparkSession.implicits._
+    val merged = facts.map(e => AsOfUnion(e.key, e.ts, isRef = false, e.v))
+      .union(refs.map(e => AsOfUnion(e.key, e.ts, isRef = true, e.v)))
+      .withWatermark("ts", lateness)
+    merged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[AsOfUnion], state: GroupState[AsOfEnrichState]) => {
+          val (refRows, factRows) = rows.toList.partition(_.isRef)
+          val st = state.getOption.getOrElse(AsOfEnrichState(Nil, Nil))
+          val refsAll = (st.refs ++ refRows.map(e => (e.ts.getTime, e.v)))
+            .sortBy(_._1)
+          val pendingAll = st.pending ++ factRows.map(e => (e.ts.getTime, e.v))
+          val wm = state.getCurrentWatermarkMs()
+          val (emit, keep) = pendingAll.partition(_._1 <= wm)
+          val out = emit.sortBy(_._1).map { case (t, v) =>
+            val m = refsAll.takeWhile(_._1 <= t).lastOption
+            AsOfEnriched(key, new java.sql.Timestamp(t), v, m.map(_._2))
+          }
+          val keptRefs =
+            refsAll.filter(_._1 <= wm).lastOption.toList ++ refsAll.filter(_._1 > wm)
+          state.update(AsOfEnrichState(keptRefs, keep))
+          out.iterator
+        })
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Int)

@@ -240,6 +240,13 @@ class GDatasetSpec extends SparkSpec {
     assert(vals(ds.interpolate(Seq("v"))) == Seq(
       1L -> Some(10.0), 1L -> Some(20.0), 1L -> Some(30.0),
       1L -> Some(40.0), 1L -> None, 2L -> None, 2L -> Some(5.0)))
+    // nearest: x=1 is closer to the x=0 observation, x=2 to the x=3
+    // one; one-sided nulls stay null like linear
+    assert(vals(ds.interpolate(Seq("v"), strategy = "nearest")) == Seq(
+      1L -> Some(10.0), 1L -> Some(10.0), 1L -> Some(40.0),
+      1L -> Some(40.0), 1L -> None, 2L -> None, 2L -> Some(5.0)))
+    assertThrows[IllegalArgumentException](
+      ds.interpolate(Seq("v"), strategy = "cubic").df.collect())
   }
 
   test("datafile csv round-trip") {

@@ -113,7 +113,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
                   "q_dedup_cosine", "q_dedup_cosine_bucketed", "q_ann_lsh",
                   "q_ann_ivf", "q_dedup_exact", "q_multimodal",
-                  "q_range_join", "q_qcut", "q_decontaminate", "q_vocab",
+                  "q_range_join", "q_join_where", "q_qcut", "q_decontaminate", "q_vocab",
                   "q_tfidf", "q_upsample", "q_sessionize", "q_salted_join",
                   "q_repetition", "q_quality_filter", "q_lang_budget",
                   "q_embed_quant", "q_winsorize")) {

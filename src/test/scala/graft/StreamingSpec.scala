@@ -111,6 +111,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment: buffered facts wait for late reference rows") {
+    import spark.implicits._
+    val base = 1700000000000L
+    def min(m: Long) = new java.sql.Timestamp(base + m * 60000)
+    val facts = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.AsOfEvent](spark)
+    val refs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.AsOfEvent](spark)
+    val q = EventStreams.asOfEnrich(facts.toDS(), refs.toDS(), lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("asof_enrich").start()
+    try {
+      // batch 1: an early ref, a fact before any ref, the fact under test
+      refs.addData(EventStreams.AsOfEvent(1L, min(0), 1.0))
+      facts.addData(
+        EventStreams.AsOfEvent(1L, min(-5), 3.0), // no ref at-or-before
+        EventStreams.AsOfEvent(1L, min(60), 5.0))
+      q.processAllAvailable() // watermark after: min(60) - 10
+      // batch 2: a LATE ref that belongs between min(0) and min(60) —
+      // the min(60) fact is still buffered and must match it
+      refs.addData(EventStreams.AsOfEvent(1L, min(55), 2.0))
+      facts.addData(EventStreams.AsOfEvent(1L, min(90), 7.0))
+      q.processAllAvailable() // watermark after: min(90) - 10
+      // batch 3: advance the key so buffered facts <= watermark drain
+      facts.addData(EventStreams.AsOfEvent(1L, min(150), 9.0))
+      q.processAllAvailable() // watermark after: min(150) - 10
+      facts.addData(EventStreams.AsOfEvent(1L, min(200), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_enrich").as[EventStreams.AsOfEnriched].collect()
+        .map(e => ((e.ts.getTime - base) / 60000, e.v, e.ref_v)).toSet
+      // min(150)/min(200) stay buffered: the final watermark (min 190)
+      // hasn't passed min(200), and min(150) drained nothing earlier
+      assert(got == Set(
+        (-5L, 3.0, None),       // fact before any reference
+        (60L, 5.0, Some(2.0)),  // late ref at min(55) wins over min(0)
+        (90L, 7.0, Some(2.0))), s"got $got")
+    } finally q.stop()
+  }
+
   test("sessionize survives late cross-batch events without corrupting state") {
     import spark.implicits._
     val base = 1700000000000L
