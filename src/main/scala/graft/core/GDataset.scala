@@ -538,6 +538,28 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       }
     }
 
+  /** polars merge_sorted analogue (the reference forwards it to polars
+    * via polars_dataset.py:74-78): merge two frames, each sorted on
+    * `key`, into one frame globally sorted on `key`; rows with equal
+    * keys keep this-before-other order (polars' streaming-merge tie
+    * rule, made explicit here with a source tag the sort consumes).
+    * At 100 TB a distributed range-partitioned re-sort IS the merge —
+    * a literal k-way merger would serialize the corpus through one
+    * task; Spark's range exchange + per-partition sort does the same
+    * comparisons in parallel. */
+  def mergeSorted(other: GDataset, key: String): GDataset = {
+    require(other.df.columns.toSet == df.columns.toSet,
+      s"merge_sorted requires identical schemas; " +
+        s"left-only: ${(df.columns.toSet -- other.df.columns.toSet).mkString(", ")} " +
+        s"right-only: ${(other.df.columns.toSet -- df.columns.toSet).mkString(", ")}")
+    require(df.columns.contains(key), s"unknown merge key `$key`")
+    val merged = df.withColumn("__src", lit(0))
+      .unionByName(other.df.withColumn("__src", lit(1)))
+      .orderBy(col(key), col("__src"))
+      .drop("__src")
+    GDataset(merged, index, prunedIdVars)
+  }
+
   /** polars pivot analogue (reference polars_dataset.py:150-151; the
     * reference, too, returns a raw frame — metadata rarely survives a
     * pivot). Distinct pivot values are explicit so no extra pass scans

@@ -177,6 +177,19 @@ object Reference {
         .fetch(col("event_id"), col("v"))
     }),
 
+    // merge_sorted: two per-user-parity halves of events, each sorted
+    // on the time axis, merged back into one globally time-sorted
+    // frame (row set == the full table; the sortedness is spec-pinned
+    // since the driver compare is order-insensitive)
+    "q_merge_sorted" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("x"), col("value"))
+      val a = GDataset(ev.filter(col("user_id") % 2 === 0), "x", Seq("user_id"))
+      val b = GDataset(ev.filter(col("user_id") % 2 =!= 0), "x", Seq("user_id"))
+      a.mergeSorted(b, "x").fetch(col("event_id"), col("x"), col("value"))
+    }),
+
     // nearest-neighbor interpolation (polars interpolate
     // strategy="nearest"): null takes the closer observation's value,
     // ties resolve backward
@@ -346,6 +359,9 @@ object Reference {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                   wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))""",
+    "q_merge_sorted" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS x, value
+         FROM events""",
     "q_interpolate_nearest" ->
       """SELECT event_id,
          CASE WHEN v IS NOT NULL THEN v

@@ -249,6 +249,21 @@ class GDatasetSpec extends SparkSpec {
       ds.interpolate(Seq("v"), strategy = "cubic").df.collect())
   }
 
+  test("mergeSorted yields a globally sorted frame, left wins ties") {
+    import spark.implicits._
+    val a = GDataset(
+      Seq((1L, 0.0, "a1"), (1L, 2.0, "a2"), (1L, 5.0, "a3")).toDF("k", "x", "tag"),
+      "x", Seq("k"))
+    val b = GDataset(
+      Seq((1L, 1.0, "b1"), (1L, 2.0, "b2")).toDF("k", "x", "tag"),
+      "x", Seq("k"))
+    val got = a.mergeSorted(b, "x").df.collect().map(_.getString(2)).toSeq
+    assert(got == Seq("a1", "b1", "a2", "b2", "a3"))
+    // schema mismatch fails loudly instead of null-filling
+    assertThrows[IllegalArgumentException](
+      a.mergeSorted(GDataset(Seq((1L, 1.0)).toDF("k", "x"), "x", Seq("k")), "x"))
+  }
+
   test("datafile csv round-trip") {
     val path = "/tmp/graft_test_csv"
     val f = Datafile(path, index = Some("ts"), idVars = Seq("user_id"))
