@@ -14,12 +14,13 @@ import javax.imageio.ImageIO
   * Images are decoded for REAL via the JDK's `javax.imageio` codecs
   * (PNG/JPEG/BMP/GIF — no external dependency): `decodeFeatures`
   * extracts pixel-derived statistics and `resize` rescales through
-  * `java.awt` and re-encodes as PNG. Payloads no JDK reader recognizes
-  * (audio/video, raw text) fall back to a clearly-marked deterministic
-  * stub so the batch plumbing — schema, batched mapPartitions
-  * iteration, partition-size control — is exercised end-to-end on any
-  * corpus; swapping the fallback for a JNI/ffmpeg decoder changes no
-  * plan shape.
+  * `java.awt` and re-encodes as PNG. Audio is decoded for real too,
+  * via `javax.sound.sampled` (WAV/AIFF/AU): sample-derived amplitude
+  * statistics. Payloads no JDK reader recognizes (video, raw text)
+  * fall back to a clearly-marked deterministic stub so the batch
+  * plumbing — schema, batched mapPartitions iteration, partition-size
+  * control — is exercised end-to-end on any corpus; swapping the
+  * fallback for a JNI/ffmpeg decoder changes no plan shape.
   */
 object Multimodal {
 
@@ -86,7 +87,62 @@ object Multimodal {
     Array.tabulate(featDim)(d => if (d < stats.length) stats(d) else 0.0f)
   }
 
-  /** STUB fallback for payloads no JDK codec recognizes (audio/video):
+  /** WAV/AIFF/AU decode through the JDK's `javax.sound.sampled` — the
+    * second real codec path; None = not a decodable audio payload. */
+  private def tryDecodeAudio(
+      payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val out = (in.getFormat, in.readAllBytes())
+      in.close()
+      Some(out)
+    } catch { case _: Exception => None }
+
+  /** Sample-derived audio feature vector, truncated / zero-padded to
+    * featDim: [sampleRate, channels, nFrames, meanAbs, rms, maxAbs,
+    * zeroCrossingRate, sampleSizeInBits] with amplitudes normalized to
+    * [-1, 1]. Handles 16-bit signed and 8-bit PCM either signedness. */
+  private def audioFeatures(
+      fmt: javax.sound.sampled.AudioFormat,
+      pcm: Array[Byte],
+      featDim: Int): Array[Float] = {
+    val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+    val unsigned8 =
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    val n = pcm.length / bytesPerSample
+    var sumAbs, sumSq, maxAbs = 0.0
+    var zc = 0
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val v: Double =
+        if (bytesPerSample >= 2) {
+          val off = i * bytesPerSample
+          // use the two most significant bytes whatever the width
+          val (hiOff, loOff) = if (fmt.isBigEndian) (off, off + 1) else (off + bytesPerSample - 1, off + bytesPerSample - 2)
+          ((pcm(hiOff) << 8) | (pcm(loOff) & 0xff)).toShort / 32768.0
+        } else if (unsigned8) ((pcm(i) & 0xff) - 128) / 128.0
+        else pcm(i) / 128.0
+      val a = math.abs(v)
+      sumAbs += a
+      sumSq += v * v
+      if (a > maxAbs) maxAbs = a
+      val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+      if (sign != 0 && prevSign != 0 && sign != prevSign) zc += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    val nn = math.max(1, n).toDouble
+    val frames = pcm.length / math.max(1, fmt.getFrameSize)
+    val stats = Array(
+      fmt.getSampleRate, fmt.getChannels.toFloat, frames.toFloat,
+      (sumAbs / nn).toFloat, math.sqrt(sumSq / nn).toFloat, maxAbs.toFloat,
+      (zc / nn).toFloat, fmt.getSampleSizeInBits.toFloat)
+    Array.tabulate(featDim)(d => if (d < stats.length) stats(d) else 0.0f)
+  }
+
+  /** STUB fallback for payloads no JDK codec recognizes (video):
     * feature f(i) derived from payload bytes — deterministic, same
     * batch shape a real decoder needs. */
   private def stubDecode(payload: Array[Byte], featDim: Int): Array[Float] = {
@@ -100,7 +156,8 @@ object Multimodal {
   }
 
   /** Decode + feature-extract over batches: real pixel statistics for
-    * JDK-decodable images, the stub for everything else. Batched
+    * JDK-decodable images, real sample statistics for JDK-decodable
+    * audio, the stub only for what the JDK can't read (video). Batched
     * iteration inside mapPartitions mirrors how a real decoder
     * amortizes codec init per batch, not per row; `batchSize` bounds
     * peak memory per task. */
@@ -118,10 +175,12 @@ object Multimodal {
         // (heavier codecs: init once per batch here)
         batch.iterator.map { r =>
           val payload = r.getAs[Array[Byte]](payloadIdx)
-          val feats = tryDecodeImage(payload) match {
-            case Some(img) => imageFeatures(img, featDim)
-            case None => stubDecode(payload, featDim)
-          }
+          val feats = tryDecodeImage(payload)
+            .map(imageFeatures(_, featDim))
+            .orElse(tryDecodeAudio(payload).map {
+              case (fmt, pcm) => audioFeatures(fmt, pcm, featDim)
+            })
+            .getOrElse(stubDecode(payload, featDim))
           Row(r.getLong(idIdx), payload.length, feats.toSeq)
         }
       }

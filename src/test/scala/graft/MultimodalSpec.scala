@@ -81,6 +81,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).length == 8)
   }
 
+  private def wav(freqHz: Double, n: Int, rate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val samples = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * freqHz * i / rate) * 16384).toInt.toShort
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("real WAV payloads decode through javax.sound with sample-derived features") {
+    import spark.implicits._
+    val media = Seq((1L, wav(440.0, 4000))).toDF("media_id", "payload")
+    val f = Multimodal.decodeFeatures(media, featDim = 8).collect().head.getSeq[Float](2)
+    assert(f(0) == 8000.0f, "sample rate not decoded")
+    assert(f(1) == 1.0f, "channel count not decoded")
+    assert(f(2) == 4000.0f, "frame count not decoded")
+    // a 0.5-amplitude sine: mean|x| = 2/π·A ≈ 0.318, rms = A/√2 ≈ 0.354
+    assert(math.abs(f(3) - 0.318f) < 0.01f, s"mean amplitude ${f(3)} not sample-derived")
+    assert(math.abs(f(4) - 0.354f) < 0.01f, s"rms ${f(4)} not sample-derived")
+    assert(math.abs(f(5) - 0.5f) < 0.01f, s"peak ${f(5)} not sample-derived")
+    // 440 Hz at 8 kHz crosses zero ~2·440/8000 ≈ 0.11 per sample
+    assert(math.abs(f(6) - 0.11f) < 0.01f, s"zero-crossing rate ${f(6)} off")
+    assert(f(7) == 16.0f)
+  }
+
   test("resize really rescales decodable images and re-encodes as PNG") {
     import spark.implicits._
     val src = Seq((1L, png(8, 4, 0xff0000))).toDF("media_id", "payload")
