@@ -178,6 +178,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_merge_sorted is one range-partitioned sort — no extra exchanges") {
+    // the merge IS the distributed sort: union is exchange-free, then a
+    // single range exchange orders globally; any second exchange means
+    // the merge re-shuffled what the sort already placed
+    val p = planOf("q_merge_sorted")
+    val n = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(n == 1, s"expected the single range exchange of the merge sort, saw $n")
+    assert(p.contains("rangepartitioning"), "merge did not range-partition")
+  }
+
   test("q_search_sorted is one scan with no join at all") {
     val p = planNoAutoBroadcast("q_search_sorted")
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
