@@ -186,6 +186,18 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("rmean"))
     }),
 
+    // rolling min/max (polars rolling_min/rolling_max): exact values,
+    // no float accumulation, one window pass over the shared key sort
+    "q_rolling_minmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        min(col("value")).over(w).as("roll_min"),
+        max(col("value")).over(w).as("roll_max"))
+    }),
+
     // numeric namespace: abs / clip / sqrt (sqrt is IEEE
     // correctly-rounded, so it compares bit-exact across engines;
     // log/pow are not and stay out of the oracle surface)
@@ -346,6 +358,7 @@ object Relational {
       t(s, dir, "events").select(
         col("user_id"), col("event_id"),
         round(sum(col("value")).over(w), 2).as("csum"),
+        min(col("value")).over(w).as("cmin"),
         max(col("value")).over(w).as("cmax"),
         count(lit(1)).over(w).as("ccnt"))
     }),
@@ -986,6 +999,13 @@ object Relational {
          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),4) AS rmean
          FROM events""",
+    "q_rolling_minmax" ->
+      """SELECT user_id, event_id,
+         min(value) OVER w AS roll_min,
+         max(value) OVER w AS roll_max
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
     "q_json_props" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -1001,6 +1021,7 @@ object Relational {
     "q_cumulative" ->
       """SELECT user_id, event_id,
          round(sum(value) OVER w, 2) AS csum,
+         min(value) OVER w AS cmin,
          max(value) OVER w AS cmax,
          count(*) OVER w AS ccnt
          FROM events
