@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape regression guard (SURVEY.md §5): the physical plans the
   * engine is designed around — parquet filter pushdown, column-pruned
@@ -201,6 +202,43 @@ class PlanAuditSpec extends SparkSpec {
       "<=> must remain a key-equality join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "null-safe join fell back to a non-equi pairing")
+  }
+
+  test("bucketed tables co-locate their join — zero exchanges") {
+    // the 100 TB lever for repeated fact-dim joins: both sides written
+    // bucketed on the join key with matching bucket counts read back
+    // pre-partitioned, so the sort-merge join runs with NO shuffle at
+    // all — the plan is scan → sort → join on both sides
+    val orders = Tables.t(spark, Sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val cust = Tables.t(spark, Sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS g_customer_bucketed")
+    try {
+      orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("g_orders_bucketed")
+      cust.write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("g_customer_bucketed")
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "-1")
+      try {
+        val j = spark.table("g_orders_bucketed")
+          .join(spark.table("g_customer_bucketed"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey")).agg(org.apache.spark.sql.functions.sum(col("o_totalprice")))
+        val p = j.queryExecution.explainString(FormattedMode)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"bucketed join did not stay a key join:\n$p")
+        assert(!p.contains("Exchange"),
+          "bucketed join (and the aggregation on its key) re-shuffled co-located data")
+        assert(j.count() > 0)
+      } finally spark.conf.set(key, prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_customer_bucketed")
+    }
   }
 
   test("document pipeline scans stay column-pruned") {
