@@ -44,6 +44,44 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (pmod(xxhash64(col(textCol), lit(2)), lit(300L)) + 1).cast("int").as("n_frames")).as("meta"))
 
+  /** Ingest a directory of media files through Spark's `binaryFile`
+    * source into the multimodal layout: payload = file bytes, id =
+    * hash of the path (stable across reruns), metadata probed from the
+    * decoded header where the JDK has a codec. The real ingestion path
+    * for images: pair with [[decodeFeatures]]/[[resize]] downstream.
+    * `pathGlob` prunes at the listing (e.g. "*.png") so non-matching
+    * files are never read. */
+  def fromBinaryFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      pathGlob: String = "*"): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        col("path"))
+    val outSchema = StructType(raw.schema.fields :+ StructField("meta", MetaSchema))
+    val enc = Encoders.row(outSchema)
+    raw.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val meta = tryDecodeImage(payload) match {
+          case Some(img) => Row("image", img.getWidth, img.getHeight, null, null)
+          case None => tryDecodeAudio(payload) match {
+            case Some((fmt, pcm)) =>
+              Row("audio", null, null, fmt.getSampleRate.toInt,
+                pcm.length / math.max(1, fmt.getFrameSize))
+            case None => Row("unknown", null, null, null, null)
+          }
+        }
+        Row(r.getLong(0), payload, r.getString(2), meta)
+      }
+    }(enc)
+  }
+
   /** ImageIO probes the payload's magic bytes against the JDK's
     * registered readers; None = not a decodable image (the stub path).
     * Disk caching is off — temp-file spills per decode would dominate

@@ -130,6 +130,29 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getInt(1) == 4 && meta.getInt(2) == 2 && meta.getInt(3) == 16000)
   }
 
+  test("fromBinaryFiles ingests a media directory with probed metadata") {
+    val dir = new java.io.File("/tmp/graft_media_ingest")
+    dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "red.png").toPath, png(8, 4, 0xff0000))
+    java.nio.file.Files.write(new java.io.File(dir, "tone.wav").toPath, wav(440.0, 1000))
+    java.nio.file.Files.write(new java.io.File(dir, "junk.bin").toPath, "not media".getBytes)
+    val media = graft.operators.Multimodal.fromBinaryFiles(spark, dir.getAbsolutePath)
+    val byName = media.collect().map { r =>
+      val name = r.getString(2).split('/').last
+      name -> r.getStruct(3)
+    }.toMap
+    assert(byName.size == 3)
+    val img = byName("red.png")
+    assert(img.getString(0) == "image" && img.getInt(1) == 8 && img.getInt(2) == 4)
+    val au = byName("tone.wav")
+    assert(au.getString(0) == "audio" && au.getInt(3) == 8000 && au.getInt(4) == 1000)
+    assert(byName("junk.bin").getString(0) == "unknown")
+    // the glob prunes at the file listing, before any bytes are read
+    val onlyPng = graft.operators.Multimodal.fromBinaryFiles(
+      spark, dir.getAbsolutePath, pathGlob = "*.png")
+    assert(onlyPng.count() == 1)
+  }
+
   test("sampleFrames emits ceil(n_frames/everyN) rows per media") {
     val counts = Multimodal.sampleFrames(media, everyN = 10)
       .groupBy(col("media_id"), col("n_frames")).agg(count(lit(1)).as("k")).collect()
