@@ -242,6 +242,30 @@ object Relational {
         trim(substring(col("text"), 1, 30)).as("head_trim"))
     }),
 
+    // str padding/slicing family (polars zfill / pad_start / pad_end /
+    // reverse / head+tail slices) — all codegen'd builtins
+    "q_str_pad" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("key_zfill"),
+        rpad(col("o_orderpriority"), 16, ".").as("prio_pad"),
+        reverse(col("o_orderpriority")).as("prio_rev"),
+        substring(col("o_orderpriority"), 1, 3).as("prio_head"),
+        substring(col("o_orderpriority"), -3, 3).as("prio_tail"))),
+
+    // dt offset/boundary family (polars offset_by / month_start /
+    // month_end / truncate to week): exact calendar arithmetic in both
+    // engines; DATE values compared in ISO string form (the parquet
+    // date32 / DuckDB datetime64 renderings differ at the harness)
+    "q_dt_offset" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 1).cast("string").as("plus_1mo"),
+        date_add(col("o_orderdate"), 90).cast("string").as("plus_90d"),
+        trunc(col("o_orderdate"), "month").cast("string").as("month_start"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        trunc(col("o_orderdate"), "week").cast("string").as("week_start"))),
+
     // vector namespace over the embedding column: L2 norm and max
     // magnitude. Elements cast to double BEFORE any arithmetic (the
     // same rule the cosine oracles use), so both engines square and
@@ -1207,6 +1231,23 @@ object Relational {
          lpad(lang, 5, '_') AS lang_padded,
          split_part(text, ' ', 1) AS first_token
          FROM documents""",
+    "q_str_pad" ->
+      """SELECT o_orderkey,
+         lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_zfill,
+         rpad(o_orderpriority, 16, '.') AS prio_pad,
+         reverse(o_orderpriority) AS prio_rev,
+         substr(o_orderpriority, 1, 3) AS prio_head,
+         substr(o_orderpriority, -3, 3) AS prio_tail
+         FROM orders""",
+    "q_dt_offset" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+         SELECT o_orderkey,
+         CAST(CAST(d + INTERVAL 1 MONTH AS DATE) AS VARCHAR) AS plus_1mo,
+         CAST(d + 90 AS VARCHAR) AS plus_90d,
+         CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS month_start,
+         CAST(last_day(d) AS VARCHAR) AS month_end,
+         CAST(CAST(date_trunc('week', d) AS DATE) AS VARCHAR) AS week_start
+         FROM o""",
     "q_dt_ops" ->
       """SELECT o_orderkey,
          year(o_orderdate) AS yr, month(o_orderdate) AS mo,
