@@ -171,6 +171,17 @@ object Pipeline {
           .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("n_tok")),
         col("lang"), Seq(col("doc_id")), "n_tok", budget = 2000)),
 
+    // quality-ordered token budget: keep the BEST docs per language
+    // until the budget fills (production curation order, vs
+    // q_lang_budget's id order); same single stratum shuffle
+    "q_budget_quality" -> ((s, dir) =>
+      graft.operators.Sampling.budgetPerStratum(
+        t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TF.qualityScore(col("text")).as("quality"),
+          TF.tokenCount(col("text")).as("n_tok")),
+        col("lang"), Seq(col("quality").desc, col("doc_id")), "n_tok", budget = 2000)),
+
     // Gopher-style quality gate with a first-fail reason per document
     "q_quality_filter" -> ((s, dir) => {
       val reason = TF.filterReason(col("text"))
@@ -231,6 +242,21 @@ object Pipeline {
   private def hitsSql(words: Seq[String]): String =
     s"""len(list_filter($TokSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"""
 
+  // TextFunctions.qualityScore replica (bit-identical scalar op order,
+  // so the 4dp rounding agrees exactly) — shared by q_quality_score
+  // and the quality-ordered budget
+  private val ScoredDocsSql =
+    s"""SELECT doc_id, lang, text,
+        round((least(CAST(len($TokSql) AS DOUBLE) / 200.0, 1.0)
+               + (CASE WHEN punct > 0.2 THEN 0.0 ELSE 1.0 - punct * 2.5 END)
+               + least((CAST(${hitsSql(TF.Stopwords.flatMap(_._2))} AS DOUBLE)
+                        / CAST(greatest(len($TokSql), 1) AS DOUBLE)) * 4.0, 1.0))
+              / 3.0, 4) AS quality
+        FROM (SELECT doc_id, lang, text,
+                CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                  / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
+              FROM documents)"""
+
   // TextFunctions.filterReason replica (same rule order and
   // thresholds) — shared by q_quality_filter and the q_curate spine
   private val ReasonedDocsSql =
@@ -272,19 +298,21 @@ object Pipeline {
           round(${hitsSql(TF.Stopwords.flatMap(_._2))} * 1.0
                 / greatest(len($TokSql), 1), 4) AS stop_ratio
           FROM documents""",
-    // bit-identical replica of TextFunctions.qualityScore: same scalar
-    // op order, so the 4dp rounding agrees exactly.
     "q_quality_score" ->
-      s"""SELECT doc_id,
-          round((least(CAST(len($TokSql) AS DOUBLE) / 200.0, 1.0)
-                 + (CASE WHEN punct > 0.2 THEN 0.0 ELSE 1.0 - punct * 2.5 END)
-                 + least((CAST(${hitsSql(TF.Stopwords.flatMap(_._2))} AS DOUBLE)
-                          / CAST(greatest(len($TokSql), 1) AS DOUBLE)) * 4.0, 1.0))
-                / 3.0, 4) AS quality
-          FROM (SELECT doc_id, text,
-                  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-                    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
-                FROM documents)""",
+      s"""SELECT doc_id, quality FROM ($ScoredDocsSql)""",
+    // quality-ordered token budget: the BEST documents fill each
+    // language's budget first; the 4dp-rounded score is bit-identical
+    // in both engines, so the cut order is deterministic
+    "q_budget_quality" ->
+      s"""SELECT doc_id, lang, quality, n_tok, cum_n_tok FROM (
+           SELECT doc_id, lang, quality, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY lang
+                  ORDER BY quality DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n_tok
+           FROM (SELECT doc_id, lang, quality, len($TokSql) AS n_tok
+                 FROM ($ScoredDocsSql)))
+         WHERE cum_n_tok <= 2000""",
     "q_lang_id" -> {
       val langs = TF.Stopwords.map(_._1)
       val hitCols = TF.Stopwords.zipWithIndex
