@@ -73,7 +73,8 @@ object Bench {
     println(line)
     // durable copy: the driver's artifact keeps only a stdout tail, so
     // the committed file is the complete per-query record of the round
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_local.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File(sys.props("user.dir"), "BENCH_local.json").getPath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()

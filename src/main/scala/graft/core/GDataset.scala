@@ -111,6 +111,59 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     transform(_.drop(names: _*))
   }
 
+  /** Whole-row dedup on `subset` with the polars `unique(keep=)`
+    * variants. A distributed frame has no implicit row order, so
+    * "first"/"last" take the winner's total order explicitly via
+    * `orderBy`; when omitted they fall back to frame appearance order
+    * (monotonically_increasing_id — numeric order IS appearance order,
+    * the same single-pass trick as [[coord]]; stable for a sorted scan).
+    *
+    *  - "first": lowest-ordered row per key — one row_number window
+    *    over a single (subset) shuffle;
+    *  - "last": highest-ordered row per key — same shuffle, rn == count
+    *    (reversing arbitrary order expressions isn't generally
+    *    possible, so last is picked against the count, not a desc sort);
+    *  - "none": drop every row whose key repeats — one count window,
+    *    no self-join back to the input;
+    *  - "any": cheapest representative, Spark's dropDuplicates —
+    *    map-side partial dedup BEFORE the shuffle (the others must
+    *    shuffle whole rows); winner is partition-order-dependent.
+    */
+  def unique(subset: Seq[String], keep: String = "any", orderBy: Seq[Column] = Nil): GDataset = {
+    import org.apache.spark.sql.expressions.Window
+    require(subset.nonEmpty, "unique needs at least one subset column")
+    transform { d =>
+      lazy val withOrd =
+        if (orderBy.nonEmpty) (d, orderBy)
+        else {
+          val o = d.withColumn("__ord", monotonically_increasing_id())
+          (o, Seq(col("__ord")))
+        }
+      val out = keep match {
+        case "first" | "last" =>
+          val (dd, ord) = withOrd
+          val key = Window.partitionBy(subset.map(col): _*)
+          val w = key.orderBy(ord: _*)
+          val ranked = dd.withColumn("__rn", row_number().over(w))
+          val kept =
+            if (keep == "first") ranked.filter(col("__rn") === 1)
+            else ranked
+              .withColumn("__n", count(lit(1)).over(key))
+              .filter(col("__rn") === col("__n"))
+          kept.drop("__rn", "__n")
+        case "none" =>
+          d.withColumn("__n", count(lit(1)).over(Window.partitionBy(subset.map(col): _*)))
+            .filter(col("__n") === 1)
+            .drop("__n")
+        case "any" => d.dropDuplicates(subset)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown keep variant '$other' (first/last/none/any)")
+      }
+      out.drop("__ord")
+    }
+  }
+
   /** Unique values of a column in first-appearance order — exactly the
     * reference's `unique(maintain_order=True)` (polars_dataset.py:274-275),
     * kept distributed AND single-pass: `monotonically_increasing_id`
@@ -234,12 +287,12 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * set is a pure function of the key — stable across partitionings,
     * reruns, and engines (the polars `sample(seed=)` analogue that
     * actually reproduces at 100 TB). */
-  def sampleByHash(key: Column, sixteenths: Int): GDataset = {
-    require(sixteenths >= 0 && sixteenths <= 16, "sixteenths must be in [0, 16]")
-    if (sixteenths == 16) this // single hex-char compare below can't express "all"
-    else filter(substring(md5(key.cast("string").cast("binary")), 1, 1) <
-      lit(sixteenths.toHexString))
-  }
+  def sampleByHash(key: Column, sixteenths: Int): GDataset =
+    // delegated so both entry points share one predicate AND one
+    // key-type guard (double/timestamp/decimal keys render differently
+    // across engines — the operator path rejects them at plan time, and
+    // the wrapper must enforce the same determinism contract)
+    transform(graft.operators.Sampling.hashSample(_, key, sixteenths))
 
   /** head/tail/slice over an explicit total order (polars slice is
     * positional; a distributed engine needs the order spelled out). */

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String ↔ datetime conversion with chrono/strftime format strings —
+  * the polars `str.to_datetime` / `str.to_date` / `dt.to_string`
+  * surface (the reference forwards them to polars' chrono-based
+  * parser). The directives are translated ONCE at plan time to Spark's
+  * DateTimeFormatter pattern; parsing itself is Spark's codegen'd
+  * to_timestamp/to_date — no per-row translation, no UDF.
+  *
+  * Unknown directives fail at PLAN time with the offending directive
+  * named: a silently mistranslated format would parse garbage at 100 TB
+  * before anyone noticed.
+  */
+object Temporal {
+
+  // chrono/strftime directive → Spark DateTimeFormatter pattern.
+  // Month/weekday NAMES (%b/%B/%a/%A) format with Spark's fixed
+  // Locale.US — same English names strftime produces under the C locale.
+  private val Directives: Map[Char, String] = Map(
+    'Y' -> "yyyy", 'y' -> "yy",
+    'm' -> "MM", 'd' -> "dd", 'e' -> "d",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'f' -> "SSSSSS", // microseconds (DuckDB %f); chrono %6f equivalent
+    'p' -> "a",
+    'j' -> "DDD",
+    'b' -> "MMM", 'B' -> "MMMM", 'a' -> "EEE", 'A' -> "EEEE",
+    'G' -> "YYYY", 'V' -> "ww", 'u' -> "e",
+    'z' -> "XX", 'Z' -> "zzz")
+
+  /** Translate a chrono/strftime format string to a Spark
+    * DateTimeFormatter pattern. Literal text is single-quote-escaped so
+    * a letter in the format (e.g. the T in "%Y-%m-%dT%H") can never be
+    * misread as a pattern character. */
+  def toSparkPattern(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      // quote any run containing a letter or quote; bare separators pass through
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || c == '\'')) out ++= "'" + s.replace("'", "''") + "'"
+      else out ++= s
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        require(i + 1 < fmt.length, s"dangling % at end of format '$fmt'")
+        val d = fmt.charAt(i + 1)
+        if (d == '%') lit += '%'
+        else {
+          flushLit()
+          out ++= Directives.getOrElse(d,
+            throw new IllegalArgumentException(
+              s"unsupported strftime directive %$d in format '$fmt'"))
+        }
+        i += 2
+      } else { lit += c; i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+
+  /** Parse strings to TIMESTAMP_NTZ (polars str.to_datetime: naive
+    * unless the format carries %z — wall-clock semantics, so the result
+    * is independent of spark.sql.session.timeZone). */
+  def strToTimestamp(c: Column, fmt: String): Column =
+    to_timestamp_ntz(c, lit(toSparkPattern(fmt)))
+
+  /** Parse strings to DATE (polars str.to_date). */
+  def strToDate(c: Column, fmt: String): Column =
+    to_date(c, toSparkPattern(fmt))
+
+  /** Format dates/timestamps back to strings (polars dt.to_string). */
+  def dtToString(c: Column, fmt: String): Column =
+    date_format(c, toSparkPattern(fmt))
+}

@@ -132,9 +132,11 @@ object Multimodal {
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(payload))
-      val out = (in.getFormat, in.readAllBytes())
-      in.close()
-      Some(out)
+      // close on BOTH paths: a truncated header can pass
+      // getAudioInputStream and then throw mid-readAllBytes, and this
+      // runs inside a hot mapPartitions loop
+      try Some((in.getFormat, in.readAllBytes()))
+      finally in.close()
     } catch { case _: Exception => None }
 
   /** Sample-derived audio feature vector, truncated / zero-padded to
@@ -146,7 +148,7 @@ object Multimodal {
       pcm: Array[Byte],
       featDim: Int): Array[Float] = {
     val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
-    val unsigned8 =
+    val unsigned =
       fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
     val n = pcm.length / bytesPerSample
     var sumAbs, sumSq, maxAbs = 0.0
@@ -159,8 +161,12 @@ object Multimodal {
           val off = i * bytesPerSample
           // use the two most significant bytes whatever the width
           val (hiOff, loOff) = if (fmt.isBigEndian) (off, off + 1) else (off + bytesPerSample - 1, off + bytesPerSample - 2)
-          ((pcm(hiOff) << 8) | (pcm(loOff) & 0xff)).toShort / 32768.0
-        } else if (unsigned8) ((pcm(i) & 0xff) - 128) / 128.0
+          // unsigned PCM stores amplitude offset by 2^(bits-1): flipping
+          // the high byte's sign bit re-centers it to two's complement,
+          // so multi-byte PCM_UNSIGNED streams land in [-1, 1) too
+          val hi = if (unsigned) (pcm(hiOff) & 0xff) ^ 0x80 else pcm(hiOff).toInt
+          ((hi << 8) | (pcm(loOff) & 0xff)).toShort / 32768.0
+        } else if (unsigned) ((pcm(i) & 0xff) - 128) / 128.0
         else pcm(i) / 128.0
       val a = math.abs(v)
       sumAbs += a

@@ -33,16 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Interpolation strategies (the polars `quantile(interpolation=)`
+    * surface): how a percentile landing between two ranks resolves.
+    * All five pick/blend the same two neighbor ranks, so they share one
+    * range shuffle regardless of how many strategies a call mixes. */
+  val Strategies: Set[String] = Set("linear", "lower", "higher", "nearest", "midpoint")
+
   /** One row per group with a column per requested percentile.
     *
-    * @param ps (output column name, p in [0,1]) pairs
+    * @param ps (output column name, p in [0,1]) pairs — linear interpolation
     */
   def exactQuantiles(
       df: DataFrame,
       groupCols: Seq[String],
       valCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
-    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 })
+      ps: Seq[(String, Double)]): DataFrame =
+    exactQuantilesStrategy(df, groupCols, valCol,
+      ps.map { case (name, p) => (name, p, "linear") })
+
+  /** As [[exactQuantiles]] but with a per-output interpolation strategy.
+    *
+    * @param ps (output column name, p in [0,1], strategy) triples
+    */
+  def exactQuantilesStrategy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      ps: Seq[(String, Double, String)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p, _) => p >= 0 && p <= 1 })
+    ps.foreach { case (_, _, s) =>
+      require(Strategies.contains(s), s"unknown quantile strategy '$s' (${Strategies.mkString("/")})")
+    }
     val g = groupCols.map(col)
 
     // 1. range shuffle + local sort; mid encodes (partition, position).
@@ -91,14 +112,32 @@ object Quantiles {
           (col("__mid") - col("__minmid") + col("__off")).cast("double").as("__rn") :+
           col("__n").cast("double").as("__n2")): _*)
 
-    def q(p: Double): Column = {
+    // Each strategy is a different pick/blend of the same two neighbor
+    // ranks floor(idx)/ceil(idx), spelled out as explicit arithmetic so
+    // an external engine computes bit-identical results. `nearest`
+    // rounds half-up (round() is half-away-from-zero in both Spark's
+    // BigDecimal HALF_UP and DuckDB's std::round for the non-negative
+    // idx). `midpoint` sums two half-weights, which collapse to 1.0
+    // when idx is integral and floor == ceil match the same rank.
+    def q(p: Double, strategy: String): Column = {
       val idx = (col("__n2") - 1) * p
-      sum(when(col("__rn") === floor(idx) || col("__rn") === ceil(idx),
-        col("__v") * (lit(1.0) - abs(col("__rn") - idx))).otherwise(lit(0.0)))
+      val rn = col("__rn")
+      val v = col("__v")
+      strategy match {
+        case "linear" =>
+          sum(when(rn === floor(idx) || rn === ceil(idx),
+            v * (lit(1.0) - abs(rn - idx))).otherwise(lit(0.0)))
+        case "lower" => sum(when(rn === floor(idx), v).otherwise(lit(0.0)))
+        case "higher" => sum(when(rn === ceil(idx), v).otherwise(lit(0.0)))
+        case "nearest" => sum(when(rn === round(idx, 0), v).otherwise(lit(0.0)))
+        case "midpoint" =>
+          sum(when(rn === floor(idx), v * 0.5).otherwise(lit(0.0))
+            + when(rn === ceil(idx), v * 0.5).otherwise(lit(0.0)))
+      }
     }
     ranked
       .groupBy(groupCols.map(col): _*)
-      .agg(ps.head match { case (name, p) => q(p).as(name) },
-        ps.tail.map { case (name, p) => q(p).as(name) }: _*)
+      .agg(ps.head match { case (name, p, s) => q(p, s).as(name) },
+        ps.tail.map { case (name, p, s) => q(p, s).as(name) }: _*)
   }
 }

@@ -103,6 +103,45 @@ object Relational {
       t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
     }),
 
+    // polars unique(keep="last"/"none") — whole-row winners over an
+    // explicit total order; one window pass per variant, no self-join.
+    "q_distinct_keep" -> ((s, dir) => {
+      val ds = graft.core.GDataset(
+        t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+        "o_orderkey", Seq("o_custkey"))
+      val last = ds.unique(Seq("o_custkey"), "last",
+        Seq(col("o_orderdate"), col("o_orderkey"))).df
+        .withColumn("variant", lit("last"))
+      val none = ds.unique(Seq("o_custkey"), "none").df
+        .withColumn("variant", lit("none"))
+      last.unionByName(none)
+    }),
+
+    // str.to_date / str.to_datetime / dt.to_string with chrono format
+    // strings (graft.functions.Temporal translates %-directives to
+    // Spark patterns at plan time) — render → reparse round trips.
+    "q_str_parse" -> ((s, dir) => {
+      import graft.functions.Temporal
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        Temporal.dtToString(col("o_orderdate"), "%d/%m/%Y").as("s_date"))
+        .select(
+          col("o_orderkey"),
+          col("s_date"),
+          // NTZ-cast for the compare only: a DATE column round-trips
+          // through pandas as midnight-timestamp on the oracle side
+          Temporal.strToDate(col("s_date"), "%d/%m/%Y")
+            .cast("timestamp_ntz").as("d_parsed"),
+          Temporal.strToTimestamp(
+            concat(Temporal.dtToString(
+              Temporal.strToDate(col("s_date"), "%d/%m/%Y"), "%Y-%m-%d"),
+              lit(" 08:30:45")),
+            "%Y-%m-%d %H:%M:%S").as("ts_parsed"),
+          Temporal.dtToString(
+            Temporal.strToDate(col("s_date"), "%d/%m/%Y"), "%b %d, %Y").as("s_named"))
+    }),
+
     // pivot with explicit value list (no extra distinct scan at scale).
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -157,6 +196,17 @@ object Relational {
         t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
         Seq("l_returnflag"), "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))),
+
+    // the polars interpolation-strategy surface: all four non-linear
+    // strategies resolve the same two neighbor ranks, so mixing them in
+    // one call still costs ONE range shuffle (same plan as q_quantile).
+    "q_quantile_nearest" -> ((s, dir) =>
+      graft.operators.Quantiles.exactQuantilesStrategy(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq(("p30_nearest", 0.3, "nearest"), ("p30_lower", 0.3, "lower"),
+          ("p30_higher", 0.3, "higher"), ("p30_midpoint", 0.3, "midpoint"),
+          ("p85_nearest", 0.85, "nearest")))),
 
     // time-bucketed aggregation (polars group_by_dynamic analogue).
     "q_time_bucket" -> ((s, dir) => {
@@ -967,6 +1017,27 @@ object Relational {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_distinct_keep" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, 'last' AS variant
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM base)
+         WHERE rn = 1
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, 'none' AS variant
+         FROM (SELECT *, count(*) OVER (PARTITION BY o_custkey) AS n FROM base)
+         WHERE n = 1""",
+    // DuckDB's strftime/strptime consume the same chrono directives the
+    // Spark side translates — the round trip exercises parse + format
+    "q_str_parse" ->
+      """SELECT o_orderkey,
+           strftime(o_orderdate, '%d/%m/%Y') AS s_date,
+           strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS d_parsed,
+           strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 08:30:45',
+                    '%Y-%m-%d %H:%M:%S') AS ts_parsed,
+           strftime(o_orderdate, '%b %d, %Y') AS s_named
+         FROM orders""",
     "q_pivot" ->
       """SELECT l_returnflag,
          round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS O,
@@ -1005,6 +1076,24 @@ object Relational {
                     THEN v * (1.0 - abs(rn - (n-1)*0.5)) ELSE 0.0 END) AS p50,
            sum(CASE WHEN rn = floor((n-1)*0.75) OR rn = ceil((n-1)*0.75)
                     THEN v * (1.0 - abs(rn - (n-1)*0.75)) ELSE 0.0 END) AS p75
+         FROM b GROUP BY l_returnflag""",
+    // strategy arithmetic spelled out on the same ranked CTE as
+    // q_quantile: round() is half-away-from-zero on non-negative idx in
+    // both engines, so the picked ranks agree exactly
+    "q_quantile_nearest" ->
+      """WITH b AS (
+           SELECT l_returnflag, l_extendedprice AS v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS DOUBLE) - 1 AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+           sum(CASE WHEN rn = round((n-1)*0.3) THEN v ELSE 0.0 END) AS p30_nearest,
+           sum(CASE WHEN rn = floor((n-1)*0.3) THEN v ELSE 0.0 END) AS p30_lower,
+           sum(CASE WHEN rn = ceil((n-1)*0.3) THEN v ELSE 0.0 END) AS p30_higher,
+           sum((CASE WHEN rn = floor((n-1)*0.3) THEN v * 0.5 ELSE 0.0 END)
+             + (CASE WHEN rn = ceil((n-1)*0.3) THEN v * 0.5 ELSE 0.0 END)) AS p30_midpoint,
+           sum(CASE WHEN rn = round((n-1)*0.85) THEN v ELSE 0.0 END) AS p85_nearest
          FROM b GROUP BY l_returnflag""",
     "q_time_bucket" ->
       """SELECT date_trunc('hour', ts) AS bucket, event_type,

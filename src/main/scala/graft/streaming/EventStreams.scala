@@ -135,7 +135,12 @@ object EventStreams {
             .sortBy(_._1)
           val pendingAll = st.pending ++ factRows.map(e => (e.ts.getTime, e.v))
           val wm = state.getCurrentWatermarkMs()
-          val (emit, keep) = pendingAll.partition(_._1 <= wm)
+          // Strictly below: Spark's late-data filter drops input only
+          // STRICTLY below the watermark, so a ref with ts == wm can
+          // still arrive in a later batch — a fact at ts == wm must stay
+          // buffered until the watermark passes it or that ref would
+          // miss a same-ts as-of match it is entitled to win.
+          val (emit, keep) = pendingAll.partition(_._1 < wm)
           val out = emit.sortBy(_._1).map { case (t, v) =>
             val m = refsAll.takeWhile(_._1 <= t).lastOption
             AsOfEnriched(key, new java.sql.Timestamp(t), v, m.map(_._2))

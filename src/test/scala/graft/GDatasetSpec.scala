@@ -179,6 +179,28 @@ class GDatasetSpec extends SparkSpec {
     assert(ds.sampleByHash(col("i"), 16).df.count() == 1000)
   }
 
+  test("unique keep variants pick the documented winners") {
+    import spark.implicits._
+    // key a: 3 rows, key b: 1 row, key c: 2 rows
+    val ds = GDataset(
+      Seq((1L, "a", 10), (2L, "a", 30), (3L, "a", 20), (4L, "b", 5), (5L, "c", 7), (6L, "c", 7))
+        .toDF("i", "k", "v"), "i")
+    def ids(g: GDataset): Set[Long] = g.df.collect().map(_.getLong(0)).toSet
+    // first/last over explicit order (v, i)
+    assert(ids(ds.unique(Seq("k"), "first", Seq(col("v"), col("i")))) == Set(1L, 4L, 5L))
+    assert(ids(ds.unique(Seq("k"), "last", Seq(col("v"), col("i")))) == Set(2L, 4L, 6L))
+    // none: only unrepeated keys survive
+    assert(ids(ds.unique(Seq("k"), "none")) == Set(4L))
+    // any: one row per key, whichever
+    val any = ds.unique(Seq("k"), "any")
+    assert(any.df.count() == 3 && any.df.select("k").distinct().count() == 3)
+    // default order = frame appearance (monotonic id), helper col dropped
+    val first = ds.unique(Seq("k"), "first")
+    assert(ids(first) == Set(1L, 4L, 5L))
+    assert(first.df.columns.toSet == Set("i", "k", "v"))
+    intercept[IllegalArgumentException](ds.unique(Seq("k"), "bogus").df.collect())
+  }
+
   test("slice returns the requested window of the total order") {
     import spark.implicits._
     val ds = GDataset((1L to 100L).toDF("i"), "i")

@@ -53,6 +53,32 @@ class QuantilesSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), s"range shuffle computed twice:\n$plan")
   }
 
+  test("interpolation strategies pick/blend the documented neighbor ranks") {
+    import spark.implicits._
+    // g: sorted values (10, 20, 30, 40); p=0.3 → idx = 0.9:
+    // lower=10, higher=20, linear=19, nearest(round .9→1)=20, midpoint=15
+    // h: single value — every strategy returns it
+    val df = (Seq(("g", 30.0), ("g", 10.0), ("g", 40.0), ("g", 20.0), ("h", 7.0)))
+      .toDF("g", "v")
+    val got = Quantiles.exactQuantilesStrategy(df, Seq("g"), "v",
+        Seq(("lin", 0.3, "linear"), ("lo", 0.3, "lower"), ("hi", 0.3, "higher"),
+          ("near", 0.3, "nearest"), ("mid", 0.3, "midpoint")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got("g") == ((19.0, 10.0, 20.0, 20.0, 15.0)))
+    assert(got("h") == ((7.0, 7.0, 7.0, 7.0, 7.0)))
+    // idx landing exactly on a rank: all strategies agree there
+    val exact = Quantiles.exactQuantilesStrategy(df.filter(col("g") === "g"), Seq("g"), "v",
+        Seq(("a", 1.0 / 3.0, "linear"), ("b", 1.0 / 3.0, "nearest"),
+          ("c", 1.0 / 3.0, "lower"), ("d", 1.0 / 3.0, "higher"),
+          ("e", 1.0 / 3.0, "midpoint")))
+      .collect().head
+    assert((1 to 5).map(exact.getDouble).forall(_ == 20.0))
+    intercept[IllegalArgumentException](
+      Quantiles.exactQuantilesStrategy(df, Seq("g"), "v", Seq(("x", 0.5, "cubic"))))
+  }
+
   test("quantiles handle a single-row group, ties, and ignore nulls") {
     import spark.implicits._
     val df = Seq(
