@@ -22,6 +22,49 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** A tiny consistent merge table (each pair's parts are base chars or
+    * earlier merge outputs — the property trained BPE tables have) for
+    * oracle-checkable token counting; real vocab tables load through
+    * [[graft.operators.Bpe.mergesFrom]]. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("e", "n"), ("a", "t"),
+    ("e", "s"), ("o", "r"), ("s", "t"), ("a", "r"), ("a", "l"), ("i", "t"),
+    ("i", "s"), ("o", "f"), ("t", "o"), ("l", "e"), ("m", "e"), ("0", "0"))
+
+  /** Lowercased alphanumeric words — the shared BPE pre-tokenization. */
+  def alnumWords(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "), w => w =!= "")
+
+  /** TRUE byte-pair-encoding token count against an explicit ordered
+    * merge table — the original BPE application (Sennrich et al. 2016):
+    * each word starts as space-separated characters with sentinel
+    * boundary spaces, merges apply in rank order as literal
+    * leftmost-non-overlapping replacements of " a b " with " ab ", and
+    * the token count is what remains. The sentinel spaces make a merge
+    * match whole symbols only (never a symbol suffix/prefix), and the
+    * plain-replace formulation is what DuckDB's replace() executes
+    * byte-identically — the oracle replays the exact algorithm.
+    *
+    * Pure codegen-able Column expression (HOF lambda over the word
+    * array; scan-local, zero shuffle): right for merge tables up to a
+    * few hundred entries, where the replace chain still compiles. For
+    * real 50k-merge vocabularies use [[graft.operators.Bpe.tokenCounts]]
+    * (broadcast table + per-partition word memoization) — same
+    * semantics, spec-pinned equal. */
+  def bpeTokenCountMerges(
+      text: Column,
+      merges: Seq[(String, String)] = DefaultMerges): Column = {
+    val counts = transform(alnumWords(text), w => {
+      val base = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+      val merged = merges.foldLeft(base) { case (s, (a, b)) =>
+        replace(s, lit(s" $a $b "), lit(s" $a$b "))
+      }
+      size(split(trim(merged), " "))
+    })
+    aggregate(counts, lit(0L), (acc, c) => acc + c)
+  }
+
   def charCount(text: Column): Column = length(text)
 
   /** Fraction of characters that are sentence punctuation. */

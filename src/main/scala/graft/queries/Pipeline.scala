@@ -26,6 +26,14 @@ object Pipeline {
         TF.tokenCount(col("text")).as("n_ws"),
         TF.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // tokenizer-faithful counts: rank-ordered BPE merges against a
+    // fixed merge table via the broadcast + word-memo operator path
+    // (graft.operators.Bpe); the whitespace/regex counts above are the
+    // cheap approximations, this is the budget-grade number
+    "q_token_bpe" -> ((s, dir) =>
+      graft.operators.Bpe.tokenCounts(
+        t(s, dir, "documents"), "doc_id", "text", TF.DefaultMerges)),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -290,6 +298,21 @@ object Pipeline {
           len($TokSql) AS n_ws,
           len(regexp_extract_all(text, '${TF.BpePattern}')) AS n_bpe
           FROM documents""",
+    // replays the exact merge algorithm: sentinel-spaced chars, then
+    // rank-ordered literal replace of " a b " with " ab " — DuckDB's
+    // replace() has the same leftmost-non-overlapping semantics as the
+    // Spark/JVM implementations, so counts are identical by construction
+    "q_token_bpe" -> {
+      val repl = TF.DefaultMerges.foldLeft("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") {
+        case (s, (a, b)) => s"replace($s, ' $a $b ', ' $a$b ')"
+      }
+      s"""SELECT doc_id,
+            CAST(coalesce(list_aggregate(list_transform(
+              list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                w -> w <> ''),
+              w -> len(string_split(trim($repl), ' '))), 'sum'), 0) AS BIGINT) AS n_bpe
+          FROM documents"""
+    },
     "q_text_quality" ->
       s"""SELECT doc_id,
           length(text) AS n_chars,

@@ -170,4 +170,58 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 5L, 9L)) // 9 untouched: never in a pair
   }
+
+  test("BPE merges apply in rank order with whole-symbol boundaries") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    // "the": t,h,e → (t,h) → th,e → (th,e) → the = 1 token
+    // "thing": t,h,i,n,g → (t,h) → th,i,n,g → (i,n) → th,in,g
+    //          → (in,g) → th,ing = 2 tokens
+    val df = Seq(
+      (1L, "the thing"), // 1 + 2 = 3
+      (2L, "zzz"),       // no merges apply → 3 chars = 3
+      (3L, "00 1000"),   // 00→1; 1000: 1,0,0,0 → (0,0) leftmost → 1,00,0 = 3
+      (4L, ""),          // no words → 0
+      (5L, "ab, cd! ab") // punctuation splits words; no merges → 2+2+2
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TF.bpeTokenCountMerges(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 0L, 5L -> 6L))
+  }
+
+  test("Bpe.tokenCounts (broadcast + memo) equals the Column formulation on real docs") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.t(spark, Sf, "documents")
+    val viaOperator = graft.operators.Bpe
+      .tokenCounts(docs, "doc_id", "text", TF.DefaultMerges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumn = docs
+      .select(col("doc_id"), TF.bpeTokenCountMerges(col("text")).as("n_bpe"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOperator == viaColumn)
+    assert(viaOperator.nonEmpty && viaOperator.values.forall(_ >= 0))
+  }
+
+  test("BPE counts drive tighter budgets than whitespace counts in greedyPack") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{Bpe, Pack}
+    val docs = Tables.t(spark, Sf, "documents")
+    val bpe = Bpe.tokenCounts(docs, "doc_id", "text", TF.DefaultMerges)
+    // merges only ever shrink a word's symbol count: n_bpe is bounded
+    // above by the unmerged (character-level) count, strictly below in
+    // aggregate on natural text
+    val chars = docs.select(col("doc_id"),
+      TF.bpeTokenCountMerges(col("text"), Nil).as("n_chars"))
+    val joined = bpe.join(chars, "doc_id").collect()
+    assert(joined.forall(r => r.getAs[Long]("n_bpe") <= r.getAs[Long]("n_chars")))
+    assert(joined.map(_.getAs[Long]("n_bpe")).sum < joined.map(_.getAs[Long]("n_chars")).sum)
+    // packing on the faithful counts keeps every bin within the TRUE
+    // token budget — packing on n_ws (an undercount of BPE tokens)
+    // overfills bins when budgets are measured in real tokens
+    val packed = Pack.greedyPack(bpe, "doc_id", "n_bpe", budget = 512)
+    val fills = packed.groupBy("pack_id")
+      .agg(sum("n_tokens").as("fill"), max("n_tokens").as("mx")).collect()
+    assert(fills.forall(r => r.getAs[Long]("fill") <= 512 || r.getAs[Long]("mx") > 512))
+  }
 }
