@@ -86,28 +86,59 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    hamming64Pairs(
+      docs.select(col(idCol).as("id"), TextHashColumns.simhash(col(textCol)).as("sig")),
+      maxHamming, maxBucketSize)
+
+  /** Image near-dup pairs via a 64-bit perceptual hash (dHash of the
+    * REAL decoded pixels, [[Multimodal.dHash64]]): the multimodal face
+    * of the hamming family — the first thing a multimodal corpus
+    * pipeline runs before any text signal exists. Signatures are
+    * computed scan-side (pixels never shuffle, 8 bytes per row do) and
+    * candidates come from the same pigeonhole chunk banding as SimHash.
+    * Payloads the JDK can't decode fall back to an exact-match
+    * fingerprint: they keep hamming-0 exact-duplicate pairs and never
+    * collide with real images. */
+  def phashPairs(
+      media: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      maxHamming: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame =
+    hamming64Pairs(
+      Multimodal.dHashes(media, idCol, payloadCol), maxHamming, maxBucketSize)
+
+  /** Shared hamming-ball candidate machinery over any 64-bit signature
+    * table (id, sig): the signature is cut into `maxHamming + 1`
+    * chunks, so any pair within the hamming budget agrees on at least
+    * one chunk (pigeonhole) and becomes a candidate; verified by
+    * bit_count of the xor. Ids-only through the bucket shuffle, the
+    * signature re-attached once per side. */
+  def hamming64Pairs(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "maxHamming must be in [0, 15] (chunks need >= 4 bits to be selective)")
     val numChunks = maxHamming + 1
     val width = (64 + numChunks - 1) / numChunks // last chunk may be narrower
     val mask = if (width >= 64) -1L else (1L << width) - 1L
 
-    val sigs = docs.select(col(idCol).as("id"), TextHashColumns.simhash(col(textCol)).as("sim"))
     val chunked = sigs.select(
       col("id"),
       posexplode(
         transform(
           sequence(lit(0), lit(numChunks - 1)),
-          c => call_function("shiftright", col("sim"), c * width).bitwiseAND(lit(mask))))
+          c => call_function("shiftright", col("sig"), c * width).bitwiseAND(lit(mask))))
         .as(Seq("chunk", "key")))
       .select(col("id"), col("chunk"), col("key"))
 
     val candidates = candidatePairs(chunked, Seq("chunk", "key"), maxBucketSize)
 
-    attachPerSide(candidates, sigs, "sim")
+    attachPerSide(candidates, sigs, "sig")
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

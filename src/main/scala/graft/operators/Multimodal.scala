@@ -125,6 +125,123 @@ object Multimodal {
     Array.tabulate(featDim)(d => if (d < stats.length) stats(d) else 0.0f)
   }
 
+  /** 64-bit difference hash (dHash) over the decoded pixels: bilinear
+    * rescale to 9×8 grayscale, one bit per horizontal neighbor pair
+    * (right brighter than left). The standard cheap perceptual hash —
+    * stable under re-encode, resize, and small brightness shifts
+    * (a uniform shift moves both neighbors, so gradient SIGNS hold). */
+  def dHash64(img: BufferedImage): Long = {
+    val s = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = s.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    val gray = Array.ofDim[Double](8, 9)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = s.getRGB(x, y)
+        gray(y)(x) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val yy = i / 8
+      val xx = i % 8
+      if (gray(yy)(xx + 1) > gray(yy)(xx)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Deterministic 64-bit fallback fingerprint for payloads no codec
+    * reads (same rolling hash as [[stubDecode]]): exact-duplicate
+    * payloads still collide at hamming 0, so non-image rows keep the
+    * exact-dup property while never pairing with real images. */
+  private def stubHash64(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    h
+  }
+
+  /** (media_id, sig) perceptual-hash fingerprints: real dHash for every
+    * JDK-decodable image, the stub fingerprint otherwise. Scan-local
+    * mapPartitions like [[decodeFeatures]] — the hash leaves the stage,
+    * the pixels never do (at 100 TB the 8-byte signature is what
+    * shuffles through the dedup band join, not the payloads). */
+  def dHashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", media.schema(idCol).dataType),
+      StructField("sig", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val payloadIdx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val sig = tryDecodeImage(payload) match {
+          case Some(img) => dHash64(img)
+          case None => stubHash64(payload)
+        }
+        Row(r.get(idIdx), sig)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PNG corpus derived from an id column: ids
+    * sharing `id % bases` render the same blocky pattern, and
+    * `(id / bases) % 3` applies a small local brightness perturbation —
+    * planted near-duplicates with real PNG encode/decode end to end.
+    * This is the image-dedup test corpus (the testdata tables carry no
+    * image payloads); production corpora arrive via [[fromBinaryFiles]]. */
+  def syntheticImages(docs: DataFrame, idCol: String, bases: Int = 40,
+      size: Int = 24): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val enc = Encoders.row(outSchema)
+    val in = docs.select(col(idCol).cast("long").as("id"))
+    in.mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val base = (id % bases).toInt
+        val variant = ((id / bases) % 3).toInt
+        val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < size) {
+          var x = 0
+          while (x < size) {
+            // blocky per-base pattern: structure survives the 9×8 rescale
+            val bx = x / 3
+            val by = y / 3
+            var v = (bx * 37 + by * 101 + (bx * by + 1) * (base * 31 + 7)) % 241
+            // variant: brighten one 6-wide column band — a LOCAL change
+            // that flips only the gradient bits at the band's edges
+            if (variant > 0 && x / 6 == variant && y < 6) v = math.min(255, v + 90)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", buf)
+        Row(id, buf.toByteArray, Row("image", size, size, null, null))
+      }
+    }(enc)
+  }
+
   /** WAV/AIFF/AU decode through the JDK's `javax.sound.sampled` — the
     * second real codec path; None = not a decodable audio payload. */
   private def tryDecodeAudio(

@@ -55,6 +55,15 @@ object Pipeline {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // image near-dup: deterministic synthetic PNG corpus (real encode →
+    // real ImageIO decode → real dHash) banded into hamming candidates.
+    // Rows-only: pixel hashes aren't expressible in DuckDB; pairing
+    // semantics are spec-pinned on controlled images (MultimodalSpec).
+    "q_dedup_phash" -> ((s, dir) =>
+      Dedup.phashPairs(
+        Multimodal.syntheticImages(t(s, dir, "documents"), "doc_id", bases = 40),
+        "media_id", "payload", maxHamming = 4)),
+
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, threshold = 0.5)),

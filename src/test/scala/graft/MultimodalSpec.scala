@@ -153,6 +153,63 @@ class MultimodalSpec extends SparkSpec {
     assert(onlyPng.count() == 1)
   }
 
+  private def gradientPng(f: (Int, Int) => Int, size: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(size, size,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("dHash pairs near-identical images, separates distinct ones") {
+    import spark.implicits._
+    val base = gradientPng((x, y) => x * 10 + y * 3)
+    // local brightness bump: a small perceptual change
+    val near = gradientPng((x, y) =>
+      x * 10 + y * 3 + (if (x >= 12 && x < 18 && y >= 9 && y < 12) 60 else 0))
+    val diff = gradientPng((x, y) => 255 - x * 10 + (x * y) % 7)
+    val media = Seq(
+      (1L, base), (2L, near), (3L, diff),
+      // non-image payloads: exact duplicates pair via the stub
+      // fingerprint, and never pair with real images
+      (10L, "same text payload".getBytes("UTF-8")),
+      (11L, "same text payload".getBytes("UTF-8")),
+      (12L, "other text payload".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val pairs = graft.operators.Dedup.phashPairs(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"near-identical images must pair, got $pairs")
+    assert(pairs((1L, 2L)) <= 4)
+    assert(pairs.contains((10L, 11L)) && pairs((10L, 11L)) == 0L)
+    assert(pairs.keySet == Set((1L, 2L), (10L, 11L)),
+      s"distinct images / texts must not pair, got $pairs")
+    // dHash is stable under PNG re-encode (decode → encode → decode)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val re = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf.toByteArray))
+    assert(Multimodal.dHash64(img) == Multimodal.dHash64(re))
+  }
+
+  test("syntheticImages corpus: only same-base images pair under phash") {
+    val docs = Tables.t(spark, Sf, "documents").limit(200)
+    val synth = Multimodal.syntheticImages(docs, "doc_id", bases = 40)
+    assert(synth.count() == 200)
+    val pairs = graft.operators.Dedup.phashPairs(synth, maxHamming = 4).collect()
+    assert(pairs.nonEmpty, "planted duplicates must be found")
+    pairs.foreach { r =>
+      assert(r.getLong(0) % 40 == r.getLong(1) % 40,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses bases")
+    }
+    // identical (base, variant) renders → identical PNG → hamming 0
+    val zero = pairs.filter(_.getInt(2) == 0)
+    assert(zero.nonEmpty)
+  }
+
   test("sampleFrames emits ceil(n_frames/everyN) rows per media") {
     val counts = Multimodal.sampleFrames(media, everyN = 10)
       .groupBy(col("media_id"), col("n_frames")).agg(count(lit(1)).as("k")).collect()

@@ -69,7 +69,7 @@ class PlanAuditSpec extends SparkSpec {
     // the candidate table grows linearly with corpus size — a broadcast
     // hint anywhere in these plans OOMs the driver at 100 TB
     for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_jaccard",
-                  "q_dedup_cosine", "q_dedup_cosine_bucketed")) {
+                  "q_dedup_cosine", "q_dedup_cosine_bucketed", "q_dedup_phash")) {
       val p = planNoAutoBroadcast(q)
       assert(!p.contains("BroadcastExchange"),
         s"$q force-broadcasts a join side that scales with the corpus")
