@@ -312,19 +312,27 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * monotonically_increasing_id). Deterministic when the plan ends in
     * a sort (range-partitioned output preserves global order across
     * partitions). */
-  def withRowIndex(name: String = "row_index"): GDataset = transform { d =>
+  def withRowIndex(name: String = "row_index", deterministicSource: Boolean = false): GDataset = transform { d =>
     import graft.plans.PartitionIds
-    // persisted so the upstream plan is scanned ONCE: the counts pass
-    // materializes the cache, the offset join reads it back — at 100 TB
-    // a second input scan costs more than the (columnar, spillable)
-    // cached copy. Also pins the nondeterministic ids, so the offsets
-    // provably describe the same row layout the join sees. The cache
-    // entry lives until spark.catalog.clearCache() (CacheManager
-    // entries are not LRU-dropped from disk) — callers looping over
-    // withRowIndex should clearCache between iterations or accept one
-    // pinned copy per call.
-    val withIds = d.withColumn("__mid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // By default the id'd input is persisted so the upstream plan is
+    // scanned ONCE: the counts pass materializes the cache, the offset
+    // join reads it back, and — the correctness half — the pin makes
+    // the nondeterministic ids provably describe the same row layout
+    // the join sees. The cache entry lives until
+    // spark.catalog.clearCache() (CacheManager entries are not
+    // LRU-dropped from disk) — callers looping over withRowIndex should
+    // clearCache between iterations or accept one pinned copy per call.
+    //
+    // `deterministicSource = true` is the caller's assertion that the
+    // plan re-executes identically (a parquet/orc scan, or scan +
+    // deterministic narrow ops): then two scans replace the cache —
+    // at 100 TB re-reading the input twice is far cheaper than
+    // materializing a full-corpus cached copy, and the ids land
+    // identically on both passes by the assertion.
+    val idsOnly = d.withColumn("__mid", monotonically_increasing_id())
+    val withIds =
+      if (deterministicSource) idsOnly
+      else idsOnly.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pid = PartitionIds.pid(col("__mid"))
     val perPartition = withIds
       .groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))

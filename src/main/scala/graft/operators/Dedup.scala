@@ -33,6 +33,40 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** The persistable state of incremental exact dedup: one row per
+    * distinct content hash with its winning (minimum) id. Write this to
+    * parquet once per corpus snapshot; each new batch then dedups via
+    * [[incrementalExact]] against the index alone — the historical
+    * corpus is never rescanned. */
+  def exactIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Incremental exact dedup — the production shape for a GROWING
+    * corpus: new-batch rows that are first of their hash within the
+    * batch (min-id winner, one constant-width-key shuffle) and whose
+    * hash is absent from the persisted index (one anti-join; AQE
+    * broadcasts the smaller side at runtime). Cost scales with the
+    * BATCH, not the corpus. The updated index is
+    * `index union exactIndex(kept)` — appendable parquet, and a
+    * two-batch run provably equals one-shot dedup when ids respect
+    * arrival order (spec-pinned). Output = batch columns +
+    * `content_hash`, ready for the index append. */
+  def incrementalExact(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding: signature of
     * `numHashes` minhashes over `shingleN`-gram shingles, split into
     * `bands`; docs sharing any band bucket become candidates; estimated
@@ -245,6 +279,57 @@ object Dedup {
     // skip the cross-bucket distinct the multi-band families need
     val candidates = candidatePairs(bucketed, Seq("bk"), maxBucketSize, dedupe = false)
     scoreCosine(attachPerSide(candidates, vecs, "v"), threshold)
+  }
+
+  /** SemDeDup-style semantic dedup candidates: spherical k-means
+    * cluster assignment (the Similarity.ivfTopK coarse quantizer —
+    * centroids trained on a bounded hash-ordered sample, broadcast as a
+    * literal, assignment a per-row scan expression) partitions the
+    * corpus into cells; near-dup pairs are scored WITHIN cells only via
+    * the same ids-only bucket machinery as [[cosinePairs]]. The
+    * standard embedding-level dedup for training data: linear in n
+    * (cell population ~ n/k), recall spec-tested against the exact
+    * all-pairs oracle on planted duplicates — a true duplicate pair
+    * lands in the same cell unless it straddles a cell boundary, which
+    * near-identical vectors rarely do (they quantize together). */
+  def semanticPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 16,
+      trainSample: Int = 2048,
+      iters: Int = 10,
+      maxBucketSize: Int = 100000): DataFrame = {
+    import graft.functions.KMeans
+    val sample = emb
+      .orderBy(xxhash64(col(idCol)))
+      .limit(trainSample)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centArr = KMeans.spherical(sample, nClusters, iters)
+    val cents = typedlit(centArr.map(_.toList).toList)
+    val dots = transform(cents, c => graft.plans.VectorColumns.cosine(col(vecCol), c))
+    val assigned = emb
+      .withColumn("__ds", dots)
+      .withColumn("__cell", array_position(col("__ds"), array_max(col("__ds"))) - 1)
+      .drop("__ds")
+    cosinePairs(assigned, idCol, vecCol, threshold, bucketBy = "__cell", maxBucketSize)
+  }
+
+  /** The prune step of SemDeDup: keep only rows with no lower-id near
+    * duplicate in their cell — pairs' id_b side is the loser, removed
+    * with one anti-join. */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 16): DataFrame = {
+    val losers = semanticPairs(emb, idCol, vecCol, threshold, nClusters)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Derived sign-LSH band width: the number of sign bits per band

@@ -17,6 +17,16 @@ object Pipeline {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
+    // incremental dedup: a new batch (doc_id >= 250) dedups against the
+    // content-hash index of the already-curated corpus (doc_id < 250) —
+    // anti-join + within-batch min-id winner, no historical rescan
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.exactIndex(docs.filter(col("doc_id") < 250), "doc_id", "text")
+      Dedup.incrementalExact(docs.filter(col("doc_id") >= 250), index, "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"), col("lang"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))),
 
@@ -71,6 +81,14 @@ object Pipeline {
     // scale-path default: coordinate-sign LSH bands bound the pair space
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)),
+
+    // SemDeDup: spherical k-means cells bound the pair space — the
+    // standard embedding-level dedup for training data. Rows-only: the
+    // trained centroids aren't expressible in DuckDB; recall vs the
+    // exact all-pairs oracle is spec-tested (SimilaritySpec).
+    "q_dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, nClusters = 8)),
 
     // pre-existing locality column (cluster label) bounds the pair space
     "q_dedup_cosine_bucketed" -> ((s, dir) =>
@@ -298,6 +316,16 @@ object Pipeline {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    "q_dedup_incremental" ->
+      """WITH idx AS (
+           SELECT md5(text) AS content_hash FROM documents WHERE doc_id < 250),
+         b AS (
+           SELECT doc_id, lang, md5(text) AS content_hash,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents WHERE doc_id >= 250)
+         SELECT doc_id, content_hash, lang FROM b
+         WHERE rn = 1
+           AND content_hash NOT IN (SELECT content_hash FROM idx)""",
     "q_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp

@@ -240,10 +240,12 @@ object Reference {
 
     // global contiguous row index over a sorted frame (zipWithIndex path)
     "q_row_index" -> ((s, dir) =>
+      // parquet scan + deterministic sort → the two-scan fast path: no
+      // full-input persist (at 100 TB re-reading beats caching a copy)
       GDataset(t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice")), "o_orderkey")
         .sort()
-        .withRowIndex("row_idx")
+        .withRowIndex("row_idx", deterministicSource = true)
         .fetch(col("row_idx"), col("o_orderkey"), col("o_totalprice"))),
 
     // horizontal concat: align two per-user series by key (hstack analogue)

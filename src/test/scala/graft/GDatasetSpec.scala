@@ -217,6 +217,28 @@ class GDatasetSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L), (4L, 50L)))
   }
 
+  test("withRowIndex deterministic-source fast path skips the persist") {
+    // a parquet scan + deterministic sort: the caller asserts stability,
+    // the plan must carry NO InMemoryRelation (no full-input cache) and
+    // the indices must still come out contiguous in sort order
+    val ds = GDataset(
+      Tables.t(spark, Sf, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "o_orderkey")
+    val fast = ds.sort().withRowIndex("idx", deterministicSource = true).df
+    assert(!fast.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+      "fast path must not cache the input")
+    val rows = fast.select(col("idx"), col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until rows.length).toSeq,
+      "indices not contiguous")
+    assert(rows.sortBy(_._1).map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "index order does not follow the sort order")
+    // the default path still pins the input
+    val pinned = ds.sort().withRowIndex("idx").df
+    assert(pinned.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    spark.catalog.clearCache()
+  }
+
   test("hconcat outer-joins on shared metadata") {
     import spark.implicits._
     val a = GDataset(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "va"), "k")

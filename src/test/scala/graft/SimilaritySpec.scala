@@ -154,6 +154,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticPairs recall on planted duplicates is >= 0.6 and scores match exact") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // scaled copies: cosine-identical, and cell assignment is
+    // scale-invariant, so planted dups always share a cell
+    val data = emb.limit(200).select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val corpus = (data ++ data.map { case (id, v) => (id + 1000000L, v.map(_ * 1.001f)) })
+      .toSeq.toDF("vec_id", "embedding")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = asSet(Dedup.cosinePairsExact(corpus, "vec_id", "embedding", 0.95))
+    val sem = asSet(Dedup.semanticPairs(corpus, "vec_id", "embedding", 0.95, nClusters = 8))
+    assert(exact.size >= 200, "planted duplicates missing from the exact oracle")
+    assert(sem.subsetOf(exact), s"semantic pairs not in exact set: ${sem -- exact}")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.6, s"semantic recall $recall")
+    // prune step: exactly the pair losers (id_b side) are dropped
+    val losers = Dedup.semanticPairs(corpus, "vec_id", "embedding", 0.95, nClusters = 8)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.semanticDedup(corpus, "vec_id", "embedding", 0.95, nClusters = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == corpus.select("vec_id").collect().map(_.getLong(0)).toSet -- losers)
+  }
+
   test("cosinePairsLsh always surfaces an identical-vector duplicate") {
     // an exact copy shares every sign pattern, so it collides in every
     // band — LSH recall on true duplicates is 1 by construction

@@ -191,4 +191,38 @@ class TextDedupSpec extends SparkSpec {
     val dup = out.find(_.getLong(2) == 2L).get
     assert(dup.getLong(1) == 10L) // min-id winner
   }
+
+  test("incremental dedup over a persisted parquet index equals one-shot dedup") {
+    import spark.implicits._
+    // batch order respects id order, so one-shot min-id winners are
+    // exactly the first-arrival winners incremental keeps
+    val batch1 = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((11L, "bb"), (12L, "dd"), (13L, "aa"), (14L, "dd"), (15L, "ee"))
+      .toDF("doc_id", "text")
+
+    // snapshot the index to parquet and read it BACK — the production
+    // round trip, not a lineage shortcut
+    val idxPath = "/tmp/graft_dedup_index"
+    Dedup.exactIndex(batch1, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+
+    val kept2 = Dedup.incrementalExact(batch2, index, "doc_id", "text")
+    assert(kept2.select("doc_id").collect().map(_.getLong(0)).toSet == Set(12L, 15L),
+      "bb/aa are in the index; dd keeps its min-id 12 within the batch")
+
+    // two-batch winner set == one-shot dedup over the union
+    val oneShot = Dedup.exact(batch1.unionByName(batch2), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val incremental = index.select("doc_id").collect().map(_.getLong(0)).toSet ++
+      kept2.select("doc_id").collect().map(_.getLong(0))
+    assert(incremental == oneShot)
+
+    // index append stays one-row-per-hash after the update
+    val idx2 = index.unionByName(
+      kept2.select(col("content_hash"), col("doc_id")))
+    assert(idx2.count() == idx2.select("content_hash").distinct().count())
+    assert(idx2.count() == oneShot.size)
+  }
 }
