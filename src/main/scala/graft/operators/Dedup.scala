@@ -79,16 +79,64 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashBandPairs(
+      minhashSigs(docs, idCol, textCol, shingleN, numHashes),
+      numHashes, bands, threshold, maxBucketSize)
+
+  /** (id, sig) MinHash signatures — the persistable near-dup index
+    * state: the expensive part of MinHash dedup (shingling + hashing
+    * the TEXT) runs once per document ever; banding a stored signature
+    * is a few cheap hashes. Write this to parquet per corpus snapshot
+    * and feed batches through [[incrementalMinhashPairs]].
+    *
+    * Native Catalyst expression — the HOF formulation in
+    * TextFunctions.minhashSignature is ~50× slower (interpreted lambda
+    * re-evaluating the shingle array per seed). */
+  def minhashSigs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextHashColumns.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+
+  /** Incremental MinHash dedup — the near-dup counterpart of
+    * [[incrementalExact]]: a new batch is shingled/hashed ONCE, banded
+    * together with the persisted signature index, and only pairs
+    * touching the batch survive (index-internal pairs were reported
+    * when their rows arrived). Requires arrival-ordered ids (every
+    * batch id > every index id) so the ordered pair's `id_b` side is
+    * the batch member — the same contract the exact index documents.
+    * The updated index is `index union minhashSigs(batch)`. Re-banding
+    * the index is scan-local arithmetic over the signature parquet;
+    * the text of the historical corpus is never touched again. */
+  def incrementalMinhashPairs(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
+    val batchSigs = minhashSigs(batch, idCol, textCol, shingleN, numHashes)
+    val all = index.select(col("id"), col("sig")).unionByName(batchSigs)
+    minhashBandPairs(all, numHashes, bands, threshold, maxBucketSize)
+      .join(batchSigs.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  private def minhashBandPairs(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-
-    // native Catalyst expression — the HOF formulation in
-    // TextFunctions.minhashSignature is ~50× slower (interpreted lambda
-    // re-evaluating the shingle array per seed)
-    val sigs = docs
-      .select(col(idCol).as("id"),
-        TextHashColumns.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
 
     // band keys only — the 64-long signature is NOT carried into the
     // bucket shuffle/join; it is re-attached per candidate pair below.

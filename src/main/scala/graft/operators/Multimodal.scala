@@ -161,10 +161,59 @@ object Multimodal {
     bits
   }
 
+  /** 64-bit audio perceptual hash — the audio face of [[dHash64]]: the
+    * signal's ENERGY CONTOUR. PCM samples split into 65 equal windows,
+    * bit i set when energy rises from window i to i+1. A volume change
+    * scales every window's energy by the same factor, so the comparison
+    * bits survive it; a different envelope (rhythm, fades, speech
+    * cadence) flips them. Deliberately envelope-only: a spectral
+    * fingerprint (spectrogram peak constellations) is the
+    * higher-recall production upgrade, but it changes no plan shape —
+    * the hash is still one long computed scan-side. Payloads shorter
+    * than one sample per window fall back to the exact fingerprint. */
+  def aHash64(fmt: javax.sound.sampled.AudioFormat, pcm: Array[Byte]): Long = {
+    val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+    val unsigned =
+      fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    val n = pcm.length / bytesPerSample
+    val win = n / 65
+    if (win == 0) return stubHash64(pcm)
+    val energy = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      var e = 0.0
+      var i = w * win
+      val end = i + win
+      while (i < end) {
+        val v: Double =
+          if (bytesPerSample >= 2) {
+            val off = i * bytesPerSample
+            val (hiOff, loOff) =
+              if (fmt.isBigEndian) (off, off + 1)
+              else (off + bytesPerSample - 1, off + bytesPerSample - 2)
+            val hi = if (unsigned) (pcm(hiOff) & 0xff) ^ 0x80 else pcm(hiOff).toInt
+            ((hi << 8) | (pcm(loOff) & 0xff)).toShort / 32768.0
+          } else if (unsigned) ((pcm(i) & 0xff) - 128) / 128.0
+          else pcm(i) / 128.0
+        e += v * v
+        i += 1
+      }
+      energy(w) = e
+      w += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b + 1) > energy(b)) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
   /** Deterministic 64-bit fallback fingerprint for payloads no codec
     * reads (same rolling hash as [[stubDecode]]): exact-duplicate
-    * payloads still collide at hamming 0, so non-image rows keep the
-    * exact-dup property while never pairing with real images. */
+    * payloads still collide at hamming 0, so non-media rows keep the
+    * exact-dup property while never pairing with real media. */
   private def stubHash64(payload: Array[Byte]): Long = {
     var h = 1125899906842597L
     var i = 0
@@ -173,10 +222,14 @@ object Multimodal {
   }
 
   /** (media_id, sig) perceptual-hash fingerprints: real dHash for every
-    * JDK-decodable image, the stub fingerprint otherwise. Scan-local
-    * mapPartitions like [[decodeFeatures]] — the hash leaves the stage,
-    * the pixels never do (at 100 TB the 8-byte signature is what
-    * shuffles through the dedup band join, not the payloads). */
+    * JDK-decodable image, the energy-contour [[aHash64]] for decodable
+    * audio, the stub fingerprint otherwise. Modalities can't cross-pair:
+    * image bits come from pixel gradients, audio bits from energy
+    * deltas — a collision within the hamming budget is astronomically
+    * unlikely across hash families. Scan-local mapPartitions like
+    * [[decodeFeatures]] — the hash leaves the stage, the pixels/samples
+    * never do (at 100 TB the 8-byte signature is what shuffles through
+    * the dedup band join, not the payloads). */
   def dHashes(media: DataFrame, idCol: String = "media_id",
       payloadCol: String = "payload"): DataFrame = {
     val outSchema = StructType(Seq(
@@ -191,7 +244,10 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val sig = tryDecodeImage(payload) match {
           case Some(img) => dHash64(img)
-          case None => stubHash64(payload)
+          case None => tryDecodeAudio(payload) match {
+            case Some((fmt, pcm)) => aHash64(fmt, pcm)
+            case None => stubHash64(payload)
+          }
         }
         Row(r.get(idIdx), sig)
       }

@@ -62,6 +62,18 @@ object Pipeline {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)),
 
+    // incremental NEAR-dup: the new batch is shingled once and banded
+    // against the persisted signature index of the curated corpus
+    // (doc_id < 250) — the historical text is never rescanned.
+    // Rows-only: minhash isn't DuckDB-expressible; equality with
+    // one-shot pairs is spec-pinned (TextDedupSpec).
+    "q_dedup_minhash_inc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.minhashSigs(docs.filter(col("doc_id") < 250), "doc_id", "text")
+      Dedup.incrementalMinhashPairs(docs.filter(col("doc_id") >= 250), index,
+        "doc_id", "text", shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 

@@ -195,6 +195,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash64(img) == Multimodal.dHash64(re))
   }
 
+  private def wavEnv(n: Int, envelope: Int => Double, rate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val samples = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440.0 * i / rate) * envelope(i) * 32767).toInt.toShort
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("audio energy hash pairs volume-scaled audio, separates different envelopes") {
+    import spark.implicits._
+    val n = 13000
+    val rising = wavEnv(n, i => 0.9 * i / n)
+    val quiet = wavEnv(n, i => 0.3 * i / n)   // same envelope shape, 1/3 volume
+    val falling = wavEnv(n, i => 0.9 * (n - i) / n)
+    val media = Seq((1L, rising), (2L, quiet), (3L, falling))
+      .toDF("media_id", "payload")
+    val pairs = graft.operators.Dedup.phashPairs(media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"volume-scaled audio must pair, got $pairs")
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"opposite envelopes must not pair, got $pairs")
+  }
+
   test("syntheticImages corpus: only same-base images pair under phash") {
     val docs = Tables.t(spark, Sf, "documents").limit(200)
     val synth = Multimodal.syntheticImages(docs, "doc_id", bases = 40)

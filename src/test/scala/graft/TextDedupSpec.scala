@@ -225,4 +225,26 @@ class TextDedupSpec extends SparkSpec {
     assert(idx2.count() == idx2.select("content_hash").distinct().count())
     assert(idx2.count() == oneShot.size)
   }
+
+  test("incremental minhash over a persisted signature index equals one-shot pairs") {
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val idxPath = "/tmp/graft_minhash_index"
+    Dedup.minhashSigs(b1, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = asSet(Dedup.incrementalMinhashPairs(b2, index, "doc_id", "text",
+      threshold = 0.5))
+    val oneShot = asSet(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+    // pairs touching the batch (id_b >= 250 under arrival-ordered ids)
+    // are exactly what incremental reports; index-internal pairs are b1's
+    assert(inc == oneShot.filter(_._2 >= 250),
+      s"incremental != one-shot batch slice: ${inc -- oneShot}")
+    val b1Internal = asSet(Dedup.minhashPairs(b1, "doc_id", "text", threshold = 0.5))
+    assert(b1Internal ++ inc == oneShot)
+    assert(oneShot.nonEmpty, "testdata should contain minhash near-dups")
+  }
 }
