@@ -76,6 +76,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_token_bpe counts tokens inside the scan stage — zero exchanges") {
+    // the merge chain is per-row work over a broadcast table; a shuffle
+    // anywhere means token counting stopped being scan-local
+    val p = planOf("q_token_bpe")
+    assert(!p.contains("Exchange"), s"BPE counting shuffles:\n$p")
+  }
+
+  test("q_dedup_incremental never force-broadcasts the index anti-join") {
+    // the index grows with the CORPUS (one row per distinct hash) — a
+    // broadcast hint on it OOMs the driver at 100 TB; AQE may still
+    // choose broadcast at runtime when the index is genuinely small
+    val p = planNoAutoBroadcast("q_dedup_incremental")
+    assert(!p.contains("BroadcastExchange"),
+      "incremental dedup force-broadcasts a corpus-scaled side")
+    assert(p.contains("LeftAnti"), "index membership is not an anti-join")
+  }
+
+  test("q_quantile_nearest shares q_quantile's single range shuffle") {
+    val df = SparkEntry.queries("q_quantile_nearest")(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"strategy quantiles re-shuffle per output:\n$plan")
+  }
+
   test("q_ann_lsh broadcasts only the declared small query side") {
     val p = planNoAutoBroadcast("q_ann_lsh")
     // formatted mode prints each operator once in the tree and once as a
