@@ -28,13 +28,20 @@ import graft.functions.{TextFunctions => TF}
   */
 object Curate {
 
-  /** @return the curated corpus: (idCol, langCol, n_tok, cum_n_tok) */
+  /** @param tokenCounter how budgets are measured: defaults to the
+    *        cheap whitespace count; pass
+    *        `TF.bpeTokenCountMerges(_, merges)` for tokenizer-faithful
+    *        BPE budgets — still a scan-side column, so the spine's
+    *        plan shape (and the text-free exchanges) is unchanged.
+    * @return the curated corpus: (idCol, langCol, n_tok, cum_n_tok) */
   def corpus(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       langCol: String,
-      budgetPerLang: Long): DataFrame = {
+      budgetPerLang: Long,
+      tokenCounter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TF.tokenCount): DataFrame = {
     val w = Window.partitionBy(col("__h")).orderBy(col(idCol))
     val deduped = docs
       .filter(TF.filterReason(col(textCol)) === "ok")
@@ -43,7 +50,7 @@ object Curate {
       .select(
         col(idCol), col(langCol),
         md5(col(textCol)).as("__h"),
-        TF.tokenCount(col(textCol)).as("n_tok"))
+        tokenCounter(col(textCol)).as("n_tok"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(langCol), col("n_tok"))

@@ -203,6 +203,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaOperator.nonEmpty && viaOperator.values.forall(_ >= 0))
   }
 
+  test("curate with a BPE token counter measures budgets in BPE tokens") {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{Bpe, Curate}
+    val docs = Tables.t(spark, Sf, "documents")
+    val out = Curate.corpus(docs, "doc_id", "text", "lang", budgetPerLang = 2000,
+      tokenCounter = TF.bpeTokenCountMerges(_, TF.DefaultMerges)).collect()
+    assert(out.nonEmpty)
+    // the spine's n_tok is now the faithful BPE count per kept doc
+    val bpe = Bpe.tokenCounts(docs, "doc_id", "text", TF.DefaultMerges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getAs[Long]("n_tok") == bpe(r.getAs[Long]("doc_id"))))
+    // and the running budget is measured in those tokens
+    out.foreach(r => assert(r.getAs[Long]("cum_n_tok") <= 2000))
+  }
+
   test("BPE counts drive tighter budgets than whitespace counts in greedyPack") {
     import graft.functions.{TextFunctions => TF}
     import graft.operators.{Bpe, Pack}
