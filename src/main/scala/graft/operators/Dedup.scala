@@ -201,13 +201,44 @@ object Dedup {
       sigs: DataFrame,
       maxHamming: Int,
       maxBucketSize: Int): DataFrame = {
+    val candidates =
+      candidatePairs(hammingChunked(sigs, maxHamming), Seq("chunk", "key"), maxBucketSize)
+    attachPerSide(candidates, sigs, "sig")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-chunk bucket diagnostics for the hamming family
+    * ([[simhashPairs]] / [[phashPairs]] / [[hamming64Pairs]]) — the
+    * counterpart of [[lshBucketStats]]: the `maxBucketSize` cap trades
+    * silent recall loss for bounded cost, and `dropped_fraction` is
+    * that loss made visible. Run it when a dedup pass returns fewer
+    * pairs than expected — a degenerate signature (all-zero payloads,
+    * one dominant image) shows up as one giant dropped bucket. */
+  def hammingBucketStats(
+      sigs: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame =
+    hammingChunked(sigs, maxHamming)
+      .groupBy(col("chunk"), col("key")).agg(count(lit(1)).as("bs"))
+      .groupBy(col("chunk")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("bs")).as("n_rows"),
+        count(when(col("bs") > maxBucketSize, 1)).as("dropped_buckets"),
+        coalesce(sum(when(col("bs") > maxBucketSize, col("bs"))), lit(0L)).as("dropped_rows"),
+        round(coalesce(sum(when(col("bs") > maxBucketSize, col("bs"))), lit(0L))
+          / sum(col("bs")).cast("double"), 6).as("dropped_fraction"),
+        coalesce(sum(when(col("bs") <= maxBucketSize, (col("bs") * (col("bs") - 1) / 2).cast("long"))),
+          lit(0L)).as("candidate_pairs"))
+
+  private def hammingChunked(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "maxHamming must be in [0, 15] (chunks need >= 4 bits to be selective)")
     val numChunks = maxHamming + 1
     val width = (64 + numChunks - 1) / numChunks // last chunk may be narrower
     val mask = if (width >= 64) -1L else (1L << width) - 1L
-
-    val chunked = sigs.select(
+    sigs.select(
       col("id"),
       posexplode(
         transform(
@@ -215,13 +246,6 @@ object Dedup {
           c => call_function("shiftright", col("sig"), c * width).bitwiseAND(lit(mask))))
         .as(Seq("chunk", "key")))
       .select(col("id"), col("chunk"), col("key"))
-
-    val candidates = candidatePairs(chunked, Seq("chunk", "key"), maxBucketSize)
-
-    attachPerSide(candidates, sigs, "sig")
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard pairs. Shingles travel as 64-bit hashes

@@ -241,6 +241,28 @@ class MultimodalSpec extends SparkSpec {
     assert(zero.nonEmpty)
   }
 
+  test("hammingBucketStats surfaces what the bucket cap drops") {
+    import spark.implicits._
+    // 50 identical signatures collide in every chunk; a cap of 10
+    // drops them all and the stats must say so
+    val sigs = (1L to 50L).map(i => (i, 0x0f0f0f0f0f0f0f0fL)).toDF("id", "sig")
+    val stats = graft.operators.Dedup
+      .hammingBucketStats(sigs, maxHamming = 3, maxBucketSize = 10).collect()
+    assert(stats.length == 4) // maxHamming + 1 chunks
+    stats.foreach { r =>
+      assert(r.getAs[Long]("dropped_rows") == 50L)
+      assert(r.getAs[Double]("dropped_fraction") == 1.0)
+      assert(r.getAs[Long]("candidate_pairs") == 0L)
+    }
+    // under a loose cap nothing drops and the pair volume is C(50,2)
+    val loose = graft.operators.Dedup
+      .hammingBucketStats(sigs, maxHamming = 3, maxBucketSize = 1000).collect()
+    loose.foreach { r =>
+      assert(r.getAs[Long]("dropped_rows") == 0L)
+      assert(r.getAs[Long]("candidate_pairs") == 50L * 49 / 2)
+    }
+  }
+
   test("sampleFrames emits ceil(n_frames/everyN) rows per media") {
     val counts = Multimodal.sampleFrames(media, everyN = 10)
       .groupBy(col("media_id"), col("n_frames")).agg(count(lit(1)).as("k")).collect()
