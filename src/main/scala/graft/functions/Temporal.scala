@@ -77,4 +77,17 @@ object Temporal {
   /** Format dates/timestamps back to strings (polars dt.to_string). */
   def dtToString(c: Column, fmt: String): Column =
     date_format(c, toSparkPattern(fmt))
+
+  /** Non-strict parse (polars `strict=False`): a malformed string
+    * becomes null instead of failing the job — under Spark 4's default
+    * ANSI mode the strict variants THROW on the first bad row, which is
+    * the polars `strict=True` behavior. Returns session-zone
+    * TIMESTAMP (try_to_timestamp has no NTZ twin); pin
+    * spark.sql.session.timeZone when wall-clock semantics matter. */
+  def tryStrToTimestamp(c: Column, fmt: String): Column =
+    try_to_timestamp(c, lit(toSparkPattern(fmt)))
+
+  /** Non-strict date parse: null on malformed input. */
+  def tryStrToDate(c: Column, fmt: String): Column =
+    tryStrToTimestamp(c, fmt).cast("date")
 }

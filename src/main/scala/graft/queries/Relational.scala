@@ -749,6 +749,20 @@ object Relational {
         concat_ws("|", slice(words, 1, 3)).as("first3"))
     }),
 
+    // list namespace, ordering side (polars list.sort/reverse/
+    // index_of/eval-sum): binary string order matches DuckDB's default
+    // collation, so sorted prefixes compare exactly
+    "q_list_sort" -> ((s, dir) => {
+      val words = filter(split(col("text"), "\\s+"), x => x =!= "")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("|", slice(sort_array(words), 1, 5)).as("sorted5"),
+        concat_ws("|", slice(reverse(words), 1, 3)).as("rev3"),
+        array_position(words, "the").as("the_pos"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (a, x) => a + x).as("chars_sum"))
+    }),
+
     // windowed cum_prod (polars rolling product): fold over the
     // trailing-5 frame list — both engines multiply the same doubles in
     // the same frame order, so the product is bit-identical before the
@@ -1407,6 +1421,14 @@ object Relational {
           len(list_distinct($TokSql)) AS n_distinct,
           CAST(list_contains($TokSql, 'the') AS INT) AS has_the,
           array_to_string(($TokSql)[1:3], '|') AS first3
+          FROM documents""",
+    "q_list_sort" ->
+      s"""SELECT doc_id,
+          array_to_string((list_sort($TokSql))[1:5], '|') AS sorted5,
+          array_to_string((list_reverse($TokSql))[1:3], '|') AS rev3,
+          CAST(coalesce(list_position($TokSql, 'the'), 0) AS BIGINT) AS the_pos,
+          CAST(coalesce(list_aggregate(list_transform($TokSql, w -> length(w)), 'sum'), 0)
+               AS BIGINT) AS chars_sum
           FROM documents""",
     "q_cum_prod" ->
       """SELECT user_id, event_id,

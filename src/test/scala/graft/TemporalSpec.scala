@@ -16,6 +16,17 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Temporal.toSparkPattern("%Y-%"))
   }
 
+  test("non-strict parse nulls malformed rows; strict parse throws under ANSI") {
+    import spark.implicits._
+    val df = Seq("2024-01-31", "not a date", "2024-02-30").toDF("s")
+    val got = df.select(Temporal.tryStrToDate(col("s"), "%Y-%m-%d").as("d"))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(got.toSeq == Seq(Some("2024-01-31"), None, None))
+    // polars strict=True analogue: the strict variant fails the job
+    intercept[Exception](
+      df.select(Temporal.strToDate(col("s"), "%Y-%m-%d")).collect())
+  }
+
   test("parse and format round-trip dates and naive timestamps") {
     import spark.implicits._
     val df = Seq("2024-02-29 23:59:58", "1999-01-02 03:04:05").toDF("s")
