@@ -59,6 +59,27 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming face of [[graft.operators.Dedup.incrementalExact]]: a
+    * document stream dedups in-stream within the watermark
+    * (dropDuplicatesWithinWatermark on the content hash — state bounded
+    * by the lateness budget) AND against the STATIC content-hash index
+    * of the already-curated corpus (a stream-static left-anti join —
+    * stateless; each micro-batch probes the index, AQE/size decides the
+    * join strategy). The ingest-time shape of a growing corpus: batch
+    * reruns of incrementalExact and this stream agree on the kept set,
+    * and the index parquet appended offline is picked up on restart. */
+  def dedupAgainstIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      tsCol: String,
+      lateness: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
   /** Stream-static enrichment: a broadcast left join against a batch
     * dimension table — stateless (no watermark needed), the dimension
     * ships to every task and each micro-batch joins map-side. The

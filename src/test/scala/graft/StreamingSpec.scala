@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 
+final case class IncDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
 class StreamingSpec extends SparkSpec {
 
   test("streaming tumbling counts equal the batch aggregation") {
@@ -67,6 +69,30 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(spark.table("deduped").count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedup against a static index drops known and in-stream dups") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IncDoc](spark)
+    docs.addData(
+      IncDoc(101L, new java.sql.Timestamp(base), "already curated"), // in the index
+      IncDoc(102L, new java.sql.Timestamp(base + 1000), "fresh doc"),
+      IncDoc(103L, new java.sql.Timestamp(base + 2000), "fresh doc"), // in-stream dup
+      IncDoc(104L, new java.sql.Timestamp(base + 3000), "another fresh"))
+    val index = graft.operators.Dedup.exactIndex(
+      Seq((1L, "already curated")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = EventStreams.dedupAgainstIndex(
+      docs.toDS().toDF(), index, "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("inc_dedup").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("inc_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(102L, 104L),
+        s"index dup 101 and in-stream dup 103 must drop, got $kept")
     } finally q.stop()
   }
 
