@@ -27,7 +27,9 @@ object Temporal {
     'p' -> "a",
     'j' -> "DDD",
     'b' -> "MMM", 'B' -> "MMMM", 'a' -> "EEE", 'A' -> "EEEE",
-    'G' -> "YYYY", 'V' -> "ww", 'u' -> "e",
+    // %G/%V/%u (ISO week-based) are deliberately ABSENT: Spark bans
+    // week-based pattern letters ('Y','w','e', SPARK-32683), so they
+    // fail here at translation time instead of at first execution
     'z' -> "XX", 'Z' -> "zzz")
 
   /** Translate a chrono/strftime format string to a Spark

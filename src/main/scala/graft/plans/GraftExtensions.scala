@@ -83,7 +83,13 @@ object GraftFunctions {
         "graft_redact"),
       (args: Seq[Expression]) => GraftShim.resolvedExpression(
         graft.functions.TextFunctions.redactPii(
-          GraftShim.column(arity("graft_redact", 1)(args).head)))))
+          GraftShim.column(arity("graft_redact", 1)(args).head)))),
+    ("graft_bpe_count",
+      new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
+        "graft_bpe_count"),
+      (args: Seq[Expression]) => GraftShim.resolvedExpression(
+        graft.functions.TextFunctions.bpeTokenCountMerges(
+          GraftShim.column(arity("graft_bpe_count", 1)(args).head)))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -52,6 +52,10 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT graft_redact('mail me at a.b@c.org or 10.0.0.1') AS m")
       .head().getString(0)
     assert(masked == "mail me at <EMAIL> or <IP>")
+    // "the thing" = the(1) + th,ing(2) under the default merge table
+    val bpe = spark.sql("SELECT graft_bpe_count('the thing') AS n")
+      .head().getLong(0)
+    assert(bpe == 3L)
   }
 
   test("wrong argument counts fail analysis instead of being ignored") {
