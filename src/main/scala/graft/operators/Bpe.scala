@@ -28,15 +28,21 @@ object Bpe {
 
   /** Collect an ordered merge table from a (rank, left, right)
     * DataFrame (e.g. `spark.read.parquet(vocabPath)`). Merge tables are
-    * small by construction (50k rows for GPT-2) — the collect is
-    * bounded by the vocabulary, never the corpus. */
+    * small by construction (50k rows for GPT-2), so the collect is
+    * bounded by the vocabulary — and guarded by `maxMerges` so pointing
+    * this at a corpus table by mistake fails the DRIVER with a clear
+    * message instead of collecting it. */
   def mergesFrom(df: DataFrame, rankCol: String = "rank",
-      leftCol: String = "left", rightCol: String = "right"): Seq[(String, String)] =
-    df.select(col(rankCol), col(leftCol), col(rightCol))
+      leftCol: String = "left", rightCol: String = "right",
+      maxMerges: Int = 200000): Seq[(String, String)] = {
+    val rows = df.select(col(rankCol), col(leftCol), col(rightCol))
       .orderBy(col(rankCol))
+      .limit(maxMerges + 1)
       .collect()
-      .map(r => (r.getString(1), r.getString(2)))
-      .toSeq
+    require(rows.length <= maxMerges,
+      s"merge table exceeds maxMerges=$maxMerges rows — is this really a vocab table?")
+    rows.map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 
   /** (id, n_bpe) per document. */
   def tokenCounts(
@@ -56,11 +62,11 @@ object Bpe {
       val table = bc.value
       // word memo: bounded so an adversarial all-distinct-words corpus
       // can't grow a task's heap without limit
-      val memo = new java.util.HashMap[String, Long](1 << 16)
+      val memo = new java.util.HashMap[String, java.lang.Long](1 << 16)
       val MaxMemo = 1 << 20
       def countWord(w: String): Long = {
         val hit = memo.get(w)
-        if (hit != 0L) return hit
+        if (hit != null) return hit.longValue()
         val sb = new java.lang.StringBuilder(w.length * 2 + 1)
         sb.append(' ')
         var i = 0

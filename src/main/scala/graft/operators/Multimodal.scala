@@ -242,13 +242,17 @@ object Multimodal {
       ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val sig = tryDecodeImage(payload) match {
-          case Some(img) => dHash64(img)
-          case None => tryDecodeAudio(payload) match {
-            case Some((fmt, pcm)) => aHash64(fmt, pcm)
-            case None => stubHash64(payload)
+        // null payloads share one sentinel signature: they pair with
+        // each other (exact-dup semantics) and nothing else
+        val sig =
+          if (payload == null) stubHash64(Array.emptyByteArray)
+          else tryDecodeImage(payload) match {
+            case Some(img) => dHash64(img)
+            case None => tryDecodeAudio(payload) match {
+              case Some((fmt, pcm)) => aHash64(fmt, pcm)
+              case None => stubHash64(payload)
+            }
           }
-        }
         Row(r.get(idIdx), sig)
       }
     }(enc)

@@ -67,7 +67,10 @@ object EventStreams {
     * stateless; each micro-batch probes the index, AQE/size decides the
     * join strategy). The ingest-time shape of a growing corpus: batch
     * reruns of incrementalExact and this stream agree on the kept set,
-    * and the index parquet appended offline is picked up on restart. */
+    * and the index parquet appended offline is picked up on restart.
+    * At a 100 TB index, write it bucketed by content_hash so the
+    * per-batch probe prunes buckets instead of rescanning the full
+    * index every micro-batch. */
   def dedupAgainstIndex(
       docs: DataFrame,
       index: DataFrame,
