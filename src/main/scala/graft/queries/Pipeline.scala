@@ -218,6 +218,16 @@ object Pipeline {
           .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("n_tok")),
         col("lang"), Seq(col("doc_id")), "n_tok", budget = 2000)),
 
+    // per-language budget measured in TRUE BPE tokens (Column path —
+    // scan-local, oracle-identical to the Bpe operator): the budget
+    // family no longer depends on the whitespace approximation
+    "q_budget_bpe" -> ((s, dir) =>
+      graft.operators.Sampling.budgetPerStratum(
+        t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TF.bpeTokenCountMerges(col("text")).as("n_tok")),
+        col("lang"), Seq(col("doc_id")), "n_tok", budget = 2000)),
+
     // quality-ordered token budget: keep the BEST docs per language
     // until the budget fills (production curation order, vs
     // q_lang_budget's id order); same single stratum shuffle
@@ -263,6 +273,18 @@ object Pipeline {
   // shared with Relational's list-namespace oracle
   private[queries] val TokSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  // TextFunctions.bpeTokenCountMerges replica over `text` — shared by
+  // q_token_bpe and the BPE-measured budget
+  private val BpeNTokSql: String = {
+    val repl = TF.DefaultMerges.foldLeft("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") {
+      case (s, (a, b)) => s"replace($s, ' $a $b ', ' $a$b ')"
+    }
+    s"""CAST(coalesce(list_aggregate(list_transform(
+          list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+            w -> w <> ''),
+          w -> len(string_split(trim($repl), ' '))), 'sum'), 0) AS BIGINT)"""
+  }
 
   // exact 5-gram jaccard pairs at threshold 0.5 — replica of
   // Dedup.jaccardPairs; shared by q_dedup_jaccard and, as a CTE, by the
@@ -351,17 +373,18 @@ object Pipeline {
     // rank-ordered literal replace of " a b " with " ab " — DuckDB's
     // replace() has the same leftmost-non-overlapping semantics as the
     // Spark/JVM implementations, so counts are identical by construction
-    "q_token_bpe" -> {
-      val repl = TF.DefaultMerges.foldLeft("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") {
-        case (s, (a, b)) => s"replace($s, ' $a $b ', ' $a$b ')"
-      }
-      s"""SELECT doc_id,
-            CAST(coalesce(list_aggregate(list_transform(
-              list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
-                w -> w <> ''),
-              w -> len(string_split(trim($repl), ' '))), 'sum'), 0) AS BIGINT) AS n_bpe
-          FROM documents"""
-    },
+    "q_token_bpe" ->
+      s"""SELECT doc_id, $BpeNTokSql AS n_bpe FROM documents""",
+    // per-language budget measured in TRUE BPE tokens — the budget
+    // operators no longer depend on the whitespace approximation
+    "q_budget_bpe" ->
+      s"""SELECT doc_id, lang, n_tok, cum_n_tok FROM (
+           SELECT doc_id, lang, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n_tok
+           FROM (SELECT doc_id, lang, $BpeNTokSql AS n_tok FROM documents))
+         WHERE cum_n_tok <= 2000""",
     "q_text_quality" ->
       s"""SELECT doc_id,
           length(text) AS n_chars,
