@@ -263,19 +263,24 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       d.withColumn(as, struct(fieldCols.map(col): _*)).drop(fieldCols: _*))
   }
 
-  /** Summary statistics (count/mean/std/min/max) per numeric value var
-    * (polars describe analogue), numeric-typed output. One unpivot (no
-    * shuffle) + one partial-agg-friendly groupBy over #cols groups —
-    * a single pass regardless of column count. */
+  /** Summary statistics (count/null_count/mean/std/min/max) per numeric
+    * value var (polars describe analogue), numeric-typed output. One
+    * unpivot (no shuffle) + one partial-agg-friendly groupBy over #cols
+    * groups — a single pass regardless of column count. Values ride the
+    * unpivot inside a single-field struct, which is never null, so
+    * null CELLS always survive into the aggregation and null_count is
+    * exact whatever unpivot's null policy is. */
   def describe(cols: String*): DataFrame = {
     val targets = if (cols.nonEmpty) cols.toSeq else numericValueVars
     df.unpivot(
         Array.empty[Column],
-        targets.map(c => col(c).cast("double")).toArray,
-        "col_name", "v")
+        targets.map(c => struct(col(c).cast("double").as("v")).as(c)).toArray,
+        "col_name", "s")
+      .select(col("col_name"), col("s.v").as("v"))
       .groupBy(col("col_name"))
       .agg(
         count(col("v")).as("count"),
+        (count(lit(1)) - count(col("v"))).as("null_count"),
         avg(col("v")).as("mean"),
         stddev_samp(col("v")).as("std"),
         min(col("v")).as("min"),

@@ -222,7 +222,7 @@ object Reference {
     "q_describe" -> ((s, dir) =>
       GDataset(t(s, dir, "lineitem"), "l_orderkey")
         .describe("l_quantity", "l_extendedprice", "l_discount")
-        .select(col("col_name"), col("count"),
+        .select(col("col_name"), col("count"), col("null_count"),
           round(col("mean"), 2).as("mean"), round(col("std"), 2).as("std"),
           col("min"), col("max"))),
 
@@ -403,7 +403,9 @@ object Reference {
          GROUP BY user_id, k""",
     "q_describe" -> {
       def one(c: String) =
-        s"""SELECT '$c' AS col_name, count(v) AS count, round(avg(v), 2) AS mean,
+        s"""SELECT '$c' AS col_name, count(v) AS count,
+            CAST(count(*) - count(v) AS BIGINT) AS null_count,
+            round(avg(v), 2) AS mean,
             round(stddev_samp(v), 2) AS std, min(v) AS min, max(v) AS max
             FROM (SELECT CAST($c AS DOUBLE) AS v FROM lineitem)"""
       Seq("l_quantity", "l_extendedprice", "l_discount").map(one).mkString(" UNION ALL ")

@@ -157,15 +157,19 @@ class GDatasetSpec extends SparkSpec {
     assert(ds.df.count() == 2)
   }
 
-  test("describe emits one row per numeric value var") {
+  test("describe emits one row per numeric value var with exact null counts") {
     import spark.implicits._
     val ds = GDataset(
-      Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 30.0)).toDF("i", "a", "b"), "i")
+      Seq((1L, Option(1.0), 10.0), (2L, Option(2.0), 20.0),
+        (3L, Option(3.0), 30.0), (4L, Option.empty[Double], 40.0))
+        .toDF("i", "a", "b"), "i")
+    // (count, null_count, mean, min, max)
     val rows = ds.describe().collect().map(r =>
-      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+      r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(5), r.getDouble(6))).toMap
     assert(rows.keySet == Set("a", "b"))
-    assert(rows("a") == ((3L, 2.0, 1.0, 3.0)))
-    assert(rows("b") == ((3L, 20.0, 10.0, 30.0)))
+    assert(rows("a") == ((3L, 1L, 2.0, 1.0, 3.0)), "null cell must count, not vanish")
+    assert(rows("b") == ((4L, 0L, 25.0, 10.0, 40.0)))
   }
 
   test("sampleByHash is deterministic and roughly proportional") {
