@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.{Temporal, TextFunctions => TF}
+
+/** Randomized-input checks (scalacheck generators) for the algorithms
+  * whose correctness rests on exact cross-engine/cross-implementation
+  * semantics — generated cases hunt the edges example specs miss. Each
+  * property batches its cases into one Spark job so the suite stays
+  * fast.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("BPE: operator path equals Column path on random texts") {
+    import spark.implicits._
+    val genText = Gen.listOfN(12,
+      Gen.oneOf(Gen.alphaLowerStr.map(_.take(8)), Gen.numStr.map(_.take(4)),
+        Gen.const("the"), Gen.const("thing"), Gen.const("and"), Gen.const("!?;")))
+      .map(_.mkString(" "))
+    val texts = Gen.listOfN(120, genText).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val viaColumn = df.select(col("doc_id"), TF.bpeTokenCountMerges(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOperator = graft.operators.Bpe
+      .tokenCounts(df, "doc_id", "text", TF.DefaultMerges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaColumn == viaOperator)
+    // sanity bounds: at least one token per word, at most one per char
+    val words = texts.map { case (i, t) =>
+      i -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty) }.toMap
+    words.foreach { case (i, ws) =>
+      assert(viaColumn(i) >= ws.length && viaColumn(i) <= ws.map(_.length).sum)
+    }
+  }
+
+  test("quantile strategies: bounded by lower/higher and exact on integral ranks") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, Gen.choose(-1000, 1000).map(_.toDouble))
+      p <- Gen.choose(0, 100).map(_ / 100.0)
+    } yield (vs, p)
+    val cases = Gen.listOfN(25, gen).sample.get.zipWithIndex
+    val df = cases.flatMap { case ((vs, _), g) => vs.map(v => (s"g$g", v)) }.toDF("g", "v")
+    val ps = cases.map { case ((_, p), g) => (s"q$g", p, g) }
+    // one call computes every group's quantile under all five strategies
+    def got(strategy: String): Map[Int, Double] =
+      graft.operators.Quantiles.exactQuantilesStrategy(df, Seq("g"), "v",
+          cases.map { case ((_, p), g) => (s"q$g", p, strategy) })
+        .collect().flatMap { r =>
+          val g = r.getString(0).drop(1).toInt
+          // each group's own column is q<g>; others sum to 0 rows for it
+          Some(g -> r.getDouble(1 + g))
+        }.toMap
+    val (lo, hi, near, mid, lin) =
+      (got("lower"), got("higher"), got("nearest"), got("midpoint"), got("linear"))
+    cases.foreach { case ((vs, p), g) =>
+      val sorted = vs.sorted
+      val idx = (vs.length - 1) * p
+      assert(lo(g) == sorted(math.floor(idx).toInt), s"lower g$g")
+      assert(hi(g) == sorted(math.ceil(idx).toInt), s"higher g$g")
+      assert(lo(g) <= hi(g))
+      assert(near(g) == lo(g) || near(g) == hi(g), s"nearest picks a neighbor g$g")
+      assert(mid(g) == (lo(g) + hi(g)) / 2.0, s"midpoint g$g")
+      assert(lin(g) >= math.min(lo(g), hi(g)) && lin(g) <= math.max(lo(g), hi(g)))
+      if (idx == math.floor(idx))
+        assert(Seq(hi(g), near(g), mid(g), lin(g)).forall(_ == lo(g)),
+          s"integral rank must collapse every strategy g$g")
+    }
+  }
+
+  test("strftime translation round-trips random dates for common formats") {
+    import spark.implicits._
+    val fmts = Seq("%Y-%m-%d", "%d/%m/%Y", "%Y-%m-%dT%H:%M:%S", "%b %d, %Y")
+    val days = Gen.listOfN(50, Gen.choose(-20000, 20000)).sample.get.distinct
+    val df = days.map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
+      .map(Tuple1(_)).toDF("d")
+    for (f <- Seq("%Y-%m-%d", "%d/%m/%Y", "%b %d, %Y")) {
+      val bad = df.select(col("d"),
+          Temporal.strToDate(Temporal.dtToString(col("d"), f), f).as("back"))
+        .filter(col("d") =!= col("back")).count()
+      assert(bad == 0, s"round trip failed for $f")
+    }
+    // timestamps: format → parse → format is a fixpoint
+    val ts = days.take(20).map(d => (d.toString,
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(
+        java.time.LocalDate.ofEpochDay(d.toLong), java.time.LocalTime.of(13, 7, 9)))))
+      .toDF("k", "t")
+    val f = "%Y-%m-%dT%H:%M:%S"
+    val bad = ts.select(
+        Temporal.dtToString(col("t"), f).as("s1"))
+      .select(col("s1"),
+        Temporal.dtToString(Temporal.strToTimestamp(col("s1"), f), f).as("s2"))
+      .filter(col("s1") =!= col("s2")).count()
+    assert(bad == 0)
+  }
+}
