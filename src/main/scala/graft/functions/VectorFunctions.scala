@@ -52,8 +52,16 @@ object VectorFunctions {
     * mapped with floor(x·scale + 0.5) — explicit half-up rounding, the
     * same arithmetic in every engine (a bare `round` differs between
     * half-up and half-even implementations). 4× smaller vectors for
-    * ANN recall stages; zero vectors quantize to zeros. */
-  def int8Quantize(v: Column): Column = {
+    * ANN recall stages; zero vectors quantize to zeros. Executes as the
+    * native codegen'd [[graft.plans.Int8Quantize]] (the HOF form below
+    * re-evaluates max|x| per ELEMENT when interpreted — O(d²) per row);
+    * the HOF reference stays spec-compared bit-for-bit. */
+  def int8Quantize(v: Column): Column =
+    graft.plans.VectorColumns.int8Quantize(v)
+
+  /** The HOF reference formulation of [[int8Quantize]] — kept for the
+    * native == HOF equality spec, not for hot paths. */
+  def int8QuantizeHof(v: Column): Column = {
     val vd = asDouble(v)
     val ma = maxAbs(v)
     when(ma > 0,

@@ -59,8 +59,10 @@ object Similarity {
       d.select(col(idCol).as(id), VF.int8Quantize(col(vecCol)).as(v))
     val q = qz(queries, "qid", "qv")
     val c = qz(corpus, "cid", "cv")
+    // native codegen'd long dot — the per-pair scoring kernel; the HOF
+    // zip_with+aggregate form pays two interpreted lambdas per element
     def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+      graft.plans.VectorColumns.dotLong(a, b)
     // an exactly-zero vector quantizes to all zeros → 0/0 = NaN, and
     // NaN sorts above every double under desc: guard the denominator so
     // a zero vector scores 0 (engine-independent) instead of winning

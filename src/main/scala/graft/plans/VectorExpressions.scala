@@ -76,7 +76,126 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native symmetric int8 quantization over array<float|double> —
+  * numerically identical to the HOF formulation in
+  * [[graft.functions.VectorFunctions.int8Quantize]]
+  * (floor(x · (127/max|x|) + 0.5), zero/empty vectors → zeros) but two
+  * passes per row instead of the HOF's per-ELEMENT re-evaluation of the
+  * max|x| subexpression (O(d²) interpreted work per row, the dominant
+  * cost of quantization-heavy plans). Codegen'd, so quantization stays
+  * inside whole-stage codegen.
+  */
+case class Int8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > ma) ma = x
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (ma > 0) {
+      val scale = 127.0 / ma
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(x * scale + 0.5).toLong
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val ma = ctx.freshName("ma")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      val scale = ctx.freshName("scale")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double $ma = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs($get);
+         |  if ($x > $ma) $ma = $x;
+         |}
+         |long[] $out = new long[$n];
+         |if ($ma > 0) {
+         |  double $scale = 127.0 / $ma;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (long) java.lang.Math.floor($get * $scale + 0.5);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native integer dot product over two array<long> columns — exact long
+  * accumulation in element order, the scoring kernel of the int8 ANN
+  * recall stage (the HOF zip_with+aggregate form evaluates two
+  * interpreted lambdas per element per candidate pair). */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorColumns {
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def int8Quantize(v: Column): Column =
+    GraftShim.column(Int8Quantize(GraftShim.expression(v)))
+
+  def dotLong(a: Column, b: Column): Column =
+    GraftShim.column(DotLong(GraftShim.expression(a), GraftShim.expression(b)))
 }

@@ -30,6 +30,44 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("native Int8Quantize and DotLong match the HOF formulations bitwise") {
+    import spark.implicits._
+    // real embeddings + the edge vectors (zero, empty, negative-max)
+    val edge = Seq(
+      (1000001L, Array(0.0f, 0.0f, 0.0f)),
+      (1000002L, Array.empty[Float]),
+      (1000003L, Array(-2.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    for (df <- Seq(emb.limit(100).select(col("vec_id"), col("embedding")), edge)) {
+      val bad = df.select(
+          graft.plans.VectorColumns.int8Quantize(col("embedding")).as("native"),
+          VF.int8QuantizeHof(col("embedding")).as("hof"))
+        .filter(not(col("native") <=> col("hof"))).count()
+      assert(bad == 0, "quantization differs from the HOF reference")
+    }
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val q = emb.limit(50).select(VF.int8Quantize(col("embedding")).as("qv"))
+    val badDot = q.select(
+        graft.plans.VectorColumns.dotLong(col("qv"), col("qv")).as("native"),
+        hofDot(col("qv"), col("qv")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(badDot == 0)
+  }
+
+  test("Int8Quantize/DotLong generated code compiles (no interpreted fallback)") {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val out = emb.limit(3)
+        .select(graft.plans.VectorColumns.dotLong(
+          graft.plans.VectorColumns.int8Quantize(col("embedding")),
+          graft.plans.VectorColumns.int8Quantize(col("embedding"))).as("d"))
+        .collect()
+      out.foreach(r => assert(r.getLong(0) > 0L))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
