@@ -22,8 +22,15 @@ object VectorFunctions {
 
   /** Random-hyperplane signature: `planes(p)(d)` fixed pseudo-random
     * weights; bit p = sign of dot(v, planes(p)). Returns array<int> of
-    * 0/1 bits — group consecutive `bandBits` bits for LSH buckets. */
-  def hyperplaneBits(v: Column, planes: Array[Array[Double]]): Column = {
+    * 0/1 bits — group consecutive `bandBits` bits for LSH buckets.
+    * Executes as the native codegen'd [[graft.plans.HyperplaneBits]]
+    * (one generated double loop per row vs an interpreted lambda fold
+    * per plane); the HOF reference below stays spec-compared. */
+  def hyperplaneBits(v: Column, planes: Array[Array[Double]]): Column =
+    graft.plans.VectorColumns.hyperplaneBits(v, planes)
+
+  /** The HOF reference formulation of [[hyperplaneBits]]. */
+  def hyperplaneBitsHof(v: Column, planes: Array[Array[Double]]): Column = {
     val bitCols = planes.map { plane =>
       val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(v, planeCol) >= 0, lit(1)).otherwise(lit(0))

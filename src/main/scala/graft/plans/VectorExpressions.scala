@@ -189,9 +189,78 @@ case class DotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native random-hyperplane signature: bit p = sign of dot(v, plane p),
+  * all planes in one pass over the vector per row. The HOF form pays an
+  * interpreted zip_with+aggregate PER PLANE per row (planes × dim
+  * lambda calls); here the plane matrix rides along as a referenced
+  * object and the double loop is generated code. */
+case class HyperplaneBits(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Int](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val d = math.min(n, plane.length)
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += x * plane(i)
+        i += 1
+      }
+      out(p) = if (dot >= 0) 1 else 0
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val dot = ctx.freshName("dot")
+      val plane = ctx.freshName("plane")
+      val out = ctx.freshName("out")
+      val get = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |int[] $out = new int[$planesRef.length];
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double[] $plane = $planesRef[$p];
+         |  int $d = java.lang.Math.min($n, $plane.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $dot += $get * $plane[$i];
+         |  }
+         |  $out[$p] = ($dot >= 0) ? 1 : 0;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorColumns {
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def hyperplaneBits(v: Column, planes: Array[Array[Double]]): Column =
+    GraftShim.column(HyperplaneBits(GraftShim.expression(v), planes))
 
   def int8Quantize(v: Column): Column =
     GraftShim.column(Int8Quantize(GraftShim.expression(v)))

@@ -54,6 +54,15 @@ class SimilaritySpec extends SparkSpec {
     assert(badDot == 0)
   }
 
+  test("native HyperplaneBits matches the HOF formulation bitwise") {
+    val planes = VF.makePlanes(numPlanes = 24, dim = 64)
+    val bad = emb.limit(100).select(
+        graft.plans.VectorColumns.hyperplaneBits(col("embedding"), planes).as("native"),
+        VF.hyperplaneBitsHof(col("embedding"), planes).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(bad == 0)
+  }
+
   test("Int8Quantize/DotLong generated code compiles (no interpreted fallback)") {
     val key = "spark.sql.codegen.fallback"
     val prev = spark.conf.get(key)
@@ -65,6 +74,11 @@ class SimilaritySpec extends SparkSpec {
           graft.plans.VectorColumns.int8Quantize(col("embedding"))).as("d"))
         .collect()
       out.foreach(r => assert(r.getLong(0) > 0L))
+      val bits = emb.limit(3)
+        .select(graft.plans.VectorColumns.hyperplaneBits(
+          col("embedding"), VF.makePlanes(8, 64)).as("b"))
+        .collect()
+      bits.foreach(r => assert(r.getSeq[Int](0).length == 8))
     } finally spark.conf.set(key, prev)
   }
 
