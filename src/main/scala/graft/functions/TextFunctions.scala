@@ -136,8 +136,22 @@ object TextFunctions {
   /** Gopher-style quality gate: the FIRST failing rule's name, or "ok".
     * Rule order is fixed (cheapest signals first) so the reason is
     * deterministic; `keep = reason == "ok"`. Thresholds follow the
-    * published Gopher/C4 heuristics scaled to short synthetic docs. */
+    * published Gopher/C4 heuristics scaled to short synthetic docs.
+    * Executes as the native single-pass [[graft.plans.FilterReason]]
+    * (the Column form below re-scans every document with a regex per
+    * signal); the Column reference stays spec-compared bit-for-bit. */
   def filterReason(
+      text: Column,
+      minWords: Int = 5,
+      maxWords: Int = 1000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1): Column =
+    graft.plans.TextGateColumns.filterReason(text, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, Stopwords.flatMap(_._2))
+
+  /** The Column/regex reference formulation of [[filterReason]]. */
+  def filterReasonHof(
       text: Column,
       minWords: Int = 5,
       maxWords: Int = 1000,

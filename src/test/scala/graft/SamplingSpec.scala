@@ -79,6 +79,34 @@ class SamplingSpec extends SparkSpec {
     assert(got(4L) == "no_stopwords")
   }
 
+  test("native FilterReason matches the regex formulation on real docs and edges") {
+    import spark.implicits._
+    val real = Tables.t(spark, Sf, "documents").select(col("text"))
+    val edges = Seq(
+      "",                         // empty
+      "   \t\n  ",                // whitespace only
+      "the \u000b and of to the", // vertical tab is Java \s whitespace
+      "café naïve the of to in is on for",  // non-ASCII letters count as symbols
+      "😀 the of to in is on for words here", // supplementary code point
+      "the " * 600                // long doc past maxWords
+    ).map(Tuple1(_)).toDF("text")
+    for (df <- Seq(real, edges)) {
+      val bad = df.select(
+          TF.filterReason(col("text")).as("native"),
+          TF.filterReasonHof(col("text")).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(bad == 0, "single-pass gate differs from the regex reference")
+    }
+    // generated code compiles with fallback disabled
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val r = edges.select(TF.filterReason(col("text")).as("r")).collect()
+      assert(r.length == 6 && r.forall(_.getString(0).nonEmpty))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("tokenWindows tiles and overlaps correctly, keeping the short tail") {
     import spark.implicits._
     val docs = Seq(
