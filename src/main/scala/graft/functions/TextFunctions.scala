@@ -25,12 +25,63 @@ object TextFunctions {
   /** A tiny consistent merge table (each pair's parts are base chars or
     * earlier merge outputs — the property trained BPE tables have) for
     * oracle-checkable token counting; real vocab tables load through
-    * [[graft.operators.Bpe.mergesFrom]]. */
+    * [[graft.operators.Bpe.mergesFrom]]. The trailing Ġ entries join the
+    * GPT-2 leading-space marker to a following letter — no-ops on the
+    * legacy lowercase-alnum path (its words never contain Ġ). */
   val DefaultMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("e", "n"), ("a", "t"),
     ("e", "s"), ("o", "r"), ("s", "t"), ("a", "r"), ("a", "l"), ("i", "t"),
-    ("i", "s"), ("o", "f"), ("t", "o"), ("l", "e"), ("m", "e"), ("0", "0"))
+    ("i", "s"), ("o", "f"), ("t", "o"), ("l", "e"), ("m", "e"), ("0", "0"),
+    ("Ġ", "t"), ("Ġ", "a"))
+
+  /** GPT-2-style pre-tokenizer (Radford et al. 2019's gpt2 regex),
+    * restricted to syntax Java regex and RE2 (DuckDB) compile
+    * identically: lowercase contraction suffixes, optional-leading-space
+    * letter / number / punctuation runs, whitespace runs. The original's
+    * trailing-whitespace lookahead `\s+(?!\S)` is dropped (RE2 has no
+    * lookahead), so an inner multi-space run stays one whitespace
+    * pre-token instead of donating its last space to the next word —
+    * deterministic and engine-consistent, documented divergence.
+    * Case, punctuation, and whitespace all survive into tokens. */
+  val Gpt2Pattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def gpt2Pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(Gpt2Pattern), lit(0))
+
+  /** GPT-2 byte-to-unicode markers for the whitespace chars that may
+    * appear inside a pre-token (0x20→Ġ, 0x0A→Ċ, 0x09→ĉ, 0x0D→č): a
+    * space inside a symbol would break the sentinel-spaced merge
+    * representation, so — exactly as GPT-2 does — whitespace bytes are
+    * remapped to printable marker chars before merging. */
+  val WsFrom = " \n\t\r"
+  val WsTo = "ĠĊĉč" // Ġ Ċ ĉ č
+
+  /** TRUE byte-level BPE token count, GPT-2 style — the default for
+    * budget operators: [[gpt2Pretokens]] pre-tokens (case, punctuation
+    * and whitespace preserved), whitespace mapped to [[WsTo]] markers,
+    * the same sentinel-spaced rank-ordered merge replay as
+    * [[bpeTokenCountMerges]], plus a byte fallback — each non-ASCII
+    * char counts its extra UTF-8 bytes (octet_length − length) as
+    * unmerged byte symbols, which is byte-level BPE with an
+    * ASCII-symbol merge table. Null text → 0. Scan-local HOF Columns;
+    * for production 50k-merge tables use [[graft.operators.Bpe]]
+    * (identical semantics, spec-pinned). */
+  def bpeTokenCountGpt2(
+      text: Column,
+      merges: Seq[(String, String)] = DefaultMerges): Column = {
+    val counts = transform(gpt2Pretokens(text), w0 => {
+      val w = translate(w0, WsFrom, WsTo)
+      val base = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+      val merged = merges.foldLeft(base) { case (s, (a, b)) =>
+        replace(s, lit(s" $a $b "), lit(s" $a$b "))
+      }
+      size(split(trim(merged), " ")).cast("long") +
+        (octet_length(w0) - length(w0)).cast("long")
+    })
+    coalesce(aggregate(counts, lit(0L), (acc, c) => acc + c), lit(0L))
+  }
 
   /** Lowercased alphanumeric words — the shared BPE pre-tokenization. */
   def alnumWords(text: Column): Column =
@@ -62,7 +113,9 @@ object TextFunctions {
       }
       size(split(trim(merged), " "))
     })
-    aggregate(counts, lit(0L), (acc, c) => acc + c)
+    // null text → 0, matching Bpe.tokenCounts and the DuckDB replica
+    // (both coalesce to 0) — all three formulations agree on null input
+    coalesce(aggregate(counts, lit(0L), (acc, c) => acc + c), lit(0L))
   }
 
   def charCount(text: Column): Column = length(text)

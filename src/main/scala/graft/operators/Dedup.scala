@@ -375,11 +375,14 @@ object Dedup {
       maxBucketSize: Int = 100000): DataFrame = {
     import graft.functions.KMeans
     val sample = emb
+      .filter(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)))
       .limit(trainSample)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"semanticPairs: no non-null '$vecCol' vectors to train cells on")
     val centArr = KMeans.spherical(sample, nClusters, iters)
     val cents = typedlit(centArr.map(_.toList).toList)
     val dots = transform(cents, c => graft.plans.VectorColumns.cosine(col(vecCol), c))
@@ -398,8 +401,12 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      nClusters: Int = 16): DataFrame = {
-    val losers = semanticPairs(emb, idCol, vecCol, threshold, nClusters)
+      nClusters: Int = 16,
+      trainSample: Int = 2048,
+      iters: Int = 10,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val losers = semanticPairs(emb, idCol, vecCol, threshold, nClusters,
+        trainSample, iters, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     emb.join(losers, Seq(idCol), "left_anti")
   }

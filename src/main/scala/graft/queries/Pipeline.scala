@@ -218,14 +218,15 @@ object Pipeline {
           .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("n_tok")),
         col("lang"), Seq(col("doc_id")), "n_tok", budget = 2000)),
 
-    // per-language budget measured in TRUE BPE tokens (Column path —
-    // scan-local, oracle-identical to the Bpe operator): the budget
-    // family no longer depends on the whitespace approximation
+    // per-language budget measured in TRUE BPE tokens (GPT-2 byte-level
+    // Column path — scan-local, oracle-identical to the Bpe operator):
+    // the budget family counts case/punctuation/whitespace tokens, not
+    // just lowercase words
     "q_budget_bpe" -> ((s, dir) =>
       graft.operators.Sampling.budgetPerStratum(
         t(s, dir, "documents").select(
           col("doc_id"), col("lang"),
-          TF.bpeTokenCountMerges(col("text")).as("n_tok")),
+          TF.bpeTokenCountGpt2(col("text")).as("n_tok")),
         col("lang"), Seq(col("doc_id")), "n_tok", budget = 2000)),
 
     // quality-ordered token budget: keep the BEST docs per language
@@ -274,16 +275,23 @@ object Pipeline {
   private[queries] val TokSql =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  // TextFunctions.bpeTokenCountMerges replica over `text` — shared by
-  // q_token_bpe and the BPE-measured budget
+  // TextFunctions.bpeTokenCountGpt2 replica over `text` — shared by
+  // q_token_bpe and the BPE-measured budget. Replays the byte-level
+  // algorithm verbatim: GPT-2-style pre-tokens (RE2 compiles the same
+  // pattern Java does), whitespace → marker chars, sentinel-spaced
+  // rank-ordered merge chain (DuckDB replace() = Java String.replace
+  // leftmost-non-overlap), plus the UTF-8 byte surplus strlen - length
+  // for non-ASCII chars.
   private val BpeNTokSql: String = {
-    val repl = TF.DefaultMerges.foldLeft("' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") {
+    val mapped =
+      "replace(replace(replace(replace(w, ' ', 'Ġ'), chr(10), 'Ċ'), chr(9), 'ĉ'), chr(13), 'č')"
+    val repl = TF.DefaultMerges.foldLeft(s"' ' || regexp_replace($mapped, '(.)', '\\1 ', 'g')") {
       case (s, (a, b)) => s"replace($s, ' $a $b ', ' $a$b ')"
     }
+    val patSql = TF.Gpt2Pattern.replace("'", "''")
     s"""CAST(coalesce(list_aggregate(list_transform(
-          list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
-            w -> w <> ''),
-          w -> len(string_split(trim($repl), ' '))), 'sum'), 0) AS BIGINT)"""
+          regexp_extract_all(text, '$patSql'),
+          w -> len(string_split(trim($repl), ' ')) + strlen(w) - length(w)), 'sum'), 0) AS BIGINT)"""
   }
 
   // exact 5-gram jaccard pairs at threshold 0.5 — replica of
@@ -359,7 +367,7 @@ object Pipeline {
            FROM documents WHERE doc_id >= 250)
          SELECT doc_id, content_hash, lang FROM b
          WHERE rn = 1
-           AND content_hash NOT IN (SELECT content_hash FROM idx)""",
+           AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.content_hash = b.content_hash)""",
     "q_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp

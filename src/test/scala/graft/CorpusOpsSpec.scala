@@ -193,14 +193,76 @@ class CorpusOpsSpec extends SparkSpec {
   test("Bpe.tokenCounts (broadcast + memo) equals the Column formulation on real docs") {
     import graft.functions.{TextFunctions => TF}
     val docs = Tables.t(spark, Sf, "documents")
+    // byte-level default vs the GPT-2 Column path
     val viaOperator = graft.operators.Bpe
       .tokenCounts(docs, "doc_id", "text", TF.DefaultMerges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaColumn = docs
-      .select(col("doc_id"), TF.bpeTokenCountMerges(col("text")).as("n_bpe"))
+      .select(col("doc_id"), TF.bpeTokenCountGpt2(col("text")).as("n_bpe"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaOperator == viaColumn)
     assert(viaOperator.nonEmpty && viaOperator.values.forall(_ >= 0))
+    // legacy lowercase-alnum path vs its Column twin
+    val legacyOperator = graft.operators.Bpe
+      .tokenCounts(docs, "doc_id", "text", TF.DefaultMerges, byteLevel = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val legacyColumn = docs
+      .select(col("doc_id"), TF.bpeTokenCountMerges(col("text")).as("n_bpe"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(legacyOperator == legacyColumn)
+  }
+
+  test("GPT-2 byte-level BPE: case, punctuation, whitespace and unicode all count") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    // hand-computed against DefaultMerges (rank-priority == merge chain):
+    //  "Hello, world!" = Hello(5) ,(1) Ġworld(5: or merges) !(1)      = 12
+    //  "the cat isn't" = the(1) Ġcat(3: at) Ġisn(3: is) 't(2)         = 9
+    //  "café"          = c,a,f,é (4) + 1 surplus byte for é           = 5
+    //  "a\n\tb"        = a(1) newline+tab markers (Ċ,ĉ = 2) b(1)      = 4
+    //  "a  b"          = a(1) ĠĠ(2) b(1)                              = 4
+    //  "DON'T"         = DON(3) '(1) T(1)                             = 5
+    val df = Seq(
+      (1L, "Hello, world!"), (2L, "the cat isn't"), (3L, "café"),
+      (4L, "a\n\tb"), (5L, "a  b"), (6L, "DON'T"), (7L, ""),
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val expected = Map(1L -> 12L, 2L -> 9L, 3L -> 5L, 4L -> 4L,
+      5L -> 4L, 6L -> 5L, 7L -> 0L, 8L -> 0L)
+    val viaOperator = graft.operators.Bpe
+      .tokenCounts(df, "doc_id", "text", TF.DefaultMerges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaColumn = df
+      .select(col("doc_id"), TF.bpeTokenCountGpt2(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOperator == expected)
+    assert(viaColumn == expected)
+  }
+
+  test("rank-priority merging cost is bounded by word length, not merge-table size") {
+    import spark.implicits._
+    // 50k-entry consistent table over a 224-char non-ASCII alphabet —
+    // every pair of base chars is a merge, outputs never recombine
+    val alphabet = (0 until 224).map(i => (0x0100 + i).toChar.toString)
+    val merges = for (a <- alphabet; b <- alphabet) yield (a, b)
+    assert(merges.length > 50000)
+    val word = (alphabet(0) + alphabet(1)) * 10 // 20 chars, merges to 10 symbols
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      concat(lit("w"), col("id").cast("string"), lit(" "), lit(word)).as("text"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // w(1) + digits-of-id (one symbol each, no digit merges in this
+    // table) + Ġ+word (11 symbols: Ġ survives, 10 merged pairs) +
+    // 20 surplus bytes (each alphabet char is 2 UTF-8 bytes)
+    out.foreach { case (id, n) =>
+      assert(n == 1L + id.toString.length + 11L + 20L, s"doc $id")
+    }
+    // the literal-scan chain would run 5000 distinct ids × 50k merges;
+    // rank-priority is a handful of hash lookups per word — seconds,
+    // not minutes, even with full Spark job overhead
+    assert(secs < 20.0, s"50k-merge table took ${secs}s")
   }
 
   test("curate with a BPE token counter measures budgets in BPE tokens") {
@@ -208,7 +270,7 @@ class CorpusOpsSpec extends SparkSpec {
     import graft.operators.{Bpe, Curate}
     val docs = Tables.t(spark, Sf, "documents")
     val out = Curate.corpus(docs, "doc_id", "text", "lang", budgetPerLang = 2000,
-      tokenCounter = TF.bpeTokenCountMerges(_, TF.DefaultMerges)).collect()
+      tokenCounter = TF.bpeTokenCountGpt2(_, TF.DefaultMerges)).collect()
     assert(out.nonEmpty)
     // the spine's n_tok is now the faithful BPE count per kept doc
     val bpe = Bpe.tokenCounts(docs, "doc_id", "text", TF.DefaultMerges)
@@ -224,10 +286,10 @@ class CorpusOpsSpec extends SparkSpec {
     val docs = Tables.t(spark, Sf, "documents")
     val bpe = Bpe.tokenCounts(docs, "doc_id", "text", TF.DefaultMerges)
     // merges only ever shrink a word's symbol count: n_bpe is bounded
-    // above by the unmerged (character-level) count, strictly below in
+    // above by the unmerged (byte-level) count, strictly below in
     // aggregate on natural text
     val chars = docs.select(col("doc_id"),
-      TF.bpeTokenCountMerges(col("text"), Nil).as("n_chars"))
+      TF.bpeTokenCountGpt2(col("text"), Nil).as("n_chars"))
     val joined = bpe.join(chars, "doc_id").collect()
     assert(joined.forall(r => r.getAs[Long]("n_bpe") <= r.getAs[Long]("n_chars")))
     assert(joined.map(_.getAs[Long]("n_bpe")).sum < joined.map(_.getAs[Long]("n_chars")).sum)

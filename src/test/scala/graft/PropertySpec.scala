@@ -22,17 +22,27 @@ class PropertySpec extends SparkSpec {
     val texts = Gen.listOfN(120, genText).sample.get.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     val df = texts.toDF("doc_id", "text")
-    val viaColumn = df.select(col("doc_id"), TF.bpeTokenCountMerges(col("text")).as("n"))
+    // byte-level (GPT-2) pair
+    val viaColumn = df.select(col("doc_id"), TF.bpeTokenCountGpt2(col("text")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val viaOperator = graft.operators.Bpe
       .tokenCounts(df, "doc_id", "text", TF.DefaultMerges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaColumn == viaOperator)
-    // sanity bounds: at least one token per word, at most one per char
+    // legacy (lowercase-alnum) pair
+    val legacyColumn = df.select(col("doc_id"), TF.bpeTokenCountMerges(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val legacyOperator = graft.operators.Bpe
+      .tokenCounts(df, "doc_id", "text", TF.DefaultMerges, byteLevel = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(legacyColumn == legacyOperator)
+    // sanity bounds: byte-level count ≥ one per alnum word, ≤ one per
+    // char of the (ASCII) text — merges only ever shrink symbol counts
     val words = texts.map { case (i, t) =>
       i -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty) }.toMap
     words.foreach { case (i, ws) =>
-      assert(viaColumn(i) >= ws.length && viaColumn(i) <= ws.map(_.length).sum)
+      assert(viaColumn(i) >= ws.length)
+      assert(viaColumn(i) <= texts.toMap.apply(i).length.toLong.max(ws.map(_.length).sum))
     }
   }
 
