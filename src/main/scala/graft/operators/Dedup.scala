@@ -330,6 +330,105 @@ object Dedup {
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Substring-level duplicate spans (Lee et al. 2022,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better", §ExactSubstr) — the other half of production text
+    * dedup: whole-document dedup misses repeated boilerplate
+    * (headers, nav text, license blocks) INSIDE otherwise-distinct
+    * documents. A span is a run of ≥ `minSpanTokens` consecutive
+    * tokens whose every `shingleN`-gram also appears in at least one
+    * OTHER document.
+    *
+    * Output: one row per maximal flagged run — (idCol, span_start,
+    * span_end, span_tokens), the character range in code points
+    * (`substring` units), ready for [[removeSpans]].
+    *
+    * 100 TB shape: positional shingles (graft.plans.PositionalShingles)
+    * are computed scan-side; the duplicated-hash set is one groupBy on
+    * the 8-byte hash carrying (sh, id); flagging is an equi-join back
+    * on the hash carrying (id, pos, cs, ce) — ints only; runs assemble
+    * with one window+groupBy keyed on the doc id. Text NEVER enters an
+    * exchange (plan-pinned in PlanAuditSpec). Stop-shingles (boilerplate
+    * so common it appears in > `maxShingleFreq` positions) are capped
+    * like every other candidate generator — which can SPLIT a run at
+    * the capped position; the cap trades that recall for a linear join,
+    * and [[lshBucketStats]]-style visibility applies.
+    *
+    * `keepFirst = true` (default) preserves the occurrence in the
+    * lowest-id document sharing each shingle, so one copy of the
+    * boilerplate survives corpus-wide (Lee et al. keep one occurrence
+    * too); `false` flags every occurrence. */
+  def duplicateSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      minSpanTokens: Int = 20,
+      keepFirst: Boolean = true,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    require(minSpanTokens >= shingleN,
+      s"minSpanTokens ($minSpanTokens) must be >= shingleN ($shingleN)")
+    val pos = docs.select(col(idCol).as("id"),
+        posexplode(TextHashColumns.positionalShingles(col(textCol), shingleN))
+          .as(Seq("pos", "s")))
+      .select(col("id"), col("pos"),
+        col("s.sh").as("sh"), col("s.cs").as("cs"), col("s.ce").as("ce"))
+    // shingle hashes present in ≥2 documents, with the id that keeps
+    // its copy — one agg shuffle keyed on the 8-byte hash
+    val dup = capBuckets(pos.select(col("id"), col("sh")), Seq("sh"), maxShingleFreq)
+      .groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("__nd"), min(col("id")).as("__keeper"))
+      .filter(col("__nd") >= 2)
+      .select(col("sh"), col("__keeper"))
+    val flagged0 = pos.join(dup, Seq("sh"))
+    val flagged =
+      if (keepFirst) flagged0.filter(col("id") =!= col("__keeper")) else flagged0
+    // gaps-and-islands: consecutive flagged positions form one run; a
+    // run of r shingles covers r + shingleN - 1 tokens
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    flagged
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("cs")).as("span_start"), max(col("ce")).as("span_end"),
+        (count(lit(1)) + lit(shingleN - 1)).cast("int").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("id").as(idCol),
+        col("span_start"), col("span_end"), col("span_tokens"))
+  }
+
+  /** Cut [[duplicateSpans]] ranges out of the text verbatim: each doc's
+    * spans are collected (sorted, overlap-tolerant via a monotonic
+    * cursor) and the survivors of the character ranges concatenated —
+    * a scan-local fold after ONE equi-join of docs against their spans
+    * (left join: span-free docs pass through untouched). Span offsets
+    * are code points, the unit `substr` counts, so the cut is exact
+    * for any unicode content. */
+  def removeSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("__spans"))
+    val text = col(textCol)
+    val cut = {
+      val zero = struct(lit(0).as("cur"), lit("").as("acc"))
+      aggregate(col("__spans"), zero,
+        (a, s) => struct(
+          greatest(a.getField("cur"), s.getField("span_end")).as("cur"),
+          concat(a.getField("acc"),
+            text.substr(a.getField("cur") + lit(1),
+              greatest(s.getField("span_start") - a.getField("cur"), lit(0))))
+            .as("acc")),
+        a => concat(a.getField("acc"),
+          text.substr(a.getField("cur") + lit(1), length(text))))
+    }
+    docs.join(sp, Seq(idCol), "left")
+      .withColumn(textCol, when(col("__spans").isNull, text).otherwise(cut))
+      .drop("__spans")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, pair space
     * bounded by an existing bucket column (a cluster / label / shard
     * key): shuffle join on the bucket key — the 100 TB shape when the

@@ -57,6 +57,12 @@ object GraftFunctions {
         arity("graft_shingle_hashes", 2)(args)
         ShingleHashes(args.head, intArg(args(1), "shingleN"))
       }),
+    ("graft_positional_shingles",
+      new ExpressionInfo(classOf[PositionalShingles].getName, "graft_positional_shingles"),
+      (args: Seq[Expression]) => {
+        arity("graft_positional_shingles", 2)(args)
+        PositionalShingles(args.head, intArg(args(1), "shingleN"))
+      }),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => {

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -82,6 +83,50 @@ object TextHash {
   def shingleKernel(input: UTF8String, shingleN: Int): GenericArrayData =
     new GenericArrayData(shingleHashes(input, shingleN))
 
+  /** Positional shingles for duplicate-SPAN detection: one
+    * (hash, charStart, charEnd) struct per shingle position — NOT
+    * de-duplicated (position matters), with the covered character range
+    * in CODE POINTS (the unit Spark's `substring` counts), so a run of
+    * matching shingles maps straight to a substring cut. Hashes are the
+    * exact [[shingleHashes]] chain, so positional and set views of the
+    * same text agree on what "the same shingle" means. Docs shorter
+    * than `shingleN` tokens yield one whole-doc shingle (matching
+    * [[shingleHashes]]); empty/whitespace-only docs yield none. */
+  def positionalShingleKernel(input: UTF8String, shingleN: Int): GenericArrayData = {
+    val str = input.toString
+    val toks = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0 // UTF-16 index
+    var cp = 0 // code-point index
+    val n = str.length
+    while (i < n) {
+      if (isRegexSpace(str.charAt(i))) { i += 1; cp += 1 }
+      else {
+        val s0 = i
+        val cp0 = cp
+        while (i < n && !isRegexSpace(str.charAt(i))) {
+          i += Character.charCount(str.codePointAt(i))
+          cp += 1
+        }
+        toks += UTF8String.fromString(str.substring(s0, i))
+        starts += cp0
+        ends += cp
+      }
+    }
+    val ts = toks.toArray
+    val m = ts.length
+    val out: Array[Any] =
+      if (m == 0) Array.empty[Any]
+      else if (m < shingleN)
+        Array(InternalRow(hashShingle(ts, 0, m), starts(0), ends(m - 1)))
+      else
+        Array.tabulate[Any](m - shingleN + 1) { j =>
+          InternalRow(hashShingle(ts, j, shingleN), starts(j), ends(j + shingleN - 1))
+        }
+    new GenericArrayData(out)
+  }
+
   def simhashKernel(input: UTF8String): Long = {
     val toks = whitespaceTokens(input)
     val counts = new Array[Int](64)
@@ -161,6 +206,30 @@ case class ShingleHashes(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Positional shingles — array<struct<sh:long, cs:int, ce:int>>, one
+  * entry per shingle position with its covered code-point range. The
+  * span-dedup candidate generator keys on `sh` and shuffles only
+  * (id, pos, cs, ce) — text never leaves the scan stage. */
+case class PositionalShingles(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sh", LongType, nullable = false),
+    StructField("cs", IntegerType, nullable = false),
+    StructField("ce", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.positionalShingleKernel(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.positionalShingleKernel($c, $shingleN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over whitespace tokens: bit b of the result is the
   * sign of Σ_tokens (±1 per bit b of xxhash64(token)). */
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -188,4 +257,7 @@ object TextHashColumns {
 
   def shingleHashes(text: Column, shingleN: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), shingleN))
+
+  def positionalShingles(text: Column, shingleN: Int): Column =
+    GraftShim.column(PositionalShingles(GraftShim.expression(text), shingleN))
 }

@@ -90,6 +90,27 @@ object Pipeline {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, threshold = 0.5)),
 
+    // substring-level duplicate-span removal (Lee et al. 2022 style):
+    // per-doc before/after stats of cutting every ≥10-token run shared
+    // with another document. Rows-only: the span boundaries derive from
+    // XXH64 shingle chains DuckDB can't replicate; planted-boilerplate
+    // removal is spec-pinned (CorpusOpsSpec).
+    "q_dedup_substring" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+        shingleN = 5, minSpanTokens = 10)
+      val stats = spans.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+      Dedup.removeSpans(docs, spans, "doc_id", "text")
+        .select(col("doc_id"), length(col("text")).as("clean_len"))
+        .join(docs.select(col("doc_id"), length(col("text")).as("orig_len")), Seq("doc_id"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("orig_len"), col("clean_len"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+    }),
+
     // scale-path default: coordinate-sign LSH bands bound the pair space
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)),

@@ -301,4 +301,105 @@ class CorpusOpsSpec extends SparkSpec {
       .agg(sum("n_tokens").as("fill"), max("n_tokens").as("mx")).collect()
     assert(fills.forall(r => r.getAs[Long]("fill") <= 512 || r.getAs[Long]("mx") > 512))
   }
+
+  // ---- substring-level duplicate-span removal (Lee et al. 2022) ----
+
+  private val Boiler =
+    "this site uses cookies to improve your experience accept all terms now"
+
+  test("duplicateSpans flags planted boilerplate and removeSpans cuts it verbatim") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta $Boiler echo foxtrot golf hotel"),
+      (2L, s"india juliet kilo lima $Boiler mike november oscar papa"),
+      (3L, s"quebec romeo sierra tango $Boiler uniform victor whiskey xray"),
+      (4L, "yankee zulu one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleN = 3, minSpanTokens = 10)
+    val byDoc = spans.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // doc 1 is the min-id keeper; doc 4 shares nothing
+    assert(!byDoc.contains(1L), s"keeper doc flagged: $byDoc")
+    assert(!byDoc.contains(4L), s"unique doc flagged: $byDoc")
+    assert(byDoc(2L).size == 1 && byDoc(3L).size == 1)
+    // span = exactly the 12 boilerplate tokens, offsets in code points
+    val cleaned = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (id <- Seq(2L, 3L)) {
+      val (cs, ce, tok) = (byDoc(id).head._1, byDoc(id).head._2, byDoc(id).head._3)
+      assert(tok == 12, s"doc $id span_tokens $tok")
+      assert(orig(id).substring(cs, ce) == Boiler,
+        s"doc $id span [$cs,$ce) is not the boilerplate")
+      assert(cleaned(id) == orig(id).substring(0, cs) + orig(id).substring(ce),
+        s"doc $id not cut verbatim: '${cleaned(id)}'")
+      assert(!cleaned(id).contains("cookies"))
+    }
+    // untouched docs pass through removeSpans byte-identical
+    assert(cleaned(1L) == orig(1L) && cleaned(4L) == orig(4L))
+  }
+
+  test("duplicateSpans keepFirst=false flags every occurrence; whole-dup doc cuts to whitespace") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, Boiler), (2L, Boiler),
+      (3L, "unrelated words that never repeat anywhere else at all today")
+    ).toDF("doc_id", "text")
+    val all = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleN = 3, minSpanTokens = 10, keepFirst = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L))
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleN = 3, minSpanTokens = 10)
+    val cleaned = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == Boiler, "keeper must keep its copy")
+    assert(cleaned(2L).trim.isEmpty, s"whole-dup doc kept text: '${cleaned(2L)}'")
+  }
+
+  test("duplicateSpans offsets are code points (multi-byte + surrogate safe)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // astral-plane emoji (surrogate pair) + accented words around the
+    // shared run exercise UTF-16 vs code-point indexing
+    val shared = "héllo wörld café naïve über résumé jalapeño piñata garçon façade"
+    val docs = Seq(
+      (1L, s"😀 unique start $shared"),
+      (2L, s"🚀🚀 other intro $shared tail bit")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleN = 3, minSpanTokens = 10)
+    val r = spans.filter(col("doc_id") === 2L).collect()
+    assert(r.length == 1)
+    val (cs, ce) = (r(0).getInt(1), r(0).getInt(2))
+    val t2 = docs.filter(col("doc_id") === 2L).select("text").as[String].head()
+    // substring offsets are code points: convert to UTF-16 for the check
+    val s16 = t2.offsetByCodePoints(0, cs)
+    val e16 = t2.offsetByCodePoints(0, ce)
+    assert(t2.substring(s16, e16) == shared,
+      s"code-point span mismatch: '${t2.substring(s16, e16)}'")
+    val cleaned = Dedup.removeSpans(docs, spans, "doc_id", "text")
+      .filter(col("doc_id") === 2L).select("text").as[String].head()
+    assert(cleaned == "🚀🚀 other intro  tail bit")
+  }
+
+  test("duplicateSpans ignores within-doc repetition and sub-threshold runs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rep = "spam ham eggs"
+    val docs = Seq(
+      // repeated INSIDE one doc only -> nd=1, never flagged
+      (1L, s"$rep $rep $rep $rep one two three four"),
+      // shares only a 5-token run with doc 3 -> below minSpanTokens=10
+      (2L, "aa bb cc dd ee unique tail of second document here"),
+      (3L, "aa bb cc dd ee different ending for the third document")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleN = 3, minSpanTokens = 10)
+    assert(spans.count() == 0, spans.collect().mkString(","))
+  }
 }

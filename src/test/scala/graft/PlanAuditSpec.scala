@@ -204,6 +204,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans exchanges carry ids and offsets only — never text") {
+    // positional shingles are computed scan-side; the dup-hash agg,
+    // the flag-back join, and the run-assembly window shuffle (id,
+    // pos, sh, cs, ce) — 8-byte hash + ints. Text entering any
+    // exchange would re-shuffle the corpus at 100 TB.
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, Sf, "documents").select(col("doc_id"), col("text"))
+    val p = Dedup.duplicateSpans(docs, "doc_id", "text", shingleN = 5,
+        minSpanTokens = 20).queryExecution.explainString(FormattedMode)
+    val sections = p.split("""\n\n""")
+    val exchanges = sections.filter(_.matches("""(?s)\(\d+\) Exchange\b.*"""))
+    assert(exchanges.nonEmpty, "no Exchange detail sections found in plan")
+    exchanges.foreach { sec =>
+      val input = sec.linesIterator.filter(_.trim.startsWith("Input")).mkString
+      assert(!input.contains("text#"),
+        s"a span-dedup exchange shuffles the document text: $input")
+    }
+  }
+
   test("q_merge_sorted is one range-partitioned sort — no extra exchanges") {
     // the merge IS the distributed sort: union is exchange-free, then a
     // single range exchange orders globally; any second exchange means
