@@ -92,4 +92,49 @@ object Temporal {
   /** Non-strict date parse: null on malformed input. */
   def tryStrToDate(c: Column, fmt: String): Column =
     tryStrToTimestamp(c, fmt).cast("date")
+
+  // --- time-zone namespace (polars dt.convert_time_zone /
+  // dt.replace_time_zone; reference forwards to polars' chrono-tz) ---
+  //
+  // graft's canonical timestamp is wall-clock TIMESTAMP_NTZ; a
+  // tz-AWARE value is represented as its instant normalized to the UTC
+  // wall clock. The ops below translate between those two views with
+  // Spark's codegen'd from/to_utc_timestamp. The NTZ↔TIMESTAMP casts
+  // they route through are lossless ONLY under
+  // spark.sql.session.timeZone=UTC (no DST gaps), which every graft
+  // entry point pins — a non-UTC session zone would corrupt wall
+  // clocks that fall in the session zone's spring-forward gap.
+  //
+  // Gap/fold policy (java.time, pinned by TemporalSpec): a nonexistent
+  // local time (spring-forward gap) shifts forward by the gap; an
+  // ambiguous one (fall-back fold) takes the EARLIER offset.
+
+  /** polars `dt.replace_time_zone(tz)` + canonical UTC storage:
+    * re-interpret a wall-clock NTZ as zone `tz` (unchanged wall
+    * fields) and return the instant as the UTC wall clock. */
+  def replaceTimeZone(c: Column, tz: String): Column =
+    to_utc_timestamp(c.cast("timestamp"), tz).cast("timestamp_ntz")
+
+  /** polars `dt.convert_time_zone`: the wall clock a `from`-zone local
+    * time reads on a `to`-zone clock at the same instant. */
+  def convertTimeZone(c: Column, from: String, to: String): Column =
+    from_utc_timestamp(to_utc_timestamp(c.cast("timestamp"), from), to)
+      .cast("timestamp_ntz")
+
+  /** UTC instant → wall clock in `tz` (polars
+    * `dt.convert_time_zone(tz)` on a UTC-aware column). */
+  def toLocal(c: Column, tz: String): Column =
+    from_utc_timestamp(c.cast("timestamp"), tz).cast("timestamp_ntz")
+
+  /** Parse offset-bearing strings (`%z` → `+0530`) to the instant as
+    * UTC wall clock — the missing half of the `%z` directive, which
+    * [[dtToString]] could only format. Strict (ANSI throw on garbage);
+    * compose with try_to_timestamp via [[toSparkPattern]] for the
+    * permissive variant. */
+  def strToInstant(c: Column, fmt: String): Column = {
+    val p = toSparkPattern(fmt)
+    require(p.contains("XX") || p.contains("zzz"),
+      s"strToInstant: format '$fmt' carries no %z/%Z offset — use strToTimestamp")
+    to_timestamp(c, p).cast("timestamp_ntz")
+  }
 }

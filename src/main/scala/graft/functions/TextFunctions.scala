@@ -222,9 +222,19 @@ object TextFunctions {
   }
 
   /** Content fingerprint: md5 of lowercased alphanumeric-only text —
-    * the normalized-hash dedup key. */
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+    * the normalized-hash dedup key. `unicodeNormalize = true` folds
+    * compatibility forms and strips accents first (NFKC + mark strip,
+    * graft.plans.UnicodeNorm), so "Café"/"Cafe" + combining-mark and
+    * full-width spellings land on one key — the standard pre-hash
+    * step for multilingual corpora; off by default because it widens
+    * what counts as "the same document". */
+  def fingerprint(text: Column, unicodeNormalize: Boolean = false): Column = {
+    val base =
+      if (unicodeNormalize)
+        graft.plans.UnicodeColumns.stripAccents(graft.plans.UnicodeColumns.nfkc(text))
+      else text
+    md5(regexp_replace(lower(base), "[^a-z0-9 ]", ""))
+  }
 
   // PII patterns restricted to syntax both Java regex and RE2 (DuckDB)
   // compile identically — no backrefs, no lookaround, so the DuckDB

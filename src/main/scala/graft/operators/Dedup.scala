@@ -27,11 +27,22 @@ object Dedup {
 
   /** Exact dedup: content-hash groupBy, min-id winner per group.
     * The hash is the shuffle key — constant-width regardless of
-    * document size. */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * document size. `unicodeNormalize = true` hashes the NFC form so
+    * composed ("é") and decomposed ("e"+U+0301) spellings of the same
+    * text collide (spec-pinned); normalization is scan-local, the
+    * shuffle key stays 16 bytes. */
+  def exact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      unicodeNormalize: Boolean = false): DataFrame = {
+    val key =
+      if (unicodeNormalize) graft.plans.UnicodeColumns.nfc(col(textCol))
+      else col(textCol)
     docs
-      .groupBy(md5(col(textCol)).as("content_hash"))
+      .groupBy(md5(key).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+  }
 
   /** The persistable state of incremental exact dedup: one row per
     * distinct content hash with its winning (minimum) id. Write this to

@@ -63,6 +63,18 @@ object GraftFunctions {
         arity("graft_positional_shingles", 2)(args)
         PositionalShingles(args.head, intArg(args(1), "shingleN"))
       }),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) =>
+        UnicodeNormalize(arity("graft_nfc", 1)(args).head, "NFC")),
+    ("graft_nfkc",
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfkc"),
+      (args: Seq[Expression]) =>
+        UnicodeNormalize(arity("graft_nfkc", 1)(args).head, "NFKC")),
+    ("graft_strip_accents",
+      new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+      (args: Seq[Expression]) =>
+        StripAccents(arity("graft_strip_accents", 1)(args).head)),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => {

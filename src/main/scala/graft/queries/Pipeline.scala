@@ -30,6 +30,21 @@ object Pipeline {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))),
 
+    // unicode normalization (native NFC + accent strip, codegen'd):
+    // decomposed combining marks planted in front of each doc compose
+    // under NFC and strip to ASCII — oracle = DuckDB's utf8proc
+    // nfc_normalize/strip_accents, same contract by construction
+    "q_normalize" -> ((s, dir) => {
+      import graft.plans.UnicodeColumns
+      val planted = concat(lit("Cafe\u0301 nai\u0308ve "), col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        UnicodeColumns.nfc(planted).as("nfc_text"),
+        UnicodeColumns.stripAccents(planted).as("stripped"),
+        length(UnicodeColumns.nfc(planted)).as("nfc_len"),
+        length(planted).as("orig_len"))
+    }),
+
     "q_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -392,6 +407,13 @@ object Pipeline {
     "q_fingerprint" ->
       """SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+         FROM documents""",
+    "q_normalize" ->
+      """SELECT doc_id,
+           nfc_normalize('Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text) AS nfc_text,
+           strip_accents('Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text) AS stripped,
+           length(nfc_normalize('Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text)) AS nfc_len,
+           length('Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text) AS orig_len
          FROM documents""",
     "q_token_count" ->
       s"""SELECT doc_id,

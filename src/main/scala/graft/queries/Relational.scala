@@ -142,6 +142,25 @@ object Relational {
             Temporal.strToDate(col("s_date"), "%d/%m/%Y"), "%b %d, %Y").as("s_named"))
     }),
 
+    // time-zone namespace across the 1992-1998 US DST boundaries:
+    // noon NY wall clocks → instant / Tokyo wall / round-trip / zone
+    // offset (−18000 EST vs −14400 EDT flips prove real tz rules, not
+    // a constant shift). All scan-local codegen'd tz conversions.
+    "q_dt_tz" -> ((s, dir) => {
+      import graft.functions.Temporal
+      val wall = col("o_orderdate").cast("timestamp_ntz") +
+        make_dt_interval(lit(0), lit(12), lit(0), lit(0.0))
+      val nyInstant = Temporal.replaceTimeZone(wall, "America/New_York")
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        nyInstant.as("ny_instant"),
+        Temporal.convertTimeZone(wall, "America/New_York", "Asia/Tokyo")
+          .as("tokyo_wall"),
+        Temporal.toLocal(nyInstant, "America/New_York").as("back_local"),
+        (wall.cast("timestamp").cast("long") -
+          nyInstant.cast("timestamp").cast("long")).as("offset_s"))
+    }),
+
     // pivot with explicit value list (no extra distinct scan at scale).
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1051,6 +1070,18 @@ object Relational {
            strptime(strftime(o_orderdate, '%Y-%m-%d') || ' 08:30:45',
                     '%Y-%m-%d %H:%M:%S') AS ts_parsed,
            strftime(o_orderdate, '%b %d, %Y') AS s_named
+         FROM orders""",
+    "q_dt_tz" ->
+      """SELECT o_orderkey,
+           ((o_orderdate::timestamp + INTERVAL 12 HOUR) AT TIME ZONE 'America/New_York')
+             AT TIME ZONE 'UTC' AS ny_instant,
+           ((o_orderdate::timestamp + INTERVAL 12 HOUR) AT TIME ZONE 'America/New_York')
+             AT TIME ZONE 'Asia/Tokyo' AS tokyo_wall,
+           ((o_orderdate::timestamp + INTERVAL 12 HOUR) AT TIME ZONE 'America/New_York')
+             AT TIME ZONE 'America/New_York' AS back_local,
+           (epoch(o_orderdate::timestamp + INTERVAL 12 HOUR) -
+            epoch(((o_orderdate::timestamp + INTERVAL 12 HOUR) AT TIME ZONE 'America/New_York')
+                  AT TIME ZONE 'UTC'))::bigint AS offset_s
          FROM orders""",
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -58,6 +58,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(bpe == 3L)
   }
 
+  test("unicode normalization functions resolve through SQL") {
+    registered
+    val r = spark.sql(
+      "SELECT graft_nfc('Cafe\u0301') AS nfc, " +
+        "graft_nfkc('\uFF23afe\u0301 \uFB01n') AS nfkc, " +
+        "graft_strip_accents('Caf\u00e9 na\u00efve \u00f8re') AS stripped")
+      .head()
+    assert(r.getString(0) == "Caf\u00e9")
+    assert(r.getString(1) == "Caf\u00e9 fin")
+    assert(r.getString(2) == "Cafe naive \u00f8re")
+  }
+
   test("wrong argument counts fail analysis instead of being ignored") {
     registered
     for (bad <- Seq(

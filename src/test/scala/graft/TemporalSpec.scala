@@ -43,4 +43,49 @@ class TemporalSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(named == Set("Feb 29, 2024", "Dec 01, 1999"))
   }
+
+  private def ntz1(c: org.apache.spark.sql.Column, s: String): String = {
+    import spark.implicits._
+    Seq(s).toDF("s")
+      .select(Temporal.strToTimestamp(col("s"), "%Y-%m-%d %H:%M:%S").as("t"))
+      .select(c.cast("string")).head().getString(0)
+  }
+
+  test("convert/replace time zone shift with real DST rules, not a constant") {
+    // 2024 NY: EST (−05) until Mar 10 02:00, EDT (−04) to Nov 3
+    assert(ntz1(Temporal.replaceTimeZone(col("t"), "America/New_York"),
+      "2024-01-15 12:00:00") == "2024-01-15 17:00:00")
+    assert(ntz1(Temporal.replaceTimeZone(col("t"), "America/New_York"),
+      "2024-07-15 12:00:00") == "2024-07-15 16:00:00")
+    // NY noon reads 02:00 (winter) / 01:00 (summer) next day in Tokyo
+    assert(ntz1(Temporal.convertTimeZone(col("t"), "America/New_York", "Asia/Tokyo"),
+      "2024-01-15 12:00:00") == "2024-01-16 02:00:00")
+    assert(ntz1(Temporal.convertTimeZone(col("t"), "America/New_York", "Asia/Tokyo"),
+      "2024-07-15 12:00:00") == "2024-07-16 01:00:00")
+    // instant → local round trip
+    assert(ntz1(Temporal.toLocal(
+        Temporal.replaceTimeZone(col("t"), "Asia/Kolkata"), "Asia/Kolkata"),
+      "2024-07-15 12:00:00") == "2024-07-15 12:00:00")
+  }
+
+  test("gap/fold policy: nonexistent shifts forward, ambiguous takes the earlier offset") {
+    // 2024-03-10 02:30 EST does not exist (spring-forward): java.time
+    // shifts it into the gap's far side — instant 07:30Z (=03:30 EDT)
+    assert(ntz1(Temporal.replaceTimeZone(col("t"), "America/New_York"),
+      "2024-03-10 02:30:00") == "2024-03-10 07:30:00")
+    // 2024-11-03 01:30 happens twice (fall-back): earlier offset = EDT
+    assert(ntz1(Temporal.replaceTimeZone(col("t"), "America/New_York"),
+      "2024-11-03 01:30:00") == "2024-11-03 05:30:00")
+  }
+
+  test("strToInstant parses %z offsets to the UTC instant; refuses offset-free formats") {
+    import spark.implicits._
+    val got = Seq("2024-03-01 10:00:00+0530", "2024-03-01 10:00:00-0800")
+      .toDF("s")
+      .select(Temporal.strToInstant(col("s"), "%Y-%m-%d %H:%M:%S%z").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("2024-03-01 04:30:00", "2024-03-01 18:00:00"))
+    intercept[IllegalArgumentException](
+      Temporal.strToInstant(col("s"), "%Y-%m-%d %H:%M:%S"))
+  }
 }

@@ -64,6 +64,49 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("unicode-normalized exact dedup collides composed and decomposed spellings") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "Caf\u00e9 au lait"),   // composed e-acute
+      (2L, "Cafe\u0301 au lait"),  // decomposed e + combining acute
+      (3L, "Cafe au lait")              // plain ASCII — distinct content
+    ).toDF("doc_id", "text")
+    val raw = Dedup.exact(docs, "doc_id", "text")
+    assert(raw.count() == 3, "raw bytes must NOT collide")
+    val norm = Dedup.exact(docs, "doc_id", "text", unicodeNormalize = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(norm == Map(1L -> 2L, 3L -> 1L),
+      s"NFC dedup must merge 1+2 and keep 3 apart: $norm")
+    // accent-stripping fingerprint folds all three plus NFKC forms
+    val fps = docs.select(graft.functions.TextFunctions
+        .fingerprint(col("text"), unicodeNormalize = true).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1, "stripped fingerprints must all collide")
+    // NFKC folds full-width letters and ligatures into the same key
+    val wide = Seq((9L, "\uFF23\uFF41\uFF46\uFF45\u0301 au lait")).toDF("doc_id", "text")
+      .select(graft.functions.TextFunctions
+        .fingerprint(col("text"), unicodeNormalize = true).as("fp"))
+      .head().getString(0)
+    assert(fps.head == wide, "full-width NFKC form must share the fingerprint")
+  }
+
+  test("unicode normalization generated code compiles (no interpreted fallback)") {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      import graft.plans.UnicodeColumns
+      val out = docs.limit(5).select(
+        UnicodeColumns.nfc(col("text")).as("a"),
+        UnicodeColumns.nfkc(col("text")).as("b"),
+        UnicodeColumns.stripAccents(col("text")).as("c"),
+        graft.plans.TextHashColumns.positionalShingles(col("text"), 3).as("d"))
+        .collect()
+      assert(out.length == 5)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("native kernels match HOF tokenization on non-ASCII text") {
     import spark.implicits._
     // U+2028 / U+1680 / U+00A0 are Unicode whitespace but NOT Java-regex
