@@ -672,6 +672,67 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       dedupIndex = false)
   }
 
+  /** Exponentially weighted variance (polars `ewm_var`, adjust=true):
+    * the same exact O(n) recurrence family as [[ewm]] extended to four
+    * running sums — a0 = Σw^(t-k), a1 = Σw^(t-k)x, a2 = Σw^(t-k)x²,
+    * b = Σw^(2(t-k)) — so arbitrarily long series never overflow the
+    * w^(-rn) weights a window-sum formulation needs (q_ewm_std is that
+    * SQL-expressible check at the events scale). `bias = false` (the
+    * polars/pandas default) applies the standard a0²/(a0²−b) debias;
+    * the first observation is NaN there (ddof=1 undefined) and 0.0
+    * when biased — pandas-pinned in GDatasetSpec. Nulls are skipped
+    * like [[ewm]]: weights don't advance, prior moment carries. */
+  def ewmVar(alpha: Double, bias: Boolean = false): GDataset =
+    ewmMoment(alpha, bias, std = false)
+
+  /** Exponentially weighted standard deviation (polars `ewm_std`):
+    * sqrt of [[ewmVar]], same recurrence pass. */
+  def ewmStd(alpha: Double, bias: Boolean = false): GDataset =
+    ewmMoment(alpha, bias, std = true)
+
+  private def ewmMoment(alpha: Double, bias: Boolean, std: Boolean): GDataset = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val vars = numericValueVars
+    val w = 1.0 - alpha
+    val prefix = if (std) "ewm_std_" else "ewm_var_"
+    perGroupSeries(
+      vars.map(v => s"$prefix$v"),
+      (xs, series) => {
+        val a0 = series.map(_ => 0.0)
+        val a1 = series.map(_ => 0.0)
+        val a2 = series.map(_ => 0.0)
+        val b = series.map(_ => 0.0)
+        val n = series.map(_ => 0)
+        xs.indices.iterator.map { i =>
+          val vals = Array.tabulate(series.length) { vi =>
+            val x = series(vi)(i)
+            if (!x.isNaN) {
+              a0(vi) = 1.0 + w * a0(vi)
+              a1(vi) = x + w * a1(vi)
+              a2(vi) = x * x + w * a2(vi)
+              b(vi) = 1.0 + w * w * b(vi)
+              n(vi) += 1
+            }
+            val v =
+              if (n(vi) == 0) Double.NaN
+              else {
+                val mean = a1(vi) / a0(vi)
+                // clamp the catastrophic-cancellation negatives of a
+                // constant series to an exact 0
+                val vb = math.max(a2(vi) / a0(vi) - mean * mean, 0.0)
+                if (bias) vb
+                else if (n(vi) < 2) Double.NaN
+                else vb * a0(vi) * a0(vi) / (a0(vi) * a0(vi) - b(vi))
+              }
+            if (std) math.sqrt(v) else v
+          }
+          (xs(i), vals)
+        }
+      },
+      index,
+      dedupIndex = false)
+  }
+
   /** Arbitrary per-group series transform — the reference's
     * `group_by(...).map_groups(...)` power (polars_dataset.py:225-229)
     * as a public, typed hook: `emit` receives each group's index-sorted

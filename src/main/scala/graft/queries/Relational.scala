@@ -521,6 +521,30 @@ object Relational {
             4).as("ewm"))
     }),
 
+    // exponentially weighted std (polars ewm_std, adjust=true,
+    // bias=false): four running window sums — a0/a1/a2 weight sums and
+    // b = Σw^(2(t-k)) for the a0²/(a0²−b) debias — in the same ORDER BY
+    // sequence on both engines; first row NULL (ddof=1 undefined).
+    // Same w^(-rn) overflow bound as q_ewm (tighter: 0.81^(-rn), ~3200
+    // rows/group); unbounded series use the GDataset.ewmStd recurrence.
+    "q_ewm_std" -> ((s, dir) => {
+      val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = col("a1") / col("a0")
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(wSeq).cast("double") - 1)
+        .withColumn("a0", sum(pow(lit(0.9), -col("rn"))).over(wRun))
+        .withColumn("a1", sum(col("value") * pow(lit(0.9), -col("rn"))).over(wRun))
+        .withColumn("a2", sum(col("value") * col("value") * pow(lit(0.9), -col("rn"))).over(wRun))
+        .withColumn("b", sum(pow(lit(0.81), -col("rn"))).over(wRun))
+        .select(col("user_id"), col("event_id"),
+          when(col("rn") === 0, lit(null).cast("double")).otherwise(
+            round(sqrt(greatest(
+              (col("a2") / col("a0") - m * m) *
+                col("a0") * col("a0") / (col("a0") * col("a0") - col("b")),
+              lit(0.0))), 4) + 0.0).as("ewm_std"))
+    }),
+
     // approximate namespace — the sketches that replace exact
     // distinct/quantile at 100 TB (HyperLogLog++, KLL-style quantile):
     // constant memory per group vs O(distinct) / O(n). Rows-only:
@@ -766,6 +790,25 @@ object Relational {
         size(array_distinct(words)).as("n_distinct"),
         array_contains(words, "the").cast("int").as("has_the"),
         concat_ws("|", slice(words, 1, 3)).as("first3"))
+    }),
+
+    // list set algebra (polars list.set_intersection/union/difference/
+    // symmetric_difference): two overlapping token-window slices per
+    // doc; every result sorted before the string join so both engines'
+    // set-op orderings (appearance vs hash) cancel out
+    "q_list_sets" -> ((s, dir) => {
+      val words = filter(split(col("text"), "\\s+"), x => x =!= "")
+      val a = slice(words, 1, 8)
+      val b = slice(words, 5, 8)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("|", sort_array(array_intersect(a, b))).as("inter"),
+        concat_ws("|", sort_array(array_union(a, b))).as("uni"),
+        concat_ws("|", sort_array(array_except(a, b))).as("a_minus_b"),
+        concat_ws("|", sort_array(array_union(
+          array_except(a, b), array_except(b, a)))).as("symdiff"),
+        size(array_intersect(a, b)).as("n_inter"),
+        size(array_union(a, b)).as("n_union"))
     }),
 
     // list namespace, ordering side (polars list.sort/reverse/
@@ -1236,6 +1279,25 @@ object Relational {
            FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_ewm_std" ->
+      """SELECT user_id, event_id,
+         CASE WHEN rn = 0 THEN NULL ELSE
+           round(sqrt(greatest(
+             (a2/a0 - (a1/a0)*(a1/a0)) * a0*a0 / (a0*a0 - b), 0)), 4) + 0.0
+         END AS ewm_std
+         FROM (
+           SELECT user_id, event_id, rn,
+             sum(pow(0.9, -rn)) OVER w AS a0,
+             sum(value * pow(0.9, -rn)) OVER w AS a1,
+             sum(value * value * pow(0.9, -rn)) OVER w AS a2,
+             sum(pow(0.81, -rn)) OVER w AS b
+           FROM (
+             SELECT user_id, event_id, ts, value,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS DOUBLE) - 1 AS rn
+             FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""",
     "q_range_join" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice
          FROM lineitem l JOIN part p
@@ -1453,6 +1515,17 @@ object Relational {
           CAST(list_contains($TokSql, 'the') AS INT) AS has_the,
           array_to_string(($TokSql)[1:3], '|') AS first3
           FROM documents""",
+    "q_list_sets" ->
+      s"""SELECT doc_id,
+          coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), '|'), '') AS inter,
+          coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), '|'), '') AS uni,
+          coalesce(array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), '|'), '') AS a_minus_b,
+          coalesce(array_to_string(list_sort(list_concat(
+            list_filter(list_distinct(a), x -> NOT list_contains(b, x)),
+            list_filter(list_distinct(b), x -> NOT list_contains(a, x)))), '|'), '') AS symdiff,
+          len(list_distinct(list_filter(a, x -> list_contains(b, x)))) AS n_inter,
+          len(list_distinct(list_concat(a, b))) AS n_union
+          FROM (SELECT doc_id, ($TokSql)[1:8] AS a, ($TokSql)[5:12] AS b FROM documents)""",
     "q_list_sort" ->
       s"""SELECT doc_id,
           array_to_string((list_sort($TokSql))[1:5], '|') AS sorted5,

@@ -153,6 +153,30 @@ class InterpolationSpec extends SparkSpec {
     assert(math.abs(out(3) - (30 + 0.5 * out(1) * 1.5) / (1 + 0.5 * 1.5)) < 1e-12)
   }
 
+  test("ewmStd/ewmVar recurrence matches the pandas-pinned values") {
+    import spark.implicits._
+    // pandas Series([1,2,3,4]).ewm(alpha=0.5).std() / .var() references
+    val df = Seq((1L, 0.0, 1.0), (1L, 1.0, 2.0), (1L, 2.0, 3.0), (1L, 3.0, 4.0))
+      .toDF("k", "x", "v")
+    val ds = GDataset(df, "x", Seq("k"))
+    val stds = ds.ewmStd(alpha = 0.5).df.orderBy("x")
+      .collect().map(_.getDouble(2))
+    assert(stds(0).isNaN, "first unbiased std must be NaN (ddof=1)")
+    val expectStd = Seq(0.7071067811865476, 0.9636241116594314, 1.1771636613972951)
+    stds.drop(1).zip(expectStd).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g vs $e") }
+    val varsB = ds.ewmVar(alpha = 0.5, bias = true).df.orderBy("x")
+      .collect().map(_.getDouble(2))
+    val expectVarB = Seq(0.0, 0.2222222222222222, 0.5306122448979591, 0.8622222222222223)
+    varsB.zip(expectVarB).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g vs $e") }
+    // constant series: exactly zero variance (clamped), never negative
+    val const = Seq((1L, 0.0, 5.0), (1L, 1.0, 5.0), (1L, 2.0, 5.0)).toDF("k", "x", "v")
+    val cv = GDataset(const, "x", Seq("k")).ewmVar(alpha = 0.3).df.orderBy("x")
+      .collect().map(_.getDouble(2))
+    assert(cv(0).isNaN && cv(1) == 0.0 && cv(2) == 0.0)
+  }
+
   test("events (user_id, ts) is unique — the q_dft oracle precondition") {
     // GDataset.dft collapses duplicate index values per group (keeps the
     // last observation) while the DuckDB trig-sum oracle enumerates all
