@@ -66,6 +66,53 @@ object DedupCluster {
     labels
   }
 
+  /** Incremental connected components: fold a NEW batch of candidate
+    * pairs (e.g. [[Dedup.incrementalMinhashPairs]] output) into a
+    * persisted (id, comp) labelling WITHOUT re-clustering history.
+    *
+    * The iterative propagation runs only on a reduced graph: each new
+    * edge endpoint is replaced by its existing component representative
+    * (its `comp`, which is itself a member id) or by itself when
+    * previously unlabelled — so the graph that iterates is O(batch
+    * pairs) nodes regardless of corpus size. History is touched by
+    * exactly one non-iterative remap join (old comp → merged comp);
+    * labels whose component no new edge reached stream through
+    * unchanged. Under arrival-ordered ids (batch ids > index ids — the
+    * same contract the incremental dedup indexes document) min-label
+    * semantics compose: an old representative is the min of its old
+    * members, so the reduced graph's min is the global min and the
+    * merged labelling equals [[connectedComponents]] over the full
+    * pair history (spec-pinned).
+    *
+    * Returns the UPDATED full labelling — persist it back as the next
+    * round's `labels`. */
+  def mergeComponents(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val l = labels.select(col("id"), col("comp"))
+    // endpoints → existing representative (comp) where one exists
+    val reducedEdges = newPairs
+      .select(col(idA).as("a"), col(idB).as("b"))
+      .join(l.select(col("id").as("a"), col("comp").as("ra")), Seq("a"), "left")
+      .join(l.select(col("id").as("b"), col("comp").as("rb")), Seq("b"), "left")
+      .select(coalesce(col("ra"), col("a")).as("id_a"),
+        coalesce(col("rb"), col("b")).as("id_b"))
+    // iterate ONLY over the reduced batch graph
+    val reduced = connectedComponents(reducedEdges, "id_a", "id_b", maxIter)
+    // previously-unlabelled endpoints (new docs, or old isolated docs a
+    // new edge just reached) take their reduced label directly
+    val freshLabels = reduced.join(l.select(col("id")), Seq("id"), "left_anti")
+    // old labels: one remap join on comp — a reduced node that IS an old
+    // representative may have merged into a smaller component
+    val remap = reduced.select(col("id").as("comp"), col("comp").as("__merged"))
+    val updated = l.join(remap, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("__merged"), col("comp")).as("comp"))
+    updated.unionByName(freshLabels.select(col("id"), col("comp")))
+  }
+
   /** Keep one canonical document (the min id) per duplicate cluster:
     * non-canonical members leave via a left-anti join. Pass the same
     * pair list the Dedup family produced. */

@@ -171,6 +171,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 5L, 9L)) // 9 untouched: never in a pair
   }
 
+  test("mergeComponents folds batch pairs into persisted labels == one-shot") {
+    import spark.implicits._
+    // history: {1,2,3} and {5,6} and {8,9}; 4 and 7 isolated (unlabelled)
+    val pairs1 = Seq((2L, 1L), (2L, 3L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val labels1 = DedupCluster.connectedComponents(pairs1)
+    // batch (ids > history): new doc 11 BRIDGES {1,2,3} and {5,6};
+    // 12 extends {8,9}; 13 reaches previously-isolated 7; 14-15 are a
+    // purely-new pair
+    val pairs2 = Seq((3L, 11L), (6L, 11L), (9L, 12L), (7L, 13L), (14L, 15L))
+      .toDF("id_a", "id_b")
+    val merged = DedupCluster.mergeComponents(labels1, pairs2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = DedupCluster.connectedComponents(pairs1.unionByName(pairs2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot)
+    assert(merged(6L) == 1L, "bridged components relabel to the global min")
+    assert(merged(13L) == 7L && merged(14L) == 14L)
+  }
+
   test("BPE merges apply in rank order with whole-symbol boundaries") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF}
-import graft.operators.Dedup
+import graft.operators.{Dedup, DedupCluster}
 
 class TextDedupSpec extends SparkSpec {
 
@@ -289,5 +289,25 @@ class TextDedupSpec extends SparkSpec {
     val b1Internal = asSet(Dedup.minhashPairs(b1, "doc_id", "text", threshold = 0.5))
     assert(b1Internal ++ inc == oneShot)
     assert(oneShot.nonEmpty, "testdata should contain minhash near-dups")
+  }
+
+  test("incremental clustering: minhash batch pairs merged into persisted labels == one-shot") {
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val index = Dedup.minhashSigs(b1, "doc_id", "text")
+    // round 1: cluster history's own pairs, persist the labelling
+    val labels1 = DedupCluster.connectedComponents(
+      Dedup.minhashPairs(b1, "doc_id", "text", threshold = 0.5))
+    // round 2: batch pairs only (index text never rescanned), merged in
+    val incPairs = Dedup.incrementalMinhashPairs(b2, index, "doc_id", "text",
+      threshold = 0.5)
+    val merged = DedupCluster.mergeComponents(labels1, incPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = DedupCluster.connectedComponents(
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot,
+      s"diff: ${(merged.toSet -- oneShot.toSet) ++ (oneShot.toSet -- merged.toSet)}")
+    assert(oneShot.nonEmpty)
   }
 }
