@@ -140,33 +140,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** LSH band bucket keys for a minhash signature column: one xxhash64
+    * bucket per band over that band's signature slice (seeded by the
+    * band index so identical slices in different bands never collide).
+    * Shared by the batch banding below and the streaming face
+    * ([[graft.streaming.EventStreams.nearDupsAgainstIndex]]) so the two
+    * can never bucket differently. */
+  private[graft] def bandBuckets(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("_", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))), b))
+  }
+
+  /** Matching-position estimate of Jaccard from two minhash signatures. */
+  private[graft] def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), m => m))
+      .cast("double") / numHashes
+
   private def minhashBandPairs(
       sigs: DataFrame,
       numHashes: Int,
       bands: Int,
       threshold: Double,
       maxBucketSize: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
     // band keys only — the 64-long signature is NOT carried into the
     // bucket shuffle/join; it is re-attached per candidate pair below.
     val banded = sigs.select(
       col("id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-        .as(Seq("band", "bucket")))
+      posexplode(bandBuckets(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
       .select(col("id"), col("band"), col("bucket"))
 
     val candidates = candidatePairs(banded, Seq("band", "bucket"), maxBucketSize)
 
-    val estJaccard =
-      (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
-        .cast("double") / numHashes).as("est_jaccard")
     attachPerSide(candidates, sigs, "sig")
-      .select(col("id_a"), col("id_b"), estJaccard)
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

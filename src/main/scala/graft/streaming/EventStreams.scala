@@ -83,6 +83,60 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("content_hash")
       .join(index.select(col("content_hash")), Seq("content_hash"), "left_anti")
 
+  /** Streaming face of [[graft.operators.Dedup.incrementalMinhashPairs]]:
+    * in-stream documents are MinHash-signed scan-side (shingled/hashed
+    * once, the native Catalyst kernel), LSH-banded with the exact same
+    * bucket keys as the batch path ([[graft.operators.Dedup.bandBuckets]]
+    * is shared), and probed against the persisted STATIC signature
+    * index via a stream-static inner join on (band, bucket) — stateless
+    * per micro-batch, like [[dedupAgainstIndex]]'s anti-join. Pairs
+    * passing the estimated-Jaccard threshold are the stream's near-dup
+    * candidates (id_a = index doc, id_b = stream doc), deduped across
+    * bands with watermark-bounded state
+    * (dropDuplicatesWithinWatermark), so downstream drops/quarantines
+    * id_b. Batch reruns of incrementalMinhashPairs report the identical
+    * index×batch pair set (spec-pinned); stream-internal near-dups are
+    * out of scope here — exact in-stream dups go through
+    * [[dedupedStream]], and near-dup state between in-flight documents
+    * is a stream-stream self-join no watermark can bound.
+    *
+    * At a 100 TB index: persist the BANDED index (band, bucket, id,
+    * sig) bucketed by (band, bucket) so each micro-batch probe prunes
+    * buckets instead of re-banding and rescanning the signature
+    * parquet; no bucket cap runs on the stream side — watch
+    * [[graft.operators.Dedup.lshBucketStats]] on the index and
+    * blacklist degenerate buckets there. */
+  def nearDupsAgainstIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      lateness: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    import graft.operators.Dedup
+    import graft.plans.{TextHashColumns => THC}
+    val bandedBatch = docs
+      .withColumn("__sig_b", THC.minhashSignature(col(textCol), shingleN, numHashes))
+      .withWatermark(tsCol, lateness)
+      .select(col(idCol).as("id_b"), col(tsCol), col("__sig_b"),
+        posexplode(Dedup.bandBuckets(col("__sig_b"), numHashes, bands))
+          .as(Seq("band", "bucket")))
+    val bandedIndex = index
+      .select(col("id").as("id_a"), col("sig").as("__sig_a"),
+        posexplode(Dedup.bandBuckets(col("sig"), numHashes, bands))
+          .as(Seq("band", "bucket")))
+    bandedBatch.join(bandedIndex, Seq("band", "bucket"))
+      .withColumn("est_jaccard",
+        Dedup.estJaccard(col("__sig_a"), col("__sig_b"), numHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /** Stream-static enrichment: a broadcast left join against a batch
     * dimension table — stateless (no watermark needed), the dimension
     * ships to every task and each micro-batch joins map-side. The

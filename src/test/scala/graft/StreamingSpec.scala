@@ -96,6 +96,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup candidates equal the batch incremental pairs") {
+    import spark.implicits._
+    val docs = Tables.t(spark, Sf, "documents")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val index = graft.operators.Dedup.minhashSigs(b1, "doc_id", "text")
+      .localCheckpoint() // the persisted-parquet stand-in, computed once
+    val base = 1700000000000L
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IncDoc](spark)
+    stream.addData(b2.select("doc_id", "text").collect().map(r =>
+      IncDoc(r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)), r.getString(1))).toSeq)
+    val out = EventStreams.nearDupsAgainstIndex(
+      stream.toDS().toDF(), index, "doc_id", "text", "ts", "10 minutes",
+      threshold = 0.5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("near_dups").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("near_dups").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the batch incremental run also reports batch-internal pairs
+      // (id_a >= 250); the stream-static face covers the index×batch
+      // slice — stream-internal near-dups need a stream-stream join
+      val expect = graft.operators.Dedup.incrementalMinhashPairs(
+          b2, index, "doc_id", "text", threshold = 0.5)
+        .filter(col("id_a") < 250).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect,
+        s"stream/batch divergence: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+      assert(expect.nonEmpty, "testdata should contain index-side near-dups")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     import spark.implicits._
     val evs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
