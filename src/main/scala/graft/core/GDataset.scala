@@ -690,6 +690,54 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
   def ewmStd(alpha: Double, bias: Boolean = false): GDataset =
     ewmMoment(alpha, bias, std = true)
 
+  /** Time-decayed exponentially weighted mean (polars `ewm_mean_by`):
+    * weights decay with ELAPSED index distance — 0.5^(Δx / halfLife) —
+    * not row count, which is what an irregular series needs. With
+    * `adjust = true` (default) this is the weighted-sum form
+    * mean_i = Σ_k 0.5^((x_i−x_k)/h)·v_k / Σ_k 0.5^((x_i−x_k)/h)
+    * (pandas `ewm(times=…, halflife=…)`), computed by the exact O(n)
+    * recurrence a_i = v_i + 0.5^(Δ_i/h)·a_{i−1} so unbounded series
+    * never overflow (q_ewm_by is the bounded-range window-sum SQL
+    * check). With `adjust = false` it is the recursive
+    * y_i = α_i·v_i + (1−α_i)·y_{i−1}, α_i = 1 − 0.5^(Δ_i/h) — the
+    * polars `ewm_mean_by` recurrence. A timestamp index casts to epoch
+    * seconds, so `halfLife` is in seconds there. Null values skip like
+    * [[ewm]]: weights don't advance, the prior mean carries. */
+  def ewmMeanBy(halfLife: Double, adjust: Boolean = true): GDataset = {
+    require(halfLife > 0, "halfLife must be positive")
+    val vars = numericValueVars
+    perGroupSeries(
+      vars.map(v => s"ewm_by_$v"),
+      (xs, series) => {
+        val num = series.map(_ => 0.0)
+        val den = series.map(_ => 0.0)
+        val lastX = series.map(_ => Double.NaN)
+        val y = series.map(_ => Double.NaN)
+        xs.indices.iterator.map { i =>
+          val vals = Array.tabulate(series.length) { vi =>
+            val x = series(vi)(i)
+            if (!x.isNaN) {
+              val decay =
+                if (lastX(vi).isNaN) 0.0
+                else math.pow(0.5, (xs(i) - lastX(vi)) / halfLife)
+              if (adjust) {
+                num(vi) = x + decay * num(vi)
+                den(vi) = 1.0 + decay * den(vi)
+                y(vi) = num(vi) / den(vi)
+              } else {
+                y(vi) = if (y(vi).isNaN) x else (1.0 - decay) * x + decay * y(vi)
+              }
+              lastX(vi) = xs(i)
+            }
+            y(vi)
+          }
+          (xs(i), vals)
+        }
+      },
+      index,
+      dedupIndex = false)
+  }
+
   private def ewmMoment(alpha: Double, bias: Boolean, std: Boolean): GDataset = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val vars = numericValueVars

@@ -632,16 +632,21 @@ object Dedup {
       bitsPerBand
     }
 
+  // bucket = the band's sign bits PACKED into a long (left fold
+  // acc*2+bit): 8 bytes through the bucket shuffle instead of an
+  // up-to-64-char "0/1" string, and still injective per fixed band
+  // width — so the DuckDB replica's integer sum-of-powers form builds
+  // bit-identical buckets (q_dedup_cosine), no hash collision caveat.
   private def signBanded(vecs: DataFrame, bitsPerBand: Int, bands: Int): DataFrame =
     vecs.select(
       col("id"),
       posexplode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("",
-            transform(
-              slice(col("v"), b * bitsPerBand + 1, lit(bitsPerBand)),
-              x => when(x >= 0, lit(1)).otherwise(lit(0))))))
+          b => aggregate(
+            slice(col("v"), b * bitsPerBand + 1, lit(bitsPerBand)),
+            lit(0L),
+            (acc, x) => acc * 2 + when(x >= 0, lit(1L)).otherwise(lit(0L)))))
         .as(Seq("band", "bucket")))
       .select(col("id"), col("band"), col("bucket"))
 

@@ -83,6 +83,39 @@ object TextHash {
   def shingleKernel(input: UTF8String, shingleN: Int): GenericArrayData =
     new GenericArrayData(shingleHashes(input, shingleN))
 
+  /** One-pass repetition counters ([[RepetitionStats]]): unigram counts
+    * in a hash map (top frequency + total), 2-gram duplicate count via
+    * a seen-set on the exact gram STRINGS (tokens contain no
+    * whitespace, so the space-joined gram is unambiguous — no hash
+    * collision caveat against the DuckDB `count(DISTINCT gram)`
+    * replica). */
+  def repetitionKernel(input: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = whitespaceTokens(input)
+    val n = toks.length
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val prev = counts.get(toks(i))
+      val c = if (prev == null) 1 else prev.intValue + 1
+      counts.put(toks(i), Integer.valueOf(c))
+      if (c > top) top = c
+      i += 1
+    }
+    val n2 = math.max(n - 1, 0)
+    var dup2 = 0
+    if (n2 > 0) {
+      val seen = new java.util.HashSet[String](n2 * 2)
+      var j = 0
+      while (j < n2) {
+        if (!seen.add(toks(j).toString + " " + toks(j + 1).toString)) dup2 += 1
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, top, n2, dup2))
+  }
+
   /** Positional shingles for duplicate-SPAN detection: one
     * (hash, charStart, charEnd) struct per shingle position — NOT
     * de-duplicated (position matters), with the covered character range
@@ -248,6 +281,34 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Gopher-style repetition counters over whitespace tokens, one tight
+  * pass per row: struct<n_words, top_count (most frequent unigram's
+  * occurrences), n_2grams, n_dup_2grams (occurrences beyond each
+  * gram's first)>. The quality-filter repetition signals derive as
+  * top_count/n_words and n_dup_2grams/n_2grams. Scan-local by design —
+  * the distributed alternative (explode tokens → two groupBys) shuffles
+  * every token of the corpus, which at 100 TB is the whole corpus
+  * re-shuffled twice; here nothing leaves the scan stage. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false),
+    StructField("n_2grams", IntegerType, nullable = false),
+    StructField("n_dup_2grams", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.repetitionKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.repetitionKernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashColumns {
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
     GraftShim.column(MinHashSignature(GraftShim.expression(text), shingleN, numHashes))
@@ -260,4 +321,7 @@ object TextHashColumns {
 
   def positionalShingles(text: Column, shingleN: Int): Column =
     GraftShim.column(PositionalShingles(GraftShim.expression(text), shingleN))
+
+  def repetitionStats(text: Column): Column =
+    GraftShim.column(RepetitionStats(GraftShim.expression(text)))
 }

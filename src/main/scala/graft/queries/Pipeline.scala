@@ -73,6 +73,25 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"), TF.qualityScore(col("text")).as("quality"))),
 
+    // word-2-GRAM repetition + top-unigram fraction via the native
+    // one-pass RepetitionStats kernel: scan-local, zero shuffle — the
+    // 2-gram complement of q_repetition's unigram signals, whose
+    // explode-and-groupBy plan re-shuffles every token of the corpus —
+    // exactly what 100 TB forbids (the two queries cross-check each
+    // other's top-token number through entirely different plans)
+    "q_repetition_2gram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("__r", graft.plans.TextHashColumns.repetitionStats(col("text")))
+        .select(
+          col("doc_id"),
+          col("__r.n_words").as("n_words"),
+          (round(when(col("__r.n_words") > 0,
+            col("__r.top_count").cast("double") / col("__r.n_words"))
+            .otherwise(0.0), 4) + 0.0).as("top_unigram_frac"),
+          (round(when(col("__r.n_2grams") > 0,
+            col("__r.n_dup_2grams").cast("double") / col("__r.n_2grams"))
+            .otherwise(0.0), 4) + 0.0).as("dup_2gram_frac"))),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)),
@@ -446,6 +465,34 @@ object Pipeline {
           FROM documents""",
     "q_quality_score" ->
       s"""SELECT doc_id, quality FROM ($ScoredDocsSql)""",
+    // repetition signals: DuckDB computes them the relational way
+    // (unnest + group) — same numbers, different plan class; tokens
+    // contain no whitespace, so the space-joined 2-gram is unambiguous
+    "q_repetition_2gram" ->
+      s"""WITH t0 AS (SELECT doc_id, $TokSql AS t FROM documents),
+          uni AS (
+            SELECT doc_id, CAST(sum(c) AS INT) AS n, max(c) AS top1 FROM (
+              SELECT doc_id, word, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS word FROM t0)
+              GROUP BY doc_id, word)
+            GROUP BY doc_id),
+          gr AS (
+            SELECT doc_id, count(*) AS n2,
+                   count(*) - count(DISTINCT g) AS dup2 FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM t0)
+            GROUP BY doc_id)
+          SELECT t0.doc_id,
+            CAST(coalesce(uni.n, 0) AS INT) AS n_words,
+            round(CASE WHEN coalesce(uni.n, 0) > 0
+                  THEN uni.top1 / CAST(uni.n AS DOUBLE) ELSE 0 END, 4) + 0.0
+              AS top_unigram_frac,
+            round(CASE WHEN coalesce(gr.n2, 0) > 0
+                  THEN gr.dup2 / CAST(gr.n2 AS DOUBLE) ELSE 0 END, 4) + 0.0
+              AS dup_2gram_frac
+          FROM t0 LEFT JOIN uni USING (doc_id) LEFT JOIN gr USING (doc_id)""",
     // quality-ordered token budget: the BEST documents fill each
     // language's budget first; the 4dp-rounded score is bit-identical
     // in both engines, so the cut order is deterministic
@@ -472,10 +519,12 @@ object Pipeline {
           FROM (SELECT doc_id, $hitCols FROM documents)"""
     },
     "q_dedup_jaccard" -> JaccardPairsSql,
-    // replicates Dedup.cosinePairsLsh exactly: sign-pattern band buckets
-    // are pure comparisons (no float arithmetic), so both engines build
-    // identical candidate sets — including the mega-bucket cap
-    // (capBuckets maxBucketSize=100000) and the auto-derived band width
+    // replicates Dedup.cosinePairsLsh exactly: sign-bit band buckets
+    // are pure comparisons + integer packing (no float arithmetic), so
+    // both engines build identical candidate sets — the sum-of-powers
+    // form below equals Spark's acc*2+bit left fold for a fixed band
+    // width — including the mega-bucket cap (capBuckets
+    // maxBucketSize=100000) and the auto-derived band width
     // (Dedup.autoBitsPerBand): `length(bin((n + 63) // 64 - 1))` is the
     // same integer bitLength Spark computes via numberOfLeadingZeros,
     // so no float log2 can desync the engines at a power-of-two corpus.
@@ -487,9 +536,9 @@ object Pipeline {
          bd AS (SELECT unnest(range(0, $bands)) AS band),
          banded AS (
            SELECT e.vec_id AS id, bd.band AS band,
-                  array_to_string(list_transform(range(0, p.bits),
+                  list_sum(list_transform(range(0, p.bits),
                     i -> CASE WHEN e.embedding[bd.band * p.bits + i + 1] >= 0
-                         THEN '1' ELSE '0' END), '') AS bucket
+                         THEN (CAST(1 AS BIGINT) << (p.bits - 1 - i)) ELSE 0 END)) AS bucket
            FROM embeddings e, p, bd),
          capped AS (
            SELECT id, band, bucket FROM (

@@ -545,6 +545,36 @@ object Relational {
               lit(0.0))), 4) + 0.0).as("ewm_std"))
     }),
 
+    // time-decayed ewm (polars ewm_mean_by, adjust=true window-sum
+    // form): weights 0.5^(Δt/1d) over exact integer µs epochs
+    // relativized to each group's min — exponents stay ≤ the 29-day
+    // event span, so pow can't overflow in the bounded check; unbounded
+    // series use the GDataset.ewmMeanBy recurrence
+    "q_ewm_by" -> ((s, dir) => {
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("u", pow(lit(0.5),
+          -((us - min(us).over(wAll)) / lit(86400000000.0))))
+        .withColumn("a1", sum(col("value") * col("u")).over(wRun))
+        .withColumn("a0", sum(col("u")).over(wRun))
+        .select(col("user_id"), col("event_id"),
+          (round(col("a1") / col("a0"), 4) + 0.0).as("ewm_by"))
+    }),
+
+    // dt.round (polars round-to-duration, half up): pure integer µs
+    // arithmetic — add half the bucket, floor-divide, scale back — so
+    // both engines land identical µs instants, no float boundary
+    "q_dt_round" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"),
+          expr("((us + 450000000) div 900000000) * 900000000").as("r15m_us"),
+          expr("((us + 1800000000) div 3600000000) * 3600000000").as("r1h_us"))),
+
     // approximate namespace — the sketches that replace exact
     // distinct/quantile at 100 TB (HyperLogLog++, KLL-style quantile):
     // constant memory per group vs O(distinct) / O(n). Rows-only:
@@ -1298,6 +1328,27 @@ object Relational {
              FROM events)
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""",
+    "q_ewm_by" ->
+      """SELECT user_id, event_id, round(a1 / a0, 4) + 0.0 AS ewm_by
+         FROM (
+           SELECT user_id, event_id,
+             sum(value * u) OVER w AS a1,
+             sum(u) OVER w AS a0
+           FROM (
+             SELECT user_id, event_id, ts, value,
+               pow(0.5, -((epoch_us(CAST(ts AS TIMESTAMP))
+                 - min(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id)) / 86400000000.0)) AS u
+             FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""",
+    "q_dt_round" ->
+      """SELECT event_id,
+         ((epoch_us(CAST(ts AS TIMESTAMP)) + 450000000) // 900000000)
+           * 900000000 AS r15m_us,
+         ((epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000) // 3600000000)
+           * 3600000000 AS r1h_us
+         FROM events""",
     "q_range_join" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice
          FROM lineitem l JOIN part p

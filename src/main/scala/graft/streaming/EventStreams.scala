@@ -168,6 +168,20 @@ object EventStreams {
         col("l.ts").as("l_ts"), col("r.ts").as("r_ts"))
   }
 
+  /** Merge two ts-sorted lists, state side first on ties — the same
+    * order the previous stable concat-then-sort produced. */
+  private def mergeByTs(
+      a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] = {
+    val out = List.newBuilder[(Long, Double)]
+    var (x, y) = (a, b)
+    while (x.nonEmpty && y.nonEmpty) {
+      if (x.head._1 <= y.head._1) { out += x.head; x = x.tail }
+      else { out += y.head; y = y.tail }
+    }
+    out ++= x; out ++= y
+    out.result()
+  }
+
   final case class AsOfEvent(key: Long, ts: java.sql.Timestamp, v: Double)
   final case class AsOfUnion(key: Long, ts: java.sql.Timestamp, isRef: Boolean, v: Double)
   final case class AsOfEnrichState(
@@ -209,9 +223,12 @@ object EventStreams {
         (key: Long, rows: Iterator[AsOfUnion], state: GroupState[AsOfEnrichState]) => {
           val (refRows, factRows) = rows.toList.partition(_.isRef)
           val st = state.getOption.getOrElse(AsOfEnrichState(Nil, Nil))
-          val refsAll = (st.refs ++ refRows.map(e => (e.ts.getTime, e.v)))
-            .sortBy(_._1)
-          val pendingAll = st.pending ++ factRows.map(e => (e.ts.getTime, e.v))
+          // state lists are kept ts-sorted as an invariant (partition/
+          // filter below preserve order), so each micro-batch sorts only
+          // its OWN rows and merge-inserts them — O(batch log batch +
+          // buffer) per key per batch, not O(buffer log buffer)
+          val refsAll = mergeByTs(st.refs, refRows.map(e => (e.ts.getTime, e.v)).sortBy(_._1))
+          val pendingAll = mergeByTs(st.pending, factRows.map(e => (e.ts.getTime, e.v)).sortBy(_._1))
           val wm = state.getCurrentWatermarkMs()
           // Strictly below: Spark's late-data filter drops input only
           // STRICTLY below the watermark, so a ref with ts == wm can
@@ -219,7 +236,7 @@ object EventStreams {
           // buffered until the watermark passes it or that ref would
           // miss a same-ts as-of match it is entitled to win.
           val (emit, keep) = pendingAll.partition(_._1 < wm)
-          val out = emit.sortBy(_._1).map { case (t, v) =>
+          val out = emit.map { case (t, v) =>
             val m = refsAll.takeWhile(_._1 <= t).lastOption
             AsOfEnriched(key, new java.sql.Timestamp(t), v, m.map(_._2))
           }

@@ -177,6 +177,31 @@ class InterpolationSpec extends SparkSpec {
     assert(cv(0).isNaN && cv(1) == 0.0 && cv(2) == 0.0)
   }
 
+  test("ewmMeanBy decays by elapsed index distance, both adjust modes") {
+    import spark.implicits._
+    // irregular spacing: x = 0, 1, 3 with half-life 1
+    val df = Seq((1L, 0.0, 1.0), (1L, 1.0, 2.0), (1L, 3.0, 3.0)).toDF("k", "x", "v")
+    val ds = GDataset(df, "x", Seq("k"))
+    val adj = ds.ewmMeanBy(halfLife = 1.0).df.orderBy("x")
+      .collect().map(_.getDouble(2))
+    // closed form at x=3: (0.125·1 + 0.25·2 + 1·3) / 1.375
+    val expectAdj = Seq(1.0, 2.5 / 1.5, 3.625 / 1.375)
+    adj.zip(expectAdj).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g vs $e") }
+    val rec = ds.ewmMeanBy(halfLife = 1.0, adjust = false).df.orderBy("x")
+      .collect().map(_.getDouble(2))
+    val expectRec = Seq(1.0, 1.5, 2.625) // y = (1-0.5^Δ)·x + 0.5^Δ·y
+    rec.zip(expectRec).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g vs $e") }
+    // a null value: weights don't advance, the prior mean carries
+    val withNull = Seq((1L, 0.0, Some(1.0)), (1L, 1.0, None), (1L, 2.0, Some(2.0)))
+      .toDF("k", "x", "v")
+    val nv = GDataset(withNull, "x", Seq("k")).ewmMeanBy(halfLife = 1.0).df
+      .orderBy("x").collect().map(_.getDouble(2))
+    assert(nv(1) == 1.0, "null row carries the prior mean")
+    assert(math.abs(nv(2) - 2.25 / 1.25) < 1e-12, "decay spans the skipped row")
+  }
+
   test("events (user_id, ts) is unique — the q_dft oracle precondition") {
     // GDataset.dft collapses duplicate index values per group (keeps the
     // last observation) while the DuckDB trig-sum oracle enumerates all

@@ -64,6 +64,30 @@ class TextDedupSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("RepetitionStats counts unigram and 2-gram repetition exactly") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // janino compile errors fail the job
+    try {
+      val df = Seq(
+        (1L, "a b a b a"),     // top a×3/5; grams: a·b, b·a, a·b, b·a → 2 dups of 4
+        (2L, ""),              // empty: all zeros
+        (3L, "x"),             // one word, no grams
+        (4L, "é  é\nq") // unicode + multi-space/newline splits
+      ).toDF("doc_id", "text")
+      val rows = df.select(col("doc_id"),
+          graft.plans.TextHashColumns.repetitionStats(col("text")).as("r"))
+        .orderBy("doc_id").collect()
+        .map(r => r.getStruct(1))
+        .map(s => (s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3)))
+      assert(rows(0) == ((5, 3, 4, 2)))
+      assert(rows(1) == ((0, 0, 0, 0)))
+      assert(rows(2) == ((1, 1, 0, 0)))
+      assert(rows(3) == ((3, 2, 2, 0)))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("unicode-normalized exact dedup collides composed and decomposed spellings") {
     import spark.implicits._
     import graft.operators.Dedup
