@@ -83,6 +83,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"BPE counting shuffles:\n$p")
   }
 
+  test("q_repetition_2gram and q_dt_round stay scan-local — zero exchanges") {
+    // the native repetition kernel and integer dt.round are projections;
+    // any exchange means token text started shuffling (the thing the
+    // kernel exists to prevent)
+    for (q <- Seq("q_repetition_2gram", "q_dt_round")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("sign-LSH bucket shuffles carry long buckets, not 0/1 strings") {
+    // signBanded packs each band's sign bits into a long: the bucket
+    // exchange schema must show bucket as bigint (8 bytes/row), never a
+    // string pattern column
+    // attributes print as bucket#NL (long) vs bucket#N (string)
+    val p = planOf("q_dedup_cosine")
+    val refs = """bucket#\d+(L?)""".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(refs.nonEmpty, "no bucket column in the plan")
+    assert(refs.forall(_ == "L"), "bucket column is still a string")
+  }
+
   test("q_dedup_incremental never force-broadcasts the index anti-join") {
     // the index grows with the CORPUS (one row per distinct hash) — a
     // broadcast hint on it OOMs the driver at 100 TB; AQE may still
