@@ -1026,6 +1026,46 @@ object Relational {
         round(stddev_samp(col("value")).over(w), 4).as("rstd"))
     }),
 
+    // rolling skewness (polars rolling_skew, population moments): the
+    // three power sums over the same 7-row frame in both engines; null
+    // until the window is full (polars min_periods) or on zero variance
+    "q_rolling_skew" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      val n = count(lit(1)).over(w)
+      val mu = sum(col("value")).over(w) / lit(7.0)
+      val e2 = sum(col("value") * col("value")).over(w) / lit(7.0)
+      val e3 = sum(col("value") * col("value") * col("value")).over(w) / lit(7.0)
+      val m2 = e2 - mu * mu
+      val m3 = e3 - lit(3.0) * mu * e2 + lit(2.0) * mu * mu * mu
+      t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        when(n === 7 && m2 > 0,
+          round(m3 / pow(m2, 1.5), 4) + 0.0).as("rskew"))
+    }),
+
+    // conditional aggregation (polars col().filter() inside agg, SQL
+    // FILTER clause): per-predicate partial aggregates in one groupBy
+    // pass — no self-joins, no second scan
+    "q_agg_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, col("l_quantity")))
+            .cast("long").as("qty_discounted"),
+          count(when(col("l_tax") > 0.04, lit(1))).as("n_taxed"),
+          (round(avg(when(col("l_linestatus") === "F", col("l_extendedprice"))), 4) + 0.0)
+            .as("avg_f_price"))),
+
+    // str.extract_all (every regex match as a list): long lowercase
+    // runs per document, joined for the oracle; count + first matches
+    "q_str_extract_all" -> ((s, dir) => {
+      val ms = regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(ms).as("n_matches"),
+        concat_ws("|", slice(ms, 1, 5)).as("first5"))
+    }),
+
     // cume_dist over a tied ordering — exact rational p/n in both
     // engines, no rounding needed
     "q_cume_dist" -> ((s, dir) => {
@@ -1342,6 +1382,35 @@ object Relational {
              FROM events)
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""",
+    "q_rolling_skew" ->
+      """SELECT user_id, event_id,
+         CASE WHEN n = 7 AND (e2 - mu*mu) > 0
+           THEN round((e3 - 3.0*mu*e2 + 2.0*mu*mu*mu)
+                      / pow(e2 - mu*mu, 1.5), 4) + 0.0
+         END AS rskew
+         FROM (
+           SELECT user_id, event_id,
+             count(*) OVER w AS n,
+             sum(value) OVER w / 7.0 AS mu,
+             sum(value*value) OVER w / 7.0 AS e2,
+             sum(value*value*value) OVER w / 7.0 AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""",
+    "q_agg_filter" ->
+      """SELECT l_returnflag,
+         CAST(sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS BIGINT)
+           AS qty_discounted,
+         count(*) FILTER (WHERE l_tax > 0.04) AS n_taxed,
+         round(avg(l_extendedprice) FILTER (WHERE l_linestatus = 'F'), 4) + 0.0
+           AS avg_f_price
+         FROM lineitem GROUP BY l_returnflag""",
+    "q_str_extract_all" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z]{5,}')) AS n_matches,
+         coalesce(array_to_string(regexp_extract_all(text, '[a-z]{5,}')[1:5], '|'), '')
+           AS first5
+         FROM documents""",
     "q_dt_round" ->
       """SELECT event_id,
          ((epoch_us(CAST(ts AS TIMESTAMP)) + 450000000) // 900000000)
