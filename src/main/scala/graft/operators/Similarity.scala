@@ -153,7 +153,28 @@ object Similarity {
       nProbe: Int = 6,
       trainSample: Int = 2048,
       iters: Int = 10): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nLists)
+    val (assigned, cents) = ivfBuild(corpus, idCol, vecCol, nLists, trainSample, iters)
+    ivfTopKIndexed(assigned, cents, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Train the IVF index ONCE: spherical k-means centroids from a
+    * deterministic corpus sample, plus every corpus vector assigned to
+    * its argmax cell. Returns (assigned = (cid, cv, cell), centroids =
+    * (cell, centroid)) — BOTH plain DataFrames, so the index persists
+    * as two parquet tables and [[ivfTopKIndexed]] probes it without
+    * ever re-training or re-scanning the corpus. At 100 TB: write
+    * `assigned` partitioned (or bucketed) by `cell` so an nProbe query
+    * reads nProbe/nLists of the files; append new batches with
+    * [[ivfAssign]] against the SAME stored centroids — the index grows
+    * incrementally like the dedup signature indexes, and re-training is
+    * an explicit, rare rebuild decision. */
+  def ivfBuild(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      trainSample: Int = 2048,
+      iters: Int = 10): (DataFrame, DataFrame) = {
     // deterministic pseudo-random sample: top-N by id hash is a
     // TakeOrderedAndProject (per-partition partial top-N + merge), not
     // a global sort of the corpus
@@ -164,27 +185,58 @@ object Similarity {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     val centArr = KMeans.spherical(sample, nLists, iters)
-    val nCells = centArr.length // < nLists when the sample is tiny
+    import corpus.sparkSession.implicits._
+    val centDf = centArr.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    (ivfAssign(corpus, idCol, vecCol, centArr), centDf)
+  }
+
+  /** Assign vectors to their argmax-cosine cell against FIXED centroids
+    * — the append path of a persisted IVF index: new batches join the
+    * stored `assigned` table without touching historical vectors. */
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
     // nested Lists, not the Array-backed Seq map() returns — Catalyst's
     // literal converter rejects Array[Seq[_]] backing stores
-    val cents = typedlit(centArr.map(_.toList).toList)
-
-    def cellDots(v: Column): Column =
-      transform(cents, c => graft.plans.VectorColumns.cosine(v, c))
-
-    // corpus: argmax cell only — dots computed once per row in a
-    // projection, the array never leaves the stage
-    val assigned = corpus
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), cellDots(col(vecCol)).as("__ds"))
+    val cents = typedlit(centroids.map(_.toList).toList)
+    // argmax cell only — dots computed once per row in a projection,
+    // the array never leaves the stage
+    df.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        transform(cents, c => graft.plans.VectorColumns.cosine(col(vecCol), c)).as("__ds"))
       .select(col("cid"), col("cv"),
         (array_position(col("__ds"), array_max(col("__ds"))) - 1).as("cell"))
+  }
+
+  /** Probe a persisted IVF index: nProbe best cells per query against
+    * the stored centroids (tiny — collected to the driver and inlined),
+    * then one broadcast join of the probes against the assigned table.
+    * The corpus side only streams; with `assigned` partitioned by cell,
+    * partition pruning drops (nLists − nProbe)/nLists of it unread. */
+  def ivfTopKIndexed(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 6): DataFrame = {
+    val centArr = centroids.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val nCells = centArr.length // < nLists when the train sample is tiny
+    require(nProbe >= 1, "nProbe must be positive")
+    val cents = typedlit(centArr.map(_.toList).toList)
 
     // queries: nProbe best cells via posexplode + row_number — the
     // query side is small by caller contract, so the window is free
     val wp = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell"))
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        posexplode(cellDots(col(vecCol))).as(Seq("cell", "d")))
+        posexplode(transform(cents, c => graft.plans.VectorColumns.cosine(col(vecCol), c)))
+          .as(Seq("cell", "d")))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= math.min(nProbe, nCells))
       .select(col("qid"), col("qv"), col("cell").cast("long").as("cell"))

@@ -1066,6 +1066,37 @@ object Relational {
         concat_ws("|", slice(ms, 1, 5)).as("first5"))
     }),
 
+    // transpose (polars df.transpose): legitimate ONLY on a small
+    // aggregated frame — metrics unpivot to rows, group keys pivot to
+    // columns. The aggregation is distributed; the transpose itself
+    // touches #metrics × #groups cells, never raw data
+    "q_transpose" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n"))
+      agg
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n")), "metric", "value")
+        .groupBy(col("metric"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(first(col("value")))
+    }),
+
+    // SQL face (the pl.SQLContext counterpart): the same engine surface
+    // through spark.sql text over registered views — proves every
+    // Catalyst path (join reorder, pushdown, partial agg) is reachable
+    // from SQL, not just the DataFrame DSL
+    "q_sql" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""SELECT c_mktsegment, count(*) AS n,
+                      round(sum(o_totalprice), 2) + 0.0 AS total
+               FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment""")
+    }),
+
     // cume_dist over a tied ordering — exact rational p/n in both
     // engines, no rounding needed
     "q_cume_dist" -> ((s, dir) => {
@@ -1382,6 +1413,27 @@ object Relational {
              FROM events)
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""",
+    "q_transpose" ->
+      """SELECT metric,
+         max(CASE WHEN l_returnflag = 'A' THEN v END) AS A,
+         max(CASE WHEN l_returnflag = 'N' THEN v END) AS N,
+         max(CASE WHEN l_returnflag = 'R' THEN v END) AS R
+         FROM (
+           SELECT l_returnflag, 'sum_qty' AS metric,
+                  round(sum(l_quantity), 2) AS v
+           FROM lineitem GROUP BY l_returnflag
+           UNION ALL
+           SELECT l_returnflag, 'sum_price', round(sum(l_extendedprice), 2)
+           FROM lineitem GROUP BY l_returnflag
+           UNION ALL
+           SELECT l_returnflag, 'n', CAST(count(*) AS DOUBLE)
+           FROM lineitem GROUP BY l_returnflag)
+         GROUP BY metric""",
+    "q_sql" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         round(sum(o_totalprice), 2) + 0.0 AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     "q_rolling_skew" ->
       """SELECT user_id, event_id,
          CASE WHEN n = 7 AND (e2 - mu*mu) > 0

@@ -137,6 +137,41 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact, "probing every cell must reproduce brute force")
   }
 
+  test("persisted IVF index round-trips and probes equal the in-memory path") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val (assigned, cents) = Similarity.ivfBuild(emb, "vec_id", "embedding")
+    // the production shape: index written as two parquet tables
+    // (assigned partitioned by cell for probe-side pruning) and read back
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet("/tmp/graft_ivf_assigned")
+    cents.write.mode("overwrite").parquet("/tmp/graft_ivf_cents")
+    val idxAssigned = spark.read.parquet("/tmp/graft_ivf_assigned")
+    val idxCents = spark.read.parquet("/tmp/graft_ivf_cents")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val indexed = asSet(Similarity.ivfTopKIndexed(
+      idxAssigned, idxCents, queries, "vec_id", "embedding", k = 5))
+    val adHoc = asSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5))
+    assert(indexed == adHoc,
+      "probing the persisted index must equal the train-and-query path")
+  }
+
+  test("ivfAssign appends a batch against stored centroids == one-shot assignment") {
+    val b1 = emb.filter(col("vec_id") < 250)
+    val b2 = emb.filter(col("vec_id") >= 250)
+    // centroids trained on the FIRST batch only, then frozen
+    val (assigned1, cents) = Similarity.ivfBuild(b1, "vec_id", "embedding")
+    val centArr = cents.orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    val incremental = assigned1.unionByName(
+        Similarity.ivfAssign(b2, "vec_id", "embedding", centArr))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val oneShot = Similarity.ivfAssign(emb, "vec_id", "embedding", centArr)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(incremental == oneShot,
+      "appending against frozen centroids must equal assigning the full corpus")
+  }
+
   test("cosinePairsLsh returns a subset of the exact pairs with identical scores") {
     import graft.operators.Dedup
     def asSet(df: org.apache.spark.sql.DataFrame) =
