@@ -137,6 +137,44 @@ object EventStreams {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** The full ingest shape for a growing deduplicated corpus, as one
+    * streaming sink: each micro-batch of documents is (1) banded
+    * against the persisted MinHash signature index for near-dup
+    * candidate pairs ([[graft.operators.Dedup.incrementalMinhashPairs]]
+    * — historical text never rescanned), (2) folded into the persisted
+    * duplicate-cluster labelling
+    * ([[graft.operators.DedupCluster.mergeComponents]] — iteration
+    * bounded by the batch, history touched by one remap join), and (3)
+    * appended to the signature index. State lives wherever
+    * `loadState`/`saveState` put it (parquet tables in production;
+    * checkpointed foreachBatch gives effectively-once batches, so make
+    * `saveState` an atomic overwrite keyed by batchId if duplicate
+    * re-delivery matters). Requires arrival-ordered ids (stream ids
+    * ascending past the index) — the same contract every incremental
+    * index documents. Batch reruns produce the identical labelling
+    * (spec: two micro-batches == one-shot clustering). */
+  def clusterMaintainingSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      loadState: () => (DataFrame, DataFrame),
+      saveState: (DataFrame, DataFrame) => Unit,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, DedupCluster}
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val (sigs, labels) = loadState()
+      val pairs = Dedup.incrementalMinhashPairs(
+        batch, sigs, idCol, textCol, shingleN, numHashes, bands, threshold)
+      val newLabels = DedupCluster.mergeComponents(labels, pairs)
+      val newSigs = sigs.unionByName(
+        Dedup.minhashSigs(batch, idCol, textCol, shingleN, numHashes))
+      saveState(newSigs, newLabels)
+    }.start()
+  }
+
   /** Stream-static enrichment: a broadcast left join against a batch
     * dimension table — stateless (no watermark needed), the dimension
     * ships to every task and each micro-batch joins map-side. The

@@ -129,6 +129,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cluster maintenance over micro-batches equals one-shot clustering") {
+    import spark.implicits._
+    val docs = Tables.t(spark, Sf, "documents")
+    val base = 1700000000000L
+    // state vars stand in for the production parquet tables;
+    // localCheckpoint truncates lineage like a parquet round-trip would
+    var sigs = graft.operators.Dedup.minhashSigs(docs.limit(0), "doc_id", "text")
+      .localCheckpoint()
+    var labels = sigs.select(col("id"), col("id").as("comp")).localCheckpoint()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IncDoc](spark)
+    val q = EventStreams.clusterMaintainingSink(
+      stream.toDS().toDF(), "doc_id", "text",
+      loadState = () => (sigs, labels),
+      saveState = (s, l) => { sigs = s.localCheckpoint(); labels = l.localCheckpoint() },
+      threshold = 0.5)
+    try {
+      def feed(df: org.apache.spark.sql.DataFrame): Unit = {
+        stream.addData(df.select("doc_id", "text").collect().map(r =>
+          IncDoc(r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)), r.getString(1))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(docs.filter(col("doc_id") < 250))   // micro-batch 1
+      feed(docs.filter(col("doc_id") >= 250))  // micro-batch 2
+      val streamed = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val oneShot = graft.operators.DedupCluster.connectedComponents(
+        graft.operators.Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == oneShot,
+        s"diff: ${(streamed.toSet -- oneShot.toSet).take(3)} vs ${(oneShot.toSet -- streamed.toSet).take(3)}")
+      assert(sigs.count() == docs.count(), "index must hold one signature per doc")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     import spark.implicits._
     val evs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
