@@ -107,4 +107,33 @@ class PropertySpec extends SparkSpec {
       .filter(col("s1") =!= col("s2")).count()
     assert(bad == 0)
   }
+
+  test("mergeComponents == one-shot clustering on random arrival-split graphs") {
+    import spark.implicits._
+    import graft.operators.DedupCluster
+    // nodes arrive in id order; history = edges fully below the cut,
+    // batch = edges whose later endpoint is past it — exactly the pair
+    // slices the incremental dedup indexes report
+    val rng = new scala.util.Random(7)
+    var trials = 0
+    while (trials < 4) {
+      val n = 30 + rng.nextInt(40)
+      val m = 20 + rng.nextInt(60)
+      val cut = n / 2
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val hist = edges.filter(e => e._1 < cut && e._2 < cut)
+      val batch = edges.filter(e => math.max(e._1, e._2) >= cut)
+      if (hist.nonEmpty && batch.nonEmpty) {
+        trials += 1
+        val labels1 = DedupCluster.connectedComponents(hist.toDF("id_a", "id_b"))
+        val merged = DedupCluster.mergeComponents(labels1, batch.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val oneShot = DedupCluster.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(merged == oneShot,
+          s"n=$n m=$m cut=$cut: ${(merged.toSet -- oneShot.toSet).take(3)} vs ${(oneShot.toSet -- merged.toSet).take(3)}")
+      }
+    }
+  }
 }
