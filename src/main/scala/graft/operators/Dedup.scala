@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.util.sketch.BloomFilter
 
-import graft.plans.TextHashColumns
+import graft.plans.{BloomColumns, TextHashColumns}
 
 /** Deduplication family for pretraining-scale corpora (SURVEY.md §2.3).
   * Every variant produces candidate pairs through a key-equality
@@ -346,6 +347,56 @@ object Dedup {
       containmentThreshold: Double = 0.5,
       maxShingleFreq: Int = 1000): DataFrame = {
     val flagged = crossJaccardPairs(corpus, probes, idCol, textCol,
+        shingleN, containmentThreshold, maxShingleFreq)
+      .select(col("id_c").as(idCol)).distinct()
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminate]] with a Bloom-sketch prefilter — the 100 TB
+    * shape. The exact path explodes EVERY corpus document into shingle
+    * rows and shuffles them into the probe join; at scale that is the
+    * whole corpus re-keyed for a reference set (a benchmark suite)
+    * that is many orders of magnitude smaller. Here the probe
+    * shingles' 64-bit hashes aggregate into one driver-side Bloom
+    * sketch (size bounded by the probe suite, `maxSketchBytes`-guarded)
+    * probed scan-side via [[graft.plans.BloomAnyContained]]: corpus
+    * docs sharing no probe shingle — at a real decontamination pass,
+    * nearly all of them — are dismissed inside the scan, and only
+    * survivors enter the exact confirm join.
+    *
+    * Output is BITWISE-identical to [[decontaminate]], not
+    * approximately so: Bloom filters have no false negatives, so every
+    * corpus doc containing a probe-set shingle survives the prefilter
+    * — which also keeps [[capBuckets]] frequencies of probe-set
+    * shingles exactly equal to their full-corpus values (every doc
+    * counted there passes the sketch), so cap decisions, candidate
+    * pairs, and containment scores all match the exact path. False
+    * positives only cost recheck work in the confirm join. */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      containmentThreshold: Double = 0.5,
+      maxShingleFreq: Int = 1000,
+      fpp: Double = 0.01,
+      maxSketchBytes: Long = 64L << 20): DataFrame = {
+    val pSh = probes
+      .select(explode(TextHashColumns.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    // two probe-side-only jobs, both bounded by the reference set: the
+    // distinct-shingle count sizes the sketch, the aggregate fills it
+    val nProbe = math.max(pSh.count(), 1L)
+    val bloomBytes = BloomFilter.optimalNumOfBits(nProbe, fpp) / 8
+    require(bloomBytes <= maxSketchBytes,
+      s"probe sketch would need $bloomBytes bytes for $nProbe shingles at fpp=$fpp " +
+        s"(max $maxSketchBytes) — decontaminateBloom expects a SMALL reference set; " +
+        "raise maxSketchBytes or fall back to decontaminate()")
+    val bf = pSh.stat.bloomFilter("sh", nProbe, fpp)
+    val pre = corpus.filter(
+      BloomColumns.anyContained(TextHashColumns.shingleHashes(col(textCol), shingleN), bf))
+    val flagged = crossJaccardPairs(pre, probes, idCol, textCol,
         shingleN, containmentThreshold, maxShingleFreq)
       .select(col("id_c").as(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")

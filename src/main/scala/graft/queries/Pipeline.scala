@@ -213,6 +213,18 @@ object Pipeline {
         "doc_id", "text", shingleN = 5, containmentThreshold = 0.2)
     }),
 
+    // decontamination at 100 TB: probe shingles → driver Bloom sketch →
+    // scan-side prefilter → exact confirm on survivors only. Output =
+    // the surviving corpus, bitwise-equal to the non-prefiltered path.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"), col("lang")),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", shingleN = 5, containmentThreshold = 0.2)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // PII masking: emails / IPv4 / phone spans replaced before training
     "q_redact" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -631,6 +643,33 @@ object Pipeline {
            JOIN sizes nc ON id_c = nc.doc_id
            JOIN sizes np ON id_p = np.doc_id)
          WHERE containment >= 0.2""",
+    // same flagged set as q_decontaminate, anti-joined back onto the
+    // corpus half (NOT EXISTS: null-safe anti-join semantics)
+    "q_decontaminate_bloom" ->
+      s"""WITH toks AS (
+           SELECT doc_id, $TokSql AS tk
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i) t),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         capped_c AS (
+           SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS f
+             FROM sh WHERE doc_id >= 50)
+           WHERE f <= 1000),
+         inter AS (
+           SELECT c.doc_id AS id_c, p.doc_id AS id_p, count(*) AS i
+           FROM capped_c c JOIN sh p ON c.s = p.s AND p.doc_id < 50
+           GROUP BY 1, 2),
+         flagged AS (
+           SELECT DISTINCT id_c FROM (
+             SELECT id_c, round(i * 1.0 / np.n, 4) AS containment
+             FROM inter JOIN sizes np ON id_p = np.doc_id)
+           WHERE containment >= 0.2)
+         SELECT d.doc_id, d.lang FROM documents d
+         WHERE d.doc_id >= 50
+           AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.id_c = d.doc_id)""",
     // backslashes interpolate raw: DuckDB single-quoted strings have no
     // escape processing, so RE2 sees the same pattern Java does
     "q_redact" ->

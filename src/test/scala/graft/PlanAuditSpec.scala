@@ -199,6 +199,30 @@ class PlanAuditSpec extends SparkSpec {
       "per-group clip edges must broadcast back onto the fact table")
   }
 
+  test("q_decontaminate_bloom: scan-side sketch probe, zero added exchanges") {
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, Sf, "documents")
+    val corpus = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val probes = docs.filter(col("doc_id") < 50)
+    def exchanges(p: String) = """\(\d+\) Exchange""".r.findAllIn(p).size
+    val bloomPlan = Dedup.decontaminateBloom(corpus, probes, "doc_id", "text",
+        shingleN = 5, containmentThreshold = 0.2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the sketch probe is a plain Filter expression — present in the
+    // plan, adding NO join, broadcast, or shuffle: exchange count must
+    // equal the exact path's
+    assert(bloomPlan.toLowerCase.contains("bloomanycontained"),
+      "Bloom prefilter optimized away or not planned as a Filter")
+    assert(!bloomPlan.contains("BroadcastNestedLoopJoin"),
+      "sketch probe must not plan as a join")
+    val exactPlan = Dedup.decontaminate(corpus, probes, "doc_id", "text",
+        shingleN = 5, containmentThreshold = 0.2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(exchanges(bloomPlan) == exchanges(exactPlan),
+      s"prefilter added exchanges: bloom=${exchanges(bloomPlan)} exact=${exchanges(exactPlan)}")
+  }
+
   test("q_curate pipelines its stages through exactly two exchanges") {
     // quality gate is scan-local; exact dedup shuffles once on the
     // constant-width content hash; the budget shuffles once on the

@@ -250,6 +250,60 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(101L))
   }
 
+  test("decontaminateBloom output is bitwise-equal to decontaminate") {
+    val corpus = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val probes = docs.filter(col("doc_id") < 50)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val exact = rows(Dedup.decontaminate(corpus, probes, "doc_id", "text",
+      shingleN = 5, containmentThreshold = 0.2))
+    val bloom = rows(Dedup.decontaminateBloom(corpus, probes, "doc_id", "text",
+      shingleN = 5, containmentThreshold = 0.2))
+    assert(exact.nonEmpty)
+    assert(bloom == exact,
+      s"bloom path diverged: only-exact=${exact -- bloom}, only-bloom=${bloom -- exact}")
+  }
+
+  test("Bloom prefilter: no false negatives, prunes disjoint docs, guard fires") {
+    import spark.implicits._
+    import graft.plans.{BloomColumns, TextHashColumns}
+    val probes = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    val contaminated = (900L,
+      "prefix words then alpha beta gamma delta epsilon zeta and more after")
+    // 100 docs sharing no 5-gram with any probe — each gets unique tokens
+    val clean = (0 until 100).map(i =>
+      (1000L + i, s"unrelated${i} body${i} tokens${i} carry${i} nothing${i} shared${i} at${i} all${i}"))
+    val corpus = (clean :+ contaminated).toDF("doc_id", "text")
+    val pSh = probes
+      .select(explode(TextHashColumns.shingleHashes(col("text"), 5)).as("sh")).distinct()
+    val bf = pSh.stat.bloomFilter("sh", math.max(pSh.count(), 1L), 0.01)
+    // codegen.fallback=false: a janino compile error in the native
+    // expression now fails the job instead of silently interpreting
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    val passed =
+      try corpus
+        .filter(BloomColumns.anyContained(TextHashColumns.shingleHashes(col("text"), 5), bf))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      finally spark.conf.set(key, prev)
+    assert(passed.contains(900L), "Bloom prefilter dropped a true positive (false negative)")
+    // the sketch is deterministic for a given probe set, so the pruned
+    // fraction is stable run-to-run; at fpp=0.01 with ~5 shingles/doc,
+    // ~95% of disjoint docs prune — half is a generous floor
+    assert(passed.size <= 51, s"prefilter kept ${passed.size}/101 docs — not selective")
+    // size guard: a sketch bigger than the cap must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.decontaminateBloom(corpus, probes, "doc_id", "text", maxSketchBytes = 1L)
+    }
+    assert(e.getMessage.contains("sketch"))
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other")).toDF("doc_id", "text")
