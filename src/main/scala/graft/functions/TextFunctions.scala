@@ -173,6 +173,15 @@ object TextFunctions {
     round((lenScore + punctScore + stopScore) / lit(3.0), 4)
   }
 
+  /** Compression-ratio repetitiveness signal (RefinedWeb/MassiveText
+    * recipe): DEFLATE bytes / raw UTF-8 bytes, scan-local native
+    * kernel. Natural prose lands ~0.4-0.7; looped boilerplate and
+    * template spam compress well below that; near-random strings sit
+    * near (or above) 1. Language- and tokenizer-free, so it catches
+    * repetition the token-based signals miss in unsegmented scripts. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    graft.plans.CompressColumns.deflateRatio(text, level)
+
   /** Fraction of characters that are neither alphanumeric nor
     * whitespace — the "symbol soup" signal of boilerplate/markup. */
   def symbolRatio(text: Column): Column =

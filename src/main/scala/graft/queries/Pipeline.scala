@@ -73,6 +73,13 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"), TF.qualityScore(col("text")).as("quality"))),
 
+    // compression-ratio repetitiveness signal — rows-only by design:
+    // DuckDB has no DEFLATE function, so the exact ratios have no SQL
+    // oracle; monotonicity and determinism are spec-pinned instead
+    "q_compress" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), round(TF.compressionRatio(col("text")), 4).as("compress_ratio"))),
+
     // word-2-GRAM repetition + top-unigram fraction via the native
     // one-pass RepetitionStats kernel: scan-local, zero shuffle — the
     // 2-gram complement of q_repetition's unigram signals, whose

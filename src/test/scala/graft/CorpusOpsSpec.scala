@@ -128,6 +128,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(n.length == 2 && n.forall(_.getLong(1) >= 0))
   }
 
+  test("compressionRatio orders repetitive < natural < near-random; edges pinned") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val loop = "buy now click here " * 60
+    val prose = "the quiet library holds thousands of unrelated stories, " +
+      "each shelf mixing history with mathematics, poetry with engineering, " +
+      "and travel journals with weathered atlases from distant coastlines"
+    // full printable-ASCII PRNG text (~6.5 bits/char, vs hex's 4):
+    // practically incompressible; java.util.Random is seed-stable
+    val rnd = new java.util.Random(42)
+    val noise = Array.fill(600)((33 + rnd.nextInt(94)).toChar).mkString
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false") // janino errors fail the job
+    val out =
+      try Seq((1L, loop), (2L, prose), (3L, noise), (4L, ""), (5L, null))
+        .toDF("id", "text")
+        .select(col("id"), TF.compressionRatio(col("text")).as("r"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))).toMap
+      finally spark.conf.set(key, prev)
+    assert(out(1).doubleValue < 0.2, s"looped boilerplate should crush: ${out(1)}")
+    assert(out(1).doubleValue < out(2).doubleValue && out(2).doubleValue < out(3).doubleValue,
+      s"expected loop < prose < noise, got $out")
+    assert(out(4).doubleValue == 1.0, "empty text scores 1.0")
+    assert(out(5) == null, "null text stays null")
+    // DEFLATE is deterministic for a given input + level: same call,
+    // same ratio (the rows-only q_compress relies on this)
+    val again = Seq((2L, prose)).toDF("id", "text")
+      .select(TF.compressionRatio(col("text"))).head().getDouble(0)
+    assert(again == out(2).doubleValue)
+  }
+
   test("redactPii masks emails, IPs, and phone numbers but not clean text") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
