@@ -70,6 +70,35 @@ object Sampling {
     df.filter(hexBucket(key) < threshold)
   }
 
+  /** Train/test split that near-duplicates cannot straddle: each doc's
+    * side is decided by hashing its duplicate-CLUSTER representative
+    * (`clusters` = (id, comp) labels from
+    * [[graft.operators.DedupCluster.connectedComponents]]; docs in no
+    * cluster are their own singleton), so a benchmark-contaminating
+    * near-dup of a test doc can never leak into train — the split
+    * integrity step after near-dup detection in a training pipeline.
+    * `testSixteenths`/16 of hash space lands in "test".
+    *
+    * 100 TB shape: one equi-join of the corpus against the (tiny
+    * relative to corpus) cluster-label table, then a scan-side md5
+    * bucket — the same pure-function-of-key determinism as
+    * [[hashSample]], reproducible on any cluster at any scale. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      testSixteenths: Int): DataFrame = {
+    require(testSixteenths >= 1 && testSixteenths <= 15,
+      "testSixteenths must be in [1, 15] — both sides must be non-empty hash ranges")
+    requireHashableKey(docs, col(idCol))
+    val lbl = clusters.select(col("id").as(idCol), col("comp").as("__comp"))
+    docs.join(lbl, Seq(idCol), "left")
+      .withColumn("split",
+        when(hexBucket(coalesce(col("__comp"), col(idCol))) < lit(testSixteenths.toHexString),
+          lit("test")).otherwise(lit("train")))
+      .drop("__comp")
+  }
+
   /** Keep rows per stratum until a cumulative `weight` budget is hit,
     * in `order` within the stratum — the token-budget corpus balancer
     * ("at most N tokens per language"). One stratum-key shuffle, one

@@ -257,6 +257,17 @@ object Pipeline {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 5, threshold = 0.5))),
 
+    // split integrity: near-dup clusters never straddle train/test —
+    // the side is a hash of the duplicate-cluster representative
+    "q_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = DedupCluster.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 5, threshold = 0.5))
+      graft.operators.Sampling.leakageSafeSplit(docs, "doc_id", clusters,
+          testSixteenths = 4)
+        .select(col("doc_id"), col("split"))
+    }),
+
     // corpus rebalancing: down-sample the dominant language, keep the
     // tail whole — deterministic hash sample, no shuffle
     "q_sample_stratified" -> ((s, dir) =>
@@ -731,6 +742,25 @@ object Pipeline {
            UNION
            SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
          SELECT id, min(lbl) AS comp FROM reach GROUP BY id""",
+    // same component labels, then the split = md5 bucket of the
+    // cluster representative (singletons hash their own id)
+    "q_split_safe" ->
+      s"""WITH RECURSIVE
+         jp AS ($JaccardPairsSql),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM jp
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM jp),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS lbl FROM nodes
+           UNION
+           SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         comps AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+         SELECT d.doc_id,
+                CASE WHEN substr(md5(CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)), 1, 1) < '4'
+                     THEN 'test' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN comps c ON d.doc_id = c.id""",
     // same md5-hex-bucket predicate as the Spark side; the rate-16
     // stratum uses the 'g' sentinel (sorts after every hex digit)
     "q_sample_stratified" ->

@@ -29,6 +29,35 @@ class SamplingSpec extends SparkSpec {
     assert(once.nonEmpty && once.size < 500, "4/16 rate should keep a strict subset")
   }
 
+  test("leakageSafeSplit: cluster members share a side, singletons split both ways") {
+    import spark.implicits._
+    // ids 1..400; clusters {1,2,3} and {10,11} — every member must land
+    // on its representative's side, all other docs split by own id
+    val docs = (1L to 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", clusters, testSixteenths = 4)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 400, "split preserves every doc exactly once")
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, "cluster {1,2,3} straddled the split")
+    assert(Set(out(10L), out(11L)).size == 1, "cluster {10,11} straddled the split")
+    val sides = out.values.toSet
+    assert(sides == Set("train", "test"), s"expected both sides non-empty, got $sides")
+    // ~4/16 of hash space lands in test
+    val testN = out.values.count(_ == "test")
+    assert(testN > 40 && testN < 160, s"test fraction implausible: $testN/400")
+    // reproducible: same inputs, same split
+    val again = Sampling.leakageSafeSplit(docs.repartition(7), "doc_id", clusters, 4)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+    // degenerate fractions are rejected loudly
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplit(docs, "doc_id", clusters, 0))
+    intercept[IllegalArgumentException](
+      Sampling.leakageSafeSplit(docs, "doc_id", clusters, 16))
+  }
+
   test("budgetPerStratum keeps a prefix per stratum within the budget") {
     import spark.implicits._
     val df = Seq(
