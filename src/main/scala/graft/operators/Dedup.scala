@@ -468,6 +468,52 @@ object Dedup {
         col("span_start"), col("span_end"), col("span_tokens"))
   }
 
+  /** Corpus-wide exact line/paragraph dedup (the CCNet recipe's
+    * line-dedup pass): every `sep`-delimited unit of at least
+    * `minUnitChars` characters that occurs more than once ACROSS the
+    * corpus is removed everywhere except its first occurrence
+    * (lowest (id, position)); shorter units — headers, blanks,
+    * list markers — are structural and never touched. Complements
+    * [[duplicateSpans]]: spans catch shingle RUNS shared between two
+    * docs; this catches one exact unit repeated thousands of times
+    * corpus-wide (cookie banners, nav text) in a single pass.
+    *
+    * 100 TB shape, same contract as [[duplicateSpans]]: units hash to
+    * 8-byte keys scan-side, the first-occurrence agg and the
+    * drop-position list shuffle (id, pos, hash) ints only, and the
+    * rewrite applies the per-doc sorted drop list back inside the scan
+    * via a positional HOF filter — unit TEXT never enters an exchange
+    * (plan-pinned in PlanAuditSpec). */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minUnitChars: Int = 15): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val units = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), sepLit, -1)).as(Seq("pos", "u")))
+    val h = units.filter(length(col("u")) >= minUnitChars)
+      .select(col("id"), col("pos"), xxhash64(col("u")).as("uh"))
+    val firsts = h.groupBy(col("uh"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__cnt") > 1)
+    val drops = h.join(firsts, Seq("uh"))
+      .filter(!(col("id") === col("__first.id") && col("pos") === col("__first.pos")))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
+    docs.join(drops, docs(idCol) === drops("id"), "left")
+      .withColumn(textCol,
+        when(col("__drop_pos").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(split(col(textCol), sepLit, -1),
+              (_, i) => !array_contains(col("__drop_pos"), i)),
+            sep)))
+      .drop("id", "__drop_pos")
+  }
+
   /** Cut [[duplicateSpans]] ranges out of the text verbatim: each doc's
     * spans are collected (sorted, overlap-tolerant via a monotonic
     * cursor) and the survivors of the character ranges concatenated —

@@ -220,6 +220,14 @@ object Pipeline {
         "doc_id", "text", shingleN = 5, containmentThreshold = 0.2)
     }),
 
+    // CCNet-style corpus-wide unit dedup: every sentence unit ≥15 chars
+    // that repeats across the corpus is cut everywhere but its first
+    // occurrence; the synthetic docs are single-line, so the unit is
+    // the ". "-delimited sentence
+    "q_dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLines(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", sep = ". ", minUnitChars = 15)),
+
     // decontamination at 100 TB: probe shingles → driver Bloom sketch →
     // scan-side prefilter → exact confirm on survivors only. Output =
     // the surviving corpus, bitwise-equal to the non-prefiltered path.
@@ -661,6 +669,31 @@ object Pipeline {
            JOIN sizes nc ON id_c = nc.doc_id
            JOIN sizes np ON id_p = np.doc_id)
          WHERE containment >= 0.2""",
+    // unit-dedup replica: windows over the exact unit string stand in
+    // for Spark's per-hash agg (identical up to xxhash64 collision);
+    // literal-separator split+join round-trips, so rebuilding every doc
+    // equals Spark's rebuild-only-changed-docs
+    "q_dedup_lines" ->
+      """WITH ls AS (
+           SELECT doc_id, string_split(text, '. ') AS us FROM documents),
+         u AS (
+           SELECT doc_id, i, us[i] AS u
+           FROM ls, LATERAL (SELECT unnest(range(1, len(us) + 1)) AS i) t),
+         flag AS (
+           SELECT doc_id, i, u,
+                  CASE WHEN length(u) >= 15
+                       THEN count(*) OVER (PARTITION BY u) END AS cnt,
+                  CASE WHEN length(u) >= 15
+                       THEN row_number() OVER (PARTITION BY u ORDER BY doc_id, i) END AS rn
+           FROM u),
+         kept AS (
+           SELECT doc_id, i, u FROM flag
+           WHERE cnt IS NULL OR cnt = 1 OR rn = 1),
+         reb AS (
+           SELECT doc_id, string_agg(u, '. ' ORDER BY i) AS text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(r.text, '') AS text
+         FROM documents d LEFT JOIN reb r USING (doc_id)""",
     // same flagged set as q_decontaminate, anti-joined back onto the
     // corpus half (NOT EXISTS: null-safe anti-join semantics)
     "q_decontaminate_bloom" ->

@@ -199,6 +199,26 @@ class PlanAuditSpec extends SparkSpec {
       "per-group clip edges must broadcast back onto the fact table")
   }
 
+  test("dedupLines exchanges carry unit hashes and positions — never unit text") {
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, Sf, "documents").select(col("doc_id"), col("text"))
+    val p = Dedup.dedupLines(docs, "doc_id", "text", sep = ". ", minUnitChars = 15)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val sections = p.split("""\n\n""")
+    val exchanges = sections.filter(_.matches("""(?s)\(\d+\) Exchange\b.*"""))
+    assert(exchanges.nonEmpty, "no Exchange detail sections found in plan")
+    exchanges.foreach { sec =>
+      val input = sec.linesIterator.filter(_.trim.startsWith("Input")).mkString
+      assert(!input.contains("u#"),
+        s"an exchange shuffles exploded unit text: $input")
+    }
+    // the only exchange allowed to carry the document text is the final
+    // per-doc drop-list attach (one row per doc, rewrite in the scan)
+    val textCarrying = exchanges.count(
+      _.linesIterator.filter(_.trim.startsWith("Input")).mkString.contains("text#"))
+    assert(textCarrying <= 1, s"$textCarrying exchanges carry the document text")
+  }
+
   test("q_decontaminate_bloom: scan-side sketch probe, zero added exchanges") {
     import graft.operators.Dedup
     val docs = Tables.t(spark, Sf, "documents")

@@ -250,6 +250,33 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(101L))
   }
 
+  test("dedupLines cuts corpus-repeated units, keeps first occurrence and short units") {
+    import spark.implicits._
+    val banner = "this site uses cookies to improve your browsing experience"
+    val corpus = Seq(
+      (1L, s"$banner\nunique opening paragraph of document one\nok"),
+      (2L, s"second doc starts here\n$banner\nand continues with its own words"),
+      (3L, s"$banner\n$banner\nthird doc body text follows here"),
+      (4L, "ok\nok\nnothing repeated across docs in this one at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, "doc_id", "text",
+        sep = "\n", minUnitChars = 15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first occurrence — untouched
+    assert(out(1L) == s"$banner\nunique opening paragraph of document one\nok")
+    // later occurrences cut everywhere, including BOTH repeats in doc 3
+    assert(out(2L) == "second doc starts here\nand continues with its own words")
+    assert(out(3L) == "third doc body text follows here")
+    // short units ("ok") repeat corpus-wide but are structural — kept
+    assert(out(4L) == "ok\nok\nnothing repeated across docs in this one at all")
+    // a doc that is nothing but later-occurrence units rewrites to ""
+    val wiped = Dedup.dedupLines(
+        corpus.union(Seq((9L, banner)).toDF("doc_id", "text")),
+        "doc_id", "text", "\n", 15)
+      .filter(col("doc_id") === 9L).head().getString(1)
+    assert(wiped == "")
+  }
+
   test("decontaminateBloom output is bitwise-equal to decontaminate") {
     val corpus = docs.filter(col("doc_id") >= 50)
       .select(col("doc_id"), col("text"), col("lang"))
