@@ -504,14 +504,15 @@ object Dedup {
       .filter(!(col("id") === col("__first.id") && col("pos") === col("__first.pos")))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
-    docs.join(drops, docs(idCol) === drops("id"), "left")
+      .select(col("id").as("__dl_id"), col("__drop_pos"))
+    docs.join(drops, docs(idCol) === drops("__dl_id"), "left")
       .withColumn(textCol,
         when(col("__drop_pos").isNull, col(textCol)).otherwise(
           array_join(
             filter(split(col(textCol), sepLit, -1),
               (_, i) => !array_contains(col("__drop_pos"), i)),
             sep)))
-      .drop("id", "__drop_pos")
+      .drop("__dl_id", "__drop_pos")
   }
 
   /** Cut [[duplicateSpans]] ranges out of the text verbatim: each doc's

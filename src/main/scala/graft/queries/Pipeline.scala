@@ -692,7 +692,9 @@ object Pipeline {
          reb AS (
            SELECT doc_id, string_agg(u, '. ' ORDER BY i) AS text
            FROM kept GROUP BY doc_id)
-         SELECT d.doc_id, coalesce(r.text, '') AS text
+         SELECT d.doc_id,
+                CASE WHEN d.text IS NULL THEN NULL
+                     ELSE coalesce(r.text, '') END AS text
          FROM documents d LEFT JOIN reb r USING (doc_id)""",
     // same flagged set as q_decontaminate, anti-joined back onto the
     // corpus half (NOT EXISTS: null-safe anti-join semantics)

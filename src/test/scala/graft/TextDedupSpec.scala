@@ -257,7 +257,8 @@ class TextDedupSpec extends SparkSpec {
       (1L, s"$banner\nunique opening paragraph of document one\nok"),
       (2L, s"second doc starts here\n$banner\nand continues with its own words"),
       (3L, s"$banner\n$banner\nthird doc body text follows here"),
-      (4L, "ok\nok\nnothing repeated across docs in this one at all")
+      (4L, "ok\nok\nnothing repeated across docs in this one at all"),
+      (5L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val out = Dedup.dedupLines(corpus, "doc_id", "text",
         sep = "\n", minUnitChars = 15)
@@ -269,6 +270,8 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == "third doc body text follows here")
     // short units ("ok") repeat corpus-wide but are structural — kept
     assert(out(4L) == "ok\nok\nnothing repeated across docs in this one at all")
+    // null text passes through as null, never coalesced to ""
+    assert(out(5L) == null)
     // a doc that is nothing but later-occurrence units rewrites to ""
     val wiped = Dedup.dedupLines(
         corpus.union(Seq((9L, banner)).toDF("doc_id", "text")),
