@@ -118,4 +118,44 @@ object Sampling {
     df.withColumn(s"cum_$weightCol", sum(col(weightCol)).over(w).cast("long"))
       .filter(col(s"cum_$weightCol") <= budget)
   }
+
+  /** Mixture builder — the data-mixing step of a pretraining run: turn
+    * per-domain target WEIGHTS (DoReMi/Pile-style mixture proportions,
+    * need not sum to 1 — they are normalized) into per-domain token
+    * budgets of a `totalTokens` run, then keep each domain's docs in
+    * `order` until its budget fills. Domains absent from `weights` get
+    * weight 0 and are dropped. Same 100 TB shape as
+    * [[budgetPerStratum]]: one stratum-key shuffle, one window pass,
+    * and the cut is a pure function of (domain, order) — the mixture
+    * reproduces bit-identically on any cluster.
+    *
+    * The budget comparison uses each doc's cumulative count ≤ the
+    * domain's budget: a domain stops at the last doc that still fits,
+    * so the realized mixture undershoots each target by at most one
+    * document — the deterministic convention every budget operator
+    * here shares. */
+  def tokenMixture(
+      df: DataFrame,
+      domain: Column,
+      order: Seq[Column],
+      tokenCol: String,
+      weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(weights.nonEmpty, "weights must name at least one domain")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative and not all zero")
+    val norm = weights.values.sum
+    // per-domain budget as a when-chain literal: floor(share × total)
+    val budgetExpr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L): Column) { case (acc, (d, wt)) =>
+        when(domain === d, lit(math.floor(wt / norm * totalTokens).toLong))
+          .otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domain).orderBy(order: _*)
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn(s"cum_$tokenCol", sum(col(tokenCol)).over(w).cast("long"))
+      .filter(col(s"cum_$tokenCol") <= budgetExpr)
+  }
 }

@@ -311,6 +311,17 @@ object Pipeline {
           .select(col("doc_id"), col("lang"), TF.tokenCount(col("text")).as("n_tok")),
         col("lang"), Seq(col("doc_id")), "n_tok", budget = 2000)),
 
+    // data mixing: DoReMi-style target weights over sources → per-domain
+    // token budgets of a 2000-token run (0.5/0.3/0.2 → 1000/600/400);
+    // unlisted domains drop out
+    "q_mixture" -> ((s, dir) =>
+      graft.operators.Sampling.tokenMixture(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), TF.tokenCount(col("text")).as("n_tok")),
+        col("source"), Seq(col("doc_id")), "n_tok",
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        totalTokens = 2000)),
+
     // per-language budget measured in TRUE BPE tokens (GPT-2 byte-level
     // Column path — scan-local, oracle-identical to the Bpe operator):
     // the budget family counts case/punctuation/whitespace tokens, not
@@ -840,6 +851,18 @@ object Pipeline {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n_tok
            FROM documents)
          WHERE cum_n_tok <= 2000""",
+    // mixture replica: the normalized-weight budgets are pre-computed
+    // literals (floor(share × 2000)), matching tokenMixture's when-chain
+    "q_mixture" ->
+      s"""SELECT doc_id, source, n_tok, cum_n_tok FROM (
+           SELECT doc_id, source, len($TokSql) AS n_tok,
+             CAST(sum(len($TokSql)) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n_tok
+           FROM documents)
+         WHERE cum_n_tok <= CASE source WHEN 'src0' THEN 1000
+                                        WHEN 'src1' THEN 600
+                                        WHEN 'src2' THEN 400
+                                        ELSE 0 END""",
     "q_quality_filter" ->
       s"""SELECT doc_id, reason, CAST(reason = 'ok' AS INT) AS keep
           FROM ($ReasonedDocsSql)""",

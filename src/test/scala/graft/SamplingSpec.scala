@@ -58,6 +58,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.leakageSafeSplit(docs, "doc_id", clusters, 16))
   }
 
+  test("tokenMixture converts weights to budgets, drops unlisted domains, normalizes") {
+    import spark.implicits._
+    // domains a,b,c with 10 docs × 100 tokens each; weights 2:1 over
+    // (a,b) of a 900-token run → budgets a=600, b=300; c unlisted
+    val df = (for (d <- Seq("a", "b", "c"); i <- 1 to 10)
+      yield (s"$d$i", d, 100L, i.toLong)).toDF("doc", "domain", "n_tok", "ord")
+    val out = Sampling.tokenMixture(df, col("domain"), Seq(col("ord")), "n_tok",
+        weights = Map("a" -> 2.0, "b" -> 1.0), totalTokens = 900)
+      .collect().map(r => (r.getString(1), r.getLong(3))).groupBy(_._1)
+    assert(out("a").length == 6, "a: 600-token budget fits 6 docs")
+    assert(out("b").length == 3, "b: 300-token budget fits 3 docs")
+    assert(!out.contains("c"), "unlisted domain must be dropped")
+    // prefix in order, not an arbitrary subset
+    assert(out("a").map(_._2).sorted.toSeq == (1L to 6L))
+    // weights scale-invariant: (4, 2) is the same mixture as (2, 1)
+    val scaled = Sampling.tokenMixture(df, col("domain"), Seq(col("ord")), "n_tok",
+        weights = Map("a" -> 4.0, "b" -> 2.0), totalTokens = 900)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(scaled == Sampling.tokenMixture(df, col("domain"), Seq(col("ord")), "n_tok",
+        Map("a" -> 2.0, "b" -> 1.0), 900)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet)
+    intercept[IllegalArgumentException](
+      Sampling.tokenMixture(df, col("domain"), Seq(col("ord")), "n_tok",
+        Map("a" -> 0.0), 900))
+  }
+
   test("budgetPerStratum keeps a prefix per stratum within the budget") {
     import spark.implicits._
     val df = Seq(
