@@ -381,25 +381,59 @@ object Dedup {
       containmentThreshold: Double = 0.5,
       maxShingleFreq: Int = 1000,
       fpp: Double = 0.01,
-      maxSketchBytes: Long = 64L << 20): DataFrame = {
-    val pSh = probes
-      .select(explode(TextHashColumns.shingleHashes(col(textCol), shingleN)).as("sh"))
-      .distinct()
-    // two probe-side-only jobs, both bounded by the reference set: the
-    // distinct-shingle count sizes the sketch, the aggregate fills it
-    val nProbe = math.max(pSh.count(), 1L)
-    val bloomBytes = BloomFilter.optimalNumOfBits(nProbe, fpp) / 8
-    require(bloomBytes <= maxSketchBytes,
-      s"probe sketch would need $bloomBytes bytes for $nProbe shingles at fpp=$fpp " +
-        s"(max $maxSketchBytes) — decontaminateBloom expects a SMALL reference set; " +
-        "raise maxSketchBytes or fall back to decontaminate()")
-    val bf = pSh.stat.bloomFilter("sh", nProbe, fpp)
+      maxSketchBytes: Long = 64L << 20,
+      sketch: Option[BloomFilter] = None): DataFrame = {
+    val bf = sketch.getOrElse(
+      probeSketch(probes, textCol, shingleN, fpp, maxSketchBytes))
     val pre = corpus.filter(
       BloomColumns.anyContained(TextHashColumns.shingleHashes(col(textCol), shingleN), bf))
     val flagged = crossJaccardPairs(pre, probes, idCol, textCol,
         shingleN, containmentThreshold, maxShingleFreq)
       .select(col("id_c").as(idCol)).distinct()
     corpus.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Build the probe-shingle Bloom sketch [[decontaminateBloom]] probes
+    * — exposed so a standing reference set (a benchmark suite) is
+    * sketched ONCE and reused across every ingest batch via
+    * [[writeSketch]]/[[readSketch]], the incremental twin of the
+    * persisted exact/MinHash/IVF indexes. Two probe-side-only jobs: the
+    * distinct-shingle count sizes the sketch (guarded by
+    * `maxSketchBytes` BEFORE any allocation), the aggregate fills it. */
+  def probeSketch(
+      probes: DataFrame,
+      textCol: String,
+      shingleN: Int = 5,
+      fpp: Double = 0.01,
+      maxSketchBytes: Long = 64L << 20): BloomFilter = {
+    val pSh = probes
+      .select(explode(TextHashColumns.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val nProbe = math.max(pSh.count(), 1L)
+    val bloomBytes = BloomFilter.optimalNumOfBits(nProbe, fpp) / 8
+    require(bloomBytes <= maxSketchBytes,
+      s"probe sketch would need $bloomBytes bytes for $nProbe shingles at fpp=$fpp " +
+        s"(max $maxSketchBytes) — decontaminateBloom expects a SMALL reference set; " +
+        "raise maxSketchBytes or fall back to decontaminate()")
+    pSh.stat.bloomFilter("sh", nProbe, fpp)
+  }
+
+  /** Persist a probe sketch as a one-row binary parquet (the
+    * BloomFilter wire format, version-tagged by Spark itself). */
+  def writeSketch(spark: org.apache.spark.sql.SparkSession,
+      bf: BloomFilter, path: String): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import spark.implicits._
+    Seq(bos.toByteArray).toDF("sketch").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a sketch persisted by [[writeSketch]]. */
+  def readSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): BloomFilter = {
+    val bytes = spark.read.parquet(path).head().getAs[Array[Byte]]("sketch")
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
   }
 
   /** Substring-level duplicate spans (Lee et al. 2022,

@@ -107,7 +107,13 @@ object GraftFunctions {
         "graft_bpe_count"),
       (args: Seq[Expression]) => GraftShim.resolvedExpression(
         graft.functions.TextFunctions.bpeTokenCountMerges(
-          GraftShim.column(arity("graft_bpe_count", 1)(args).head)))))
+          GraftShim.column(arity("graft_bpe_count", 1)(args).head)))),
+    ("graft_compress_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "graft_compress_ratio"),
+      (args: Seq[Expression]) => {
+        arity("graft_compress_ratio", 2)(args)
+        DeflateRatio(args.head, intArg(args(1), "graft_compress_ratio level"))
+      }))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

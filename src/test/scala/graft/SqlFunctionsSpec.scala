@@ -58,6 +58,17 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(bpe == 3L)
   }
 
+  test("graft_compress_ratio via SQL equals the Column API") {
+    registered
+    val loop = "'" + ("repeat me " * 40).trim + "'"
+    val viaSql = spark.sql(s"SELECT graft_compress_ratio($loop, 6)").head().getDouble(0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq(("repeat me " * 40).trim).toDF("t")
+      .select(graft.functions.TextFunctions.compressionRatio(col("t"))).head().getDouble(0)
+    assert(viaSql == viaCol && viaSql < 0.2)
+  }
+
   test("unicode normalization functions resolve through SQL") {
     registered
     val r = spark.sql(

@@ -334,6 +334,37 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("sketch"))
   }
 
+  test("probe sketch round-trips through parquet and drives identical decontamination") {
+    import spark.implicits._
+    val probes = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "prefix text then alpha beta gamma delta epsilon zeta eta theta iota kappa quoted"),
+      (101L, "entirely unrelated body with its own distinct running words here")
+    ).toDF("doc_id", "text")
+    val bf = Dedup.probeSketch(probes, "text", shingleN = 5)
+    val path = "/tmp/graft_probe_sketch"
+    Dedup.writeSketch(spark, bf, path)
+    val loaded = Dedup.readSketch(spark, path)
+    // the persisted sketch answers every probe identically — including
+    // the planted shingles and a sample of absent hashes
+    val pSh = probes.select(explode(
+        graft.plans.TextHashColumns.shingleHashes(col("text"), 5)).as("sh"))
+      .collect().map(_.getLong(0))
+    pSh.foreach(h => assert(loaded.mightContainLong(h) && bf.mightContainLong(h)))
+    (0L until 1000L).foreach(h =>
+      assert(loaded.mightContainLong(h) == bf.mightContainLong(h)))
+    // and the batch path against the stored sketch equals the one-shot
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val oneShot = ids(Dedup.decontaminateBloom(corpus, probes, "doc_id", "text",
+      shingleN = 5, containmentThreshold = 0.5))
+    val viaStored = ids(Dedup.decontaminateBloom(corpus, probes, "doc_id", "text",
+      shingleN = 5, containmentThreshold = 0.5, sketch = Some(loaded)))
+    assert(oneShot == Set(101L) && viaStored == oneShot)
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val df = Seq((10L, "same text"), (20L, "same text"), (30L, "other")).toDF("doc_id", "text")
