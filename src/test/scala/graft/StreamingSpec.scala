@@ -310,6 +310,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the Bloom decontamination prefilter runs unchanged on a stream") {
+    // the sketch probe is a stateless Column over a task-serialized
+    // sketch: in-stream batches drop probe-overlapping docs at the scan
+    // with zero streaming state — the streaming half of
+    // decontaminateBloom (exact confirm joins run batch-side)
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.plans.{BloomColumns, TextHashColumns}
+    val probes = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val bf = Dedup.probeSketch(probes, "text", shingleN = 5)
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    docs.addData(
+      (100L, "intro words then alpha beta gamma delta epsilon zeta quoted inside"),
+      (101L, "a fully unrelated document body with distinct vocabulary throughout"))
+    val q = docs.toDF().toDF("doc_id", "text")
+      .filter(!BloomColumns.anyContained(
+        TextHashColumns.shingleHashes(col("text"), 5), bf))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bloom_prefiltered").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("bloom_prefiltered")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(101L),
+        "stream prefilter must drop exactly the probe-overlapping doc")
+    } finally q.stop()
+  }
+
   test("the curation quality gate runs unchanged on a stream") {
     // the gate (and every stateless text/sampling kernel) is a pure
     // Column expression, so the same code curates a micro-batch stream
