@@ -80,6 +80,20 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"), round(TF.compressionRatio(col("text")), 4).as("compress_ratio"))),
 
+    // model-based quality: logistic regression distilled from the rule
+    // gate's labels (bounded deterministic sample), scored corpus-wide
+    // as closed-form Column arithmetic — rows-only by design (the
+    // trained weights come from an iterative driver loop no SQL oracle
+    // can replay; separation + determinism are spec-pinned)
+    "q_quality_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("label",
+        (TF.filterReason(col("text")) === "ok").cast("int"))
+      val w = graft.operators.QualityModel.train(labeled, "label", "text", "doc_id")
+      docs.select(col("doc_id"),
+        round(graft.operators.QualityModel.score(w, col("text")), 4).as("model_quality"))
+    }),
+
     // word-2-GRAM repetition + top-unigram fraction via the native
     // one-pass RepetitionStats kernel: scan-local, zero shuffle — the
     // 2-gram complement of q_repetition's unigram signals, whose

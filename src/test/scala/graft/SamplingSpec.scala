@@ -216,6 +216,33 @@ class SamplingSpec extends SparkSpec {
     assert(over == 0, "per-language budget exceeded")
   }
 
+  test("QualityModel separates rule-labeled docs and trains deterministically") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val good = (1 to 25).map(i => (i.toLong,
+      "the story continues with a detailed and carefully measured account " +
+        s"of what the researchers found in chapter $i of their long report", 1))
+    val bad = (100 to 124).map(i => (i.toLong, s"@@## $$%% ^^&& !!~~ ((${i}))", 0))
+    val docs = (good ++ bad).toDF("doc_id", "text", "label")
+    val w = QualityModel.train(docs, "label", "text", "doc_id")
+    assert(w.length == QualityModel.NumFeatures + 1)
+    // the distilled model reproduces the labels' ordering
+    val scores = docs.select(col("label"),
+        QualityModel.score(w, col("text")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    val goodMean = scores.filter(_._1 == 1).map(_._2).sum / 25
+    val badMean = scores.filter(_._1 == 0).map(_._2).sum / 25
+    assert(goodMean > badMean + 0.2,
+      s"model fails to separate: good=$goodMean bad=$badMean")
+    assert(scores.forall { case (_, s) => s > 0.0 && s < 1.0 })
+    // fixed sample order + fixed iterations: training is bit-reproducible
+    assert(QualityModel.train(docs.repartition(5), "label", "text", "doc_id")
+      .sameElements(w))
+    // degenerate labels fail loudly, not silently
+    intercept[IllegalArgumentException](
+      QualityModel.train(docs.filter(col("label") === 1), "label", "text", "doc_id"))
+  }
+
   test("repetitionStats measures duplicate and top-token fractions") {
     import spark.implicits._
     val docs = Seq(
