@@ -13,31 +13,57 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as a stream (ts arrives as raw nanos — same
-    * TIMESTAMP(NANOS) workaround as the batch reader in graft.Tables). */
-  private val RawSchema = StructType(Seq(
+  /** events schema as a stream, minus ts (whose physical type varies
+    * by driver generation — see [[rawEventsSchema]]). */
+  private val NonTsFields = Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
-    StructField("props", StringType)))
+    StructField("props", StringType))
+
+  /** Streams need an explicit schema; probe the batch footer once for
+    * ts's physical layout — TIMESTAMP(NANOS) arrives only as a raw
+    * nanos long (legacy nanosAsLong, same workaround as graft.Tables),
+    * TIMESTAMP(MICROS) reads natively. */
+  private def rawEventsSchema(spark: SparkSession, dir: String): StructType = {
+    val batchTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val tsType = batchTs match {
+      case LongType => LongType
+      case _ => TimestampNTZType
+    }
+    StructType(NonTsFields.head +: StructField("ts", tsType) +: NonTsFields.tail)
+  }
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(RawSchema)
+    val schema = rawEventsSchema(spark, dir)
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet") // sf dir holds all tables
       .parquet(dir)
-      // TIMESTAMP (LTZ), not the batch reader's TIMESTAMP_NTZ: Spark
-      // requires the event-time/watermark column to be TIMESTAMP
-      // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Tumbling
-      // window() boundaries on LTZ are epoch-aligned, so the emitted
-      // buckets denote the same instants as the batch q_time_bucket
-      // date_trunc regardless of spark.sql.session.timeZone; only the
-      // NTZ *rendering* of those instants is TZ-dependent (equality
-      // checks compare unix_micros).
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // TIMESTAMP (LTZ), not the batch reader's TIMESTAMP_NTZ: Spark
+    // requires the event-time/watermark column to be TIMESTAMP
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). Tumbling
+    // window() boundaries on LTZ are epoch-aligned, so the emitted
+    // buckets denote the same instants as the batch q_time_bucket
+    // date_trunc regardless of spark.sql.session.timeZone; only the
+    // NTZ *rendering* of those instants is TZ-dependent (equality
+    // checks compare unix_micros). The NTZ→LTZ cast reads the wall
+    // time in the session tz (UTC in every entrypoint) — the same
+    // instants the nanos path produces.
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // NTZ wall times denote UTC instants (the driver writes epoch
+        // µs). A bare NTZ→LTZ cast would re-read the wall time in the
+        // session tz — shift to the session zone first so the cast
+        // lands on the UTC instant under ANY session time zone (the
+        // tz-invariance the streaming spec pins).
+        val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour window counts/sums per event_type with a 1-hour
