@@ -230,6 +230,38 @@ object TextFunctions {
       .otherwise("ok")
   }
 
+  /** Non-blank lines of a document (the unit of the Gopher line-level
+    * rules). Blank/whitespace-only lines are layout, not content —
+    * they don't enter any ratio's denominator. */
+  def docLines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= "")
+
+  /** Gopher line-level signals (Rae et al. 2021 §A1.1): fraction of
+    * lines that start with a bullet marker, end with an ellipsis, and
+    * the fraction that are duplicates of another line in the same
+    * document. All scan-local codegen'd HOFs over one split — a doc
+    * with no non-blank lines scores 0 on every ratio. */
+  def bulletLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") /
+      greatest(size(ls), lit(1)).cast("double")
+  }
+
+  def ellipsisLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    size(filter(ls, l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+      .cast("double") / greatest(size(ls), lit(1)).cast("double")
+  }
+
+  /** Fraction of lines that repeat an earlier line verbatim —
+    * 1 − distinct/total (the in-document twin of corpus-wide
+    * [[graft.operators.Dedup.dedupLines]]). */
+  def dupLineRatio(text: Column): Column = {
+    val ls = docLines(text)
+    when(size(ls) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
+  }
+
   /** Content fingerprint: md5 of lowercased alphanumeric-only text —
     * the normalized-hash dedup key. `unicodeNormalize = true` folds
     * compatibility forms and strips accents first (NFKC + mark strip,

@@ -134,6 +134,39 @@ object Sampling {
     * so the realized mixture undershoots each target by at most one
     * document — the deterministic convention every budget operator
     * here shares. */
+  /** Temperature-scaled mixture (the multilingual up/down-sampling
+    * recipe of XLM-R / mT5): domain weights are the OBSERVED token
+    * counts raised to `alpha` ∈ (0, 1] — α = 1 keeps natural
+    * proportions, α → 0 flattens toward uniform, the standard way to
+    * lift low-resource languages without a hand-tuned weight table.
+    * One counts aggregation (bounded driver collect — one row per
+    * domain, guarded by `maxDomains`), then the exact
+    * [[tokenMixture]] machinery: one stratum shuffle, reproducible
+    * cut. α = 0.5 makes the weights IEEE-exact `sqrt` on every
+    * engine — the value the oracle-checked query pins. */
+  def temperatureMixture(
+      df: DataFrame,
+      domain: Column,
+      order: Seq[Column],
+      tokenCol: String,
+      alpha: Double,
+      totalTokens: Long,
+      maxDomains: Int = 100000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(domain.as("__dom"))
+      .agg(sum(col(tokenCol)).cast("double").as("__n"))
+      .limit(maxDomains + 1)
+      .collect()
+    require(counts.length <= maxDomains,
+      s"more than $maxDomains domains — is the domain column really a domain?")
+    require(counts.nonEmpty, "no domains to mix")
+    val weights = counts.map { r =>
+      val w = if (alpha == 0.5) math.sqrt(r.getDouble(1)) else math.pow(r.getDouble(1), alpha)
+      String.valueOf(r.get(0)) -> w
+    }.toMap
+    tokenMixture(df, domain.cast("string"), order, tokenCol, weights, totalTokens)
+  }
+
   def tokenMixture(
       df: DataFrame,
       domain: Column,
@@ -145,7 +178,10 @@ object Sampling {
     require(weights.nonEmpty, "weights must name at least one domain")
     require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
       "weights must be non-negative and not all zero")
-    val norm = weights.values.sum
+    // normalize in sorted-key order: double addition isn't associative
+    // and Map iteration order is unspecified — the sorted fold makes
+    // the budgets bit-reproducible run to run
+    val norm = weights.toSeq.sortBy(_._1).map(_._2).sum
     // per-domain budget as a when-chain literal: floor(share × total)
     val budgetExpr = weights.toSeq.sortBy(_._1)
       .foldLeft(lit(0L): Column) { case (acc, (d, wt)) =>

@@ -61,6 +61,49 @@ object Vocab {
       .select(col("id"), col("token"), col("tfidf"))
   }
 
+  /** Per-document average token log-likelihood under the corpus's own
+    * unigram language model — the CCNet-recipe perplexity-proxy quality
+    * signal (docs whose tokens are globally rare score low; boilerplate
+    * of common tokens scores high). `lm_score` = Σ c·ln(tf/T) / Σ c
+    * over the doc's distinct tokens (c = in-doc count, tf = corpus
+    * count, T = corpus token total); perplexity = exp(−lm_score).
+    *
+    * Shape: the same two-level (id, token) partial aggregation as
+    * [[topK]] builds both the per-doc counts and the vocabulary, then
+    * one token-key equi-join attaches corpus frequencies — one row per
+    * distinct (doc, token), never per occurrence, and the vocabulary
+    * side is ≪ corpus so AQE broadcasts it when it truly is small
+    * (never forced). T is a single driver-side scalar (one agg job,
+    * same bounded pattern as [[tfidfTopK]]'s corpus count). To score
+    * against a REFERENCE corpus's model (the actual CCNet setup —
+    * e.g. Wikipedia as the target distribution), pass its vocabulary
+    * as `model`; by default the corpus models itself. Zero-token docs
+    * drop out (nothing to score). */
+  def lmScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Option[DataFrame] = None): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(TF.tokens(col(textCol))).as("token"))
+    val docTf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+    // vocabulary: (token, tf) — either the supplied reference model or
+    // this corpus's own counts (second level of the same aggregation)
+    val vocab = model.getOrElse(
+      docTf.groupBy(col("token")).agg(sum(col("c")).as("tf")))
+    val total = vocab.agg(sum(col("tf"))).first().getLong(0)
+    require(total > 0, "language model has zero tokens")
+    // inner join: under a reference model, out-of-vocabulary tokens
+    // drop out of the average (CCNet scores known tokens; a smoothing
+    // variant would left-join + coalesce to a floor logprob)
+    docTf.join(vocab, Seq("token"))
+      .groupBy(col("id"))
+      .agg(round(
+        sum(col("c") * log(col("tf").cast("double") / lit(total.toDouble))) /
+          sum(col("c")), 4).as("lm_score"))
+  }
+
   /** Per-document word-repetition signals (the Gopher repetition
     * filters): `dup_ratio` = fraction of tokens that are repeats of an
     * earlier token, `top_frac` = share of the single most frequent

@@ -272,6 +272,12 @@ object Pipeline {
     "q_tfidf" -> ((s, dir) =>
       Vocab.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // CCNet-style perplexity proxy: per-doc average token
+    // log-likelihood under the corpus's own unigram LM
+    "q_lm_score" -> ((s, dir) =>
+      Vocab.lmScore(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // near-dup clusters: connected components over the exact-jaccard
     // candidate pairs — the keep-one-per-cluster step after pair finding
     "q_dedup_cluster" -> ((s, dir) =>
@@ -302,6 +308,23 @@ object Pipeline {
     // single most frequent token, per document
     "q_repetition" -> ((s, dir) =>
       Vocab.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Gopher line-level rules: bullet-start / ellipsis-end / duplicate
+    // line fractions. The corpus has no newlines, so the query plants
+    // them deterministically (same literal replace chain in DuckDB) —
+    // every ' merge ' opens a bullet line, every ' slow ' closes an
+    // ellipsis line; line population varies per doc with the text
+    "q_line_signals" -> ((s, dir) => {
+      val planted = replace(
+        replace(col("text"), lit(" merge "), lit("\n- merge ")),
+        lit(" slow "), lit(" slow...\n"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TF.bulletLineRatio(planted), 4).as("bullet_ratio"),
+        round(TF.ellipsisLineRatio(planted), 4).as("ellipsis_ratio"),
+        round(TF.dupLineRatio(planted), 4).as("dup_line_ratio"),
+        size(TF.docLines(planted)).as("n_lines"))
+    }),
 
     // symmetric int8 embedding quantization: 4× smaller vectors for the
     // ANN recall stage; summary stats cross the oracle, the quantized
@@ -335,6 +358,16 @@ object Pipeline {
         col("source"), Seq(col("doc_id")), "n_tok",
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         totalTokens = 2000)),
+
+    // temperature-scaled mixture (XLM-R α-sampling): per-domain budgets
+    // ∝ sqrt(observed tokens) — α=0.5 flattens toward uniform and keeps
+    // the weights IEEE-exact sqrt on both engines
+    "q_mixture_temp" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMixture(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), TF.tokenCount(col("text")).as("n_tok")),
+        col("source"), Seq(col("doc_id")), "n_tok",
+        alpha = 0.5, totalTokens = 2000)),
 
     // per-language budget measured in TRUE BPE tokens (GPT-2 byte-level
     // Column path — scan-local, oracle-identical to the Bpe operator):
@@ -786,6 +819,20 @@ object Pipeline {
       s"""SELECT token, count(*) AS tf, count(DISTINCT id) AS df
           FROM (SELECT doc_id AS id, unnest($TokSql) AS token FROM documents)
           GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+    // unigram-LM replica: identical two-level counts, ln(tf/T) under
+    // the corpus's own model, count-weighted average per doc
+    "q_lm_score" ->
+      s"""WITH dt AS (
+           SELECT doc_id, token, count(*) AS c
+           FROM (SELECT doc_id, unnest($TokSql) AS token FROM documents)
+           GROUP BY doc_id, token),
+         v AS (SELECT token, sum(c) AS tf FROM dt GROUP BY token),
+         tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM v)
+         SELECT dt.doc_id,
+           round(sum(dt.c * ln(CAST(v.tf AS DOUBLE) / tot.t)) / sum(dt.c), 4)
+             AS lm_score
+         FROM dt JOIN v USING (token) CROSS JOIN tot
+         GROUP BY dt.doc_id""",
     // transitive closure of the jaccard pair graph via a recursive CTE:
     // every node's reachable-label set, then min per node — the same
     // fixpoint DedupCluster's min-label propagation converges to
@@ -838,6 +885,32 @@ object Pipeline {
            round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_ratio,
            round(max(c) * 1.0 / sum(c), 4) AS top_frac
          FROM tf GROUP BY id""",
+    // line-signal replica: same planted newlines (literal replace
+    // chain), same non-blank-line population, same three ratios
+    "q_line_signals" ->
+      """WITH p AS (
+           SELECT doc_id,
+             replace(replace(text, ' merge ', chr(10) || '- merge '),
+                     ' slow ', ' slow...' || chr(10)) AS t
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+             list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS ls
+           FROM p)
+         SELECT doc_id,
+           round(CAST(len(list_filter(ls,
+               x -> substr(ltrim(x), 1, 1) = '-' OR substr(ltrim(x), 1, 1) = '*'
+                    OR substr(ltrim(x), 1, 1) = '•')) AS DOUBLE)
+             / greatest(len(ls), 1), 4) AS bullet_ratio,
+           round(CAST(len(list_filter(ls,
+               x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))
+               AS DOUBLE)
+             / greatest(len(ls), 1), 4) AS ellipsis_ratio,
+           round(CASE WHEN len(ls) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+                 END, 4) AS dup_line_ratio,
+           len(ls) AS n_lines
+         FROM l""",
     // floor(x·scale + 0.5) = explicit half-up rounding — engine round()
     // builtins differ (half-up vs half-even) and never touch the oracle
     "q_embed_quant" ->
@@ -877,6 +950,25 @@ object Pipeline {
                                         WHEN 'src1' THEN 600
                                         WHEN 'src2' THEN 400
                                         ELSE 0 END""",
+    // temperature-mixture replica: sqrt-of-counts weights normalized in
+    // SQL, floor budgets, same per-domain cumulative cut
+    "q_mixture_temp" ->
+      s"""WITH d AS (
+           SELECT doc_id, source, len($TokSql) AS n_tok FROM documents),
+         nd AS (SELECT source, CAST(sum(n_tok) AS DOUBLE) AS n
+                FROM d GROUP BY source),
+         wts AS (SELECT source, sqrt(n) AS w FROM nd),
+         tot AS (SELECT sum(w) AS sw FROM wts),
+         b AS (SELECT source, CAST(floor(w / sw * 2000) AS BIGINT) AS budget
+               FROM wts CROSS JOIN tot)
+         SELECT doc_id, source, n_tok, cum_n_tok FROM (
+           SELECT d.doc_id, d.source, d.n_tok,
+             CAST(sum(d.n_tok) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_n_tok,
+             b.budget
+           FROM d JOIN b USING (source))
+         WHERE cum_n_tok <= budget""",
     "q_quality_filter" ->
       s"""SELECT doc_id, reason, CAST(reason = 'ok' AS INT) AS keep
           FROM ($ReasonedDocsSql)""",

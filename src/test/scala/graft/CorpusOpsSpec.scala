@@ -68,6 +68,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("apple", 3L, 2L), ("cherry", 3L, 2L)))
   }
 
+  test("lmScore: common-token docs outscore rare-token docs; average is hand-exact") {
+    import spark.implicits._
+    // corpus: 'the' ×4, 'zyx' ×1, 'abc' ×1 → T=6
+    val docs = Seq(
+      (1L, "the the the"), // 3·ln(4/6)/3 = ln(2/3)
+      (2L, "zyx"),         // ln(1/6)
+      (3L, "the abc")      // (ln(4/6) + ln(1/6)) / 2
+    ).toDF("doc_id", "text")
+    val out = Vocab.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L) == r4(math.log(4.0 / 6)), "uniform common doc = ln(tf/T)")
+    assert(out(2L) == r4(math.log(1.0 / 6)))
+    assert(out(3L) == r4((math.log(4.0 / 6) + math.log(1.0 / 6)) / 2))
+    assert(out(1L) > out(3L) && out(3L) > out(2L),
+      "rarer tokens must push the LM score down")
+    // reference-model scoring: OOV tokens drop out of the average
+    val model = Seq(("the", 9L), ("abc", 1L)).toDF("token", "tf")
+    val ref = Vocab.lmScore(docs, "doc_id", "text", model = Some(model))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!ref.contains(2L), "all-OOV doc has nothing to score")
+    assert(ref(1L) == r4(math.log(0.9)), "model probabilities, not corpus ones")
+  }
+
+  test("line signals: bullet, ellipsis, and duplicate-line ratios are scan-exact") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val docs = Seq(
+      (1L, "- a bullet\nplain line\n  * spaced bullet\ntrail...\n\n  \n"),
+      (2L, "same line\nsame line\nother…"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+        col("doc_id"),
+        TF.bulletLineRatio(col("text")).as("b"),
+        TF.ellipsisLineRatio(col("text")).as("e"),
+        TF.dupLineRatio(col("text")).as("d"),
+        size(TF.docLines(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    // doc 1: 4 non-blank lines (blank + whitespace-only dropped),
+    // 2 bullets (indented * counts), 1 ellipsis, no dups
+    assert(out(1L) == ((0.5, 0.25, 0.0, 4)))
+    // doc 2: unicode ellipsis counts; 'same line' repeats → 1/3 dup
+    val (b2, e2, d2, n2) = out(2L)
+    assert(b2 == 0.0 && e2 == 1.0 / 3 && n2 == 3)
+    assert(math.abs(d2 - 1.0 / 3) < 1e-12)
+    // empty doc: zero lines, all ratios 0 (no division blow-up)
+    assert(out(3L) == ((0.0, 0.0, 0.0, 0)))
+  }
+
   test("greedyPack fills bins to the budget, isolates oversized docs, keeps every doc") {
     import spark.implicits._
     import graft.operators.Pack

@@ -84,6 +84,31 @@ class SamplingSpec extends SparkSpec {
         Map("a" -> 0.0), 900))
   }
 
+  test("temperatureMixture: α=1 keeps natural proportions, α<1 lifts the tail") {
+    import spark.implicits._
+    // high-resource domain a: 8100 tokens; low-resource b: 900 — perfect
+    // squares so the α=0.5 weights (90, 30) and shares (3/4, 1/4) are
+    // IEEE-exact and the floor budgets can't sit on a rounding edge
+    val df = (for ((d, n, c) <- Seq(("a", 81, 100L), ("b", 9, 100L)); i <- 1 to n)
+      yield (s"$d$i", d, c, i.toLong)).toDF("doc", "domain", "n_tok", "ord")
+    def keptDocs(alpha: Double): Map[String, Long] =
+      Sampling.temperatureMixture(df, col("domain"), Seq(col("ord")), "n_tok",
+          alpha, totalTokens = 1000)
+        .groupBy("domain").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=1: natural 9:1 proportions → budgets 900/100 → 9 vs 1 docs
+    assert(keptDocs(1.0) == Map("a" -> 9L, "b" -> 1L))
+    // α=0.5: sqrt weights 90:30 → budgets 750/250 → b rises to 2 docs
+    // while a drops to 7 — the low-resource lift
+    assert(keptDocs(0.5) == Map("a" -> 7L, "b" -> 2L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(df, col("domain"), Seq(col("ord")), "n_tok",
+        0.0, 1000))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(df.filter(lit(false)), col("domain"),
+        Seq(col("ord")), "n_tok", 0.5, 1000))
+  }
+
   test("budgetPerStratum keeps a prefix per stratum within the budget") {
     import spark.implicits._
     val df = Seq(
