@@ -259,6 +259,19 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"), TF.redactPii(col("text")).as("clean_text"))),
 
+    // multi-literal blocklist scrub: ONE trie-walk pass over the text
+    // (native ReplaceMany kernel) vs the oracle's chained replace —
+    // bit-identical here because the pattern set is overlap-free (no
+    // suffix↔prefix pairs, no containment), the property the kernel
+    // doc pins; the multi-word pattern exercises longest-match
+    "q_replace_many" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.plans.StringColumns.replaceMany(col("text"), Seq(
+          "customer query" -> "[CQ]",
+          "spark" -> "[ENGINE]",
+          "slow" -> "[SLOW]")).as("scrubbed"))),
+
     // batch sessionization: gaps-and-islands per user at a 1-hour gap
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
@@ -789,6 +802,15 @@ object Pipeline {
             '${TF.EmailRe}', '<EMAIL>', 'g'),
             '${TF.Ipv4Re}', '<IP>', 'g'),
             '${TF.PhoneRe}', '<PHONE>', 'g') AS clean_text
+          FROM documents""",
+    // chained-replace replica of the trie pass — equal because the
+    // pattern set is overlap-free (see the q_replace_many query note)
+    "q_replace_many" ->
+      """SELECT doc_id,
+          replace(replace(replace(text,
+            'customer query', '[CQ]'),
+            'spark', '[ENGINE]'),
+            'slow', '[SLOW]') AS scrubbed
           FROM documents""",
     // gaps-and-islands replica: µs epochs are integers in both engines
     // (ns ts truncated to µs), so the gap test and the running break

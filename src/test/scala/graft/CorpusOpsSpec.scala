@@ -119,6 +119,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L) == ((0.0, 0.0, 0.0, 0)))
   }
 
+  test("replaceMany: leftmost-longest single pass, non-overlapping, null-safe") {
+    import spark.implicits._
+    import graft.plans.StringColumns
+    def run(text: String, pairs: Seq[(String, String)]): String = {
+      val out = Seq(Tuple1(text)).toDF("t")
+        .select(StringColumns.replaceMany(col("t"), pairs)).collect()(0)
+      if (out.isNullAt(0)) null else out.getString(0)
+    }
+    // longest pattern wins at the same start
+    assert(run("abcd", Seq("ab" -> "X", "abc" -> "Y")) == "Yd")
+    // leftmost match wins over a later-starting longer one
+    assert(run("abc", Seq("bc" -> "X", "ab" -> "Y")) == "Yc")
+    // matches never overlap: scanning resumes after the replaced span
+    assert(run("aaa", Seq("aa" -> "X")) == "Xa")
+    // duplicate pattern: first binding wins
+    assert(run("zz", Seq("zz" -> "A", "zz" -> "B")) == "A")
+    // no match / empty input pass through; null stays null
+    assert(run("hello", Seq("xyz" -> "!")) == "hello")
+    assert(run("", Seq("a" -> "!")) == "")
+    val nullOut = Seq(Tuple1(null: String)).toDF("t")
+      .select(StringColumns.replaceMany(col("t"), Seq("a" -> "b"))).collect()(0)
+    assert(nullOut.isNullAt(0))
+    // empty patterns would match everywhere — rejected loudly
+    intercept[Exception](run("x", Seq("" -> "boom")))
+    // overlap-free pattern set == chained replace on real corpus docs
+    val docs = graft.Tables.t(spark, Sf, "documents").limit(100)
+    val pairs = Seq("customer query" -> "[CQ]", "spark" -> "[ENGINE]", "slow" -> "[SLOW]")
+    val chained = pairs.foldLeft(col("text")) { case (c, (p, r)) =>
+      replace(c, lit(p), lit(r))
+    }
+    assert(docs.select(StringColumns.replaceMany(col("text"), pairs) === chained)
+      .collect().forall(_.getBoolean(0)),
+      "trie pass must equal chained replace on an overlap-free set")
+  }
+
   test("greedyPack fills bins to the budget, isolates oversized docs, keeps every doc") {
     import spark.implicits._
     import graft.operators.Pack
