@@ -1044,6 +1044,29 @@ object Relational {
           round(m3 / pow(m2, 1.5), 4) + 0.0).as("rskew"))
     }),
 
+    // rolling correlation (polars rolling_corr): quantity vs price over
+    // a trailing 8-row frame per supplier, from the five explicit power
+    // sums — builtins disagree on bias handling, the raw-moment formula
+    // is engine-independent; null until the window fills or on a
+    // degenerate (zero-variance) side
+    "q_rolling_corr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-7, Window.currentRow)
+      val n = count(lit(1)).over(w)
+      val sx = sum(col("l_quantity")).over(w)
+      val sy = sum(col("l_extendedprice")).over(w)
+      val sxx = sum(col("l_quantity") * col("l_quantity")).over(w)
+      val syy = sum(col("l_extendedprice") * col("l_extendedprice")).over(w)
+      val sxy = sum(col("l_quantity") * col("l_extendedprice")).over(w)
+      val vx = lit(8.0) * sxx - sx * sx
+      val vy = lit(8.0) * syy - sy * sy
+      t(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        when(n === 8 && vx > 0 && vy > 0,
+          round((lit(8.0) * sxy - sx * sy) / sqrt(vx * vy), 4) + 0.0).as("rcorr"))
+    }),
+
     // conditional aggregation (polars col().filter() inside agg, SQL
     // FILTER clause): per-predicate partial aggregates in one groupBy
     // pass — no self-joins, no second scan
@@ -1449,6 +1472,23 @@ object Relational {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""",
+    "q_rolling_corr" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         CASE WHEN n = 8 AND (8.0*sxx - sx*sx) > 0 AND (8.0*syy - sy*sy) > 0
+           THEN round((8.0*sxy - sx*sy)
+                      / sqrt((8.0*sxx - sx*sx) * (8.0*syy - sy*sy)), 4) + 0.0
+         END AS rcorr
+         FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             count(*) OVER w AS n,
+             sum(l_quantity) OVER w AS sx,
+             sum(l_extendedprice) OVER w AS sy,
+             sum(l_quantity*l_quantity) OVER w AS sxx,
+             sum(l_extendedprice*l_extendedprice) OVER w AS syy,
+             sum(l_quantity*l_extendedprice) OVER w AS sxy
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))""",
     "q_agg_filter" ->
       """SELECT l_returnflag,
          CAST(sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS BIGINT)
