@@ -339,6 +339,18 @@ object Pipeline {
         size(TF.docLines(planted)).as("n_lines"))
     }),
 
+    // PCA whitening of the embedding table (rows-only by design — the
+    // iterative eigendecomposition has no SQL oracle; axis recovery,
+    // orthonormality and unit whitened variance are spec-pinned).
+    // Fit = one treeAggregate of (n, Σx, Σxxᵀ); transform = scan-local
+    // k·d HOF per row
+    "q_embed_pca" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(emb, "embedding", k = 8)
+      graft.operators.Pca.transform(emb, "embedding", model, "pca", whiten = true)
+        .select(col("vec_id"), col("pca"))
+    }),
+
     // symmetric int8 embedding quantization: 4× smaller vectors for the
     // ANN recall stage; summary stats cross the oracle, the quantized
     // array itself is spec-tested

@@ -266,6 +266,58 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == corpus.select("vec_id").collect().map(_.getLong(0)).toSet -- losers)
   }
 
+  test("PCA recovers the dominant axis; whitening normalizes variance") {
+    import spark.implicits._
+    import graft.operators.Pca
+    // deterministic 8-d cloud: dominant axis u = (0.6, 0.8, 0...) with
+    // spread ~10, orthogonal axis w = (-0.8, 0.6, 0...) with spread
+    // ~0.5 — no RNG, trig phases decorrelate the two coordinates
+    val d = 8
+    val rows = (0 until 200).map { i =>
+      val a = math.sin(i * 0.37) * 10.0
+      val b = math.cos(i * 1.31) * 0.5
+      val v = Array.tabulate(d)(j =>
+        if (j == 0) 0.6 * a - 0.8 * b
+        else if (j == 1) 0.8 * a + 0.6 * b
+        else 0.0)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", k = 2)
+    // axis recovery: first component aligned with u up to sign
+    val align = math.abs(m.components(0)(0) * 0.6 + m.components(0)(1) * 0.8)
+    assert(align > 0.999, s"first PC must recover the dominant axis: $align")
+    assert(m.eigenvalues(0) > m.eigenvalues(1) && m.eigenvalues(1) > 0,
+      "eigenvalues sorted descending, top-2 positive")
+    // orthonormal components
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(dot(m.components(0), m.components(0)) - 1.0) < 1e-9)
+    assert(math.abs(dot(m.components(0), m.components(1))) < 1e-9)
+    // whitening: each retained axis has ~unit population variance
+    val proj = Pca.transform(df, "embedding", m, "p", whiten = true)
+      .select("p").collect().map(_.getSeq[Double](0).toArray)
+    (0 until 2).foreach { j =>
+      val xs = proj.map(_(j))
+      val mu = xs.sum / xs.length
+      val vr = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(vr - 1.0) < 0.01, s"whitened axis $j variance $vr")
+    }
+    // k=d projection is an isometry: pairwise distance preserved
+    val full = Pca.fit(df, "embedding", k = d)
+    val pf = Pca.transform(df, "embedding", full, "p")
+      .orderBy("vec_id").select("p").limit(2).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val orig = rows.take(2).map(_._2.toArray)
+    def dist(x: Array[Double], y: Array[Double]) =
+      math.sqrt(x.zip(y).map { case (p, q) => (p - q) * (p - q) }.sum)
+    assert(math.abs(dist(pf(0), pf(1)) - dist(orig(0), orig(1))) < 1e-9,
+      "full-rank projection must preserve distances")
+    // loud failures: too few rows, bad k
+    intercept[IllegalArgumentException](Pca.fit(df.limit(1), "embedding", 1))
+    intercept[IllegalArgumentException](Pca.fit(df, "embedding", d + 1))
+  }
+
   test("cosinePairsLsh always surfaces an identical-vector duplicate") {
     // an exact copy shares every sign pattern, so it collides in every
     // band — LSH recall on true duplicates is 1 by construction
