@@ -194,4 +194,35 @@ object Sampling {
     df.withColumn(s"cum_$tokenCol", sum(col(tokenCol)).over(w).cast("long"))
       .filter(col(s"cum_$tokenCol") <= budgetExpr)
   }
+
+  /** Deterministic shard id in [0, nShards) from the first 16 bits of
+    * md5(key) — the export-side twin of [[stratifiedHashSample]]: a
+    * pure function of the key's string rendering, so the same document
+    * lands in the same shard on any cluster, any partitioning, any
+    * engine (the hex→int arithmetic is plain instr/substr both here
+    * and in SQL oracles — no engine-specific hash). Same key-type
+    * contract as hash sampling: integers and strings only (doubles /
+    * timestamps render differently across engines). nShards ≤ 65536
+    * (one md5 nibble-quad of entropy; the mod bias at 65536/n is
+    * ≤ 1/65536 — irrelevant for shard balancing). */
+  def shardAssign(key: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 65536, "nShards must be in [1, 65536]")
+    val hex = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    val digits = lit("0123456789abcdef")
+    def nib(i: Int): Column =
+      (call_function("instr", digits, substring(hex, i, 1)) - lit(1)).cast("long")
+    val v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    pmod(v, lit(nShards.toLong)).cast("int")
+  }
+
+  /** Export the frame as `nShards` hash shards under `path`
+    * (`shard=N/` Hive dirs): one exchange ON THE SHARD ID routes each
+    * shard to one task, so output file count and size stay balanced —
+    * the layout a training data loader wants (shard-per-worker reads,
+    * no small-file explosion, reshard-free appends as long as nShards
+    * is fixed). */
+  def writeShards(df: DataFrame, key: Column, nShards: Int, path: String): Unit =
+    df.withColumn("shard", shardAssign(key, nShards))
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -309,6 +309,13 @@ object Pipeline {
         .select(col("doc_id"), col("split"))
     }),
 
+    // export sharding: engine-independent hash shard id per doc — the
+    // layout a training loader reads shard-per-worker
+    "q_shard" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.operators.Sampling.shardAssign(col("doc_id"), 8).as("shard"))),
+
     // corpus rebalancing: down-sample the dominant language, keep the
     // tail whole — deterministic hash sample, no shuffle
     "q_sample_stratified" -> ((s, dir) =>
@@ -815,6 +822,17 @@ object Pipeline {
             '${TF.Ipv4Re}', '<IP>', 'g'),
             '${TF.PhoneRe}', '<PHONE>', 'g') AS clean_text
           FROM documents""",
+    // shard replica: identical nibble arithmetic over the md5 hex of
+    // the key's string rendering — no engine-specific hash anywhere
+    "q_shard" ->
+      """SELECT doc_id,
+         CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8
+           AS INTEGER) AS shard
+         FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+               FROM documents)""",
     // chained-replace replica of the trie pass — equal because the
     // pattern set is overlap-free (see the q_replace_many query note)
     "q_replace_many" ->

@@ -121,6 +121,29 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Map(("a", 1L) -> 40L, ("a", 2L) -> 80L, ("b", 1L) -> 100L))
   }
 
+  test("shardAssign is balanced, deterministic, in-range; writeShards round-trips") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val counts = df.select(Sampling.shardAssign(col("id"), 8).as("s"))
+      .groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 until 8).toSet, "every shard populated, none out of range")
+    assert(counts.values.forall(c => c > 350 && c < 650),
+      s"md5 sharding should be near-uniform (500 ± 30%): $counts")
+    // pure function of the key: stable under repartitioning
+    val a = df.select(col("id"), Sampling.shardAssign(col("id"), 8).as("s"))
+    val b = df.repartition(13).select(col("id"), Sampling.shardAssign(col("id"), 8).as("s"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // write side: shard=N dirs, full row set preserved, same assignment
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sampling.writeShards(df, col("id"), 4, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4000)
+    assert(back.select(col("id"),
+        (col("shard") === Sampling.shardAssign(col("id"), 4)).as("ok"))
+      .filter(!col("ok")).isEmpty, "persisted shard ids must match the assignment")
+    intercept[IllegalArgumentException](Sampling.shardAssign(col("id"), 0))
+  }
+
   test("int8 quantization bounds, sign, and zero-vector passthrough") {
     import spark.implicits._
     val df = Seq(
