@@ -93,6 +93,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_replace_many, q_shard, q_line_signals stay scan-local — zero exchanges") {
+    // the trie replacer, md5 shard id, and line-ratio HOFs are pure
+    // projections; an exchange would mean document text started
+    // shuffling for what is per-row work
+    for (q <- Seq("q_replace_many", "q_shard", "q_line_signals")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("q_lm_score shuffles keyed rows, never raw text or occurrences") {
+    // two-level (id, token) aggregation + token-key vocab join: every
+    // pre-shuffle aggregate must be partial (map-side combine), and the
+    // scanned text column must not survive into any exchange
+    val p = planOf("q_lm_score")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"raw text must not shuffle:\n$p")
+  }
+
   test("sign-LSH bucket shuffles carry long buckets, not 0/1 strings") {
     // signBanded packs each band's sign bits into a long: the bucket
     // exchange schema must show bucket as bigint (8 bytes/row), never a
