@@ -131,6 +131,25 @@ object Temporal {
     * [[dtToString]] could only format. Strict (ANSI throw on garbage);
     * compose with try_to_timestamp via [[toSparkPattern]] for the
     * permissive variant. */
+  /** Business days (Mon–Fri) in [start, end) — polars
+    * `business_day_count` with the default week mask. Pure integer
+    * arithmetic: full weeks contribute 5 each; the remainder window of
+    * r < 7 days starting on weekday d (0 = Monday) contributes its
+    * non-wrapped weekday positions (min(5, d+r) − min(5, d)) plus the
+    * wrapped ones (max(0, min(5, d+r−7))) — no per-day expansion, no
+    * float, bit-identical on any engine. Requires end ≥ start (callers
+    * order the pair; polars' negative direction is `-count(end, start)`). */
+  def businessDayCount(start: Column, end: Column): Column = {
+    val n = datediff(end, start)
+    val d = weekday(start)
+    val r = n % 7
+    // Column./ is double division; (n−r) is a multiple of 7 well under
+    // 2^53, so the quotient is exact and the int cast is lossless
+    ((n - r) / 7).cast("int") * 5 +
+      greatest(lit(0), least(lit(5), d + r) - least(lit(5), d)) +
+      greatest(lit(0), least(lit(5), d + r - 7))
+  }
+
   def strToInstant(c: Column, fmt: String): Column = {
     val p = toSparkPattern(fmt)
     require(p.contains("XX") || p.contains("zzz"),

@@ -809,6 +809,23 @@ object Relational {
         datediff(d, lit("1995-01-01").cast("date")).cast("long").as("days_since"))
     }),
 
+    // business-day count (polars business_day_count, Mon-Fri mask):
+    // order placement → line shipment lead time in working days, pure
+    // integer closed form — no per-day expansion at any scale
+    "q_business_days" -> ((s, dir) => {
+      import graft.functions.Temporal
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate").cast("date").as("ship"))
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderdate").cast("date").as("ord"))
+      // fact-fact equi-join: shuffles on the order key, AQE picks the
+      // physical strategy (orders is corpus-sized — never broadcast)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("ship") >= col("ord"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Temporal.businessDayCount(col("ord"), col("ship")).as("bdays"))
+    }),
+
     // list namespace over a real list value (split tokens): distinct
     // count / contains / slice+join — all codegen'd array builtins,
     // token split identical to the text-pipeline tokenizer
@@ -1472,6 +1489,24 @@ object Relational {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""",
+    // business-day replica: identical integer closed form — full weeks
+    // ×5 plus the remainder window's weekday positions; isodow−1 is
+    // Spark's weekday() (0 = Monday)
+    "q_business_days" ->
+      """SELECT l_orderkey, l_linenumber,
+         (n - r) // 7 * 5
+           + greatest(0, least(5, d + r) - least(5, d))
+           + greatest(0, least(5, d + r - 7)) AS bdays
+         FROM (
+           SELECT l_orderkey, l_linenumber,
+             date_diff('day', CAST(ord AS DATE), CAST(ship AS DATE)) AS n,
+             isodow(CAST(ord AS DATE)) - 1 AS d,
+             date_diff('day', CAST(ord AS DATE), CAST(ship AS DATE)) % 7 AS r
+           FROM (
+             SELECT l.l_orderkey, l.l_linenumber,
+               l.l_shipdate AS ship, o.o_orderdate AS ord
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)))""",
     "q_rolling_corr" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          CASE WHEN n = 8 AND (8.0*sxx - sx*sx) > 0 AND (8.0*syy - sy*sy) > 0

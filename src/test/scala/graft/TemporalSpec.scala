@@ -5,6 +5,28 @@ import graft.functions.Temporal
 
 class TemporalSpec extends SparkSpec {
 
+  test("businessDayCount: weekday positions in [start, end), hand-checked edges") {
+    import spark.implicits._
+    // (start, end, expected): 2024-01-01 is a Monday
+    val cases = Seq(
+      ("2024-01-01", "2024-01-01", 0), // empty interval
+      ("2024-01-01", "2024-01-05", 4), // Mon..Thu
+      ("2024-01-05", "2024-01-08", 1), // Fri; weekend skipped
+      ("2024-01-06", "2024-01-08", 0), // Sat→Mon: nothing
+      ("2024-01-01", "2024-01-08", 5), // one full week from Monday
+      ("2024-01-06", "2024-01-13", 5), // one full week from Saturday
+      ("2024-01-01", "2024-01-31", 22) // 4 weeks + Mon,Tue remainder
+    )
+    val got = cases.toDF("s", "e", "want")
+      .select(Temporal.businessDayCount(col("s").cast("date"), col("e").cast("date"))
+        .as("got"), col("want"), col("s"), col("e"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"${r.getString(2)}→${r.getString(3)}: got ${r.getInt(0)}, want ${r.getInt(1)}")
+    }
+  }
+
   test("strftime directives translate to Spark patterns with literals quoted") {
     assert(Temporal.toSparkPattern("%Y-%m-%d") == "yyyy-MM-dd")
     assert(Temporal.toSparkPattern("%d/%m/%Y") == "dd/MM/yyyy")
