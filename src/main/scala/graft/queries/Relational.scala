@@ -322,6 +322,20 @@ object Relational {
         substring(col("o_orderpriority"), 1, 3).as("prio_head"),
         substring(col("o_orderpriority"), -3, 3).as("prio_tail"))),
 
+    // str splitn / split_exact (remainder in the last field, the
+    // polars semantics — split_part would clip it) + strip_chars and
+    // strip_prefix: regex and trim primitives both engines execute
+    // byte-identically (no-match extract = '' on both, probed)
+    "q_str_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^(\\S+)", 1).as("w0"),
+        regexp_extract(col("text"), "^\\S+\\s+(\\S+)", 1).as("w1"),
+        regexp_extract(col("text"), "^\\S+\\s+\\S+\\s+(.*)$", 1).as("rest"),
+        btrim(col("text"), lit("aeiou ")).as("stripped"),
+        when(col("text").startsWith("the "), expr("substring(text, 5)"))
+          .otherwise(col("text")).as("noprefix"))),
+
     // dt offset/boundary family (polars offset_by / month_start /
     // month_end / truncate to week): exact calendar arithmetic in both
     // engines; DATE values compared in ISO string form (the parquet
@@ -1682,6 +1696,15 @@ object Relational {
          substr(o_orderpriority, 1, 3) AS prio_head,
          substr(o_orderpriority, -3, 3) AS prio_tail
          FROM orders""",
+    "q_str_split" ->
+      """SELECT doc_id,
+         regexp_extract(text, '^(\S+)', 1) AS w0,
+         regexp_extract(text, '^\S+\s+(\S+)', 1) AS w1,
+         regexp_extract(text, '^\S+\s+\S+\s+(.*)$', 1) AS rest,
+         trim(text, 'aeiou ') AS stripped,
+         CASE WHEN starts_with(text, 'the ') THEN substr(text, 5)
+              ELSE text END AS noprefix
+         FROM documents""",
     "q_dt_offset" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
          SELECT o_orderkey,
