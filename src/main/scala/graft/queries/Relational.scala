@@ -1081,8 +1081,11 @@ object Relational {
     // is engine-independent; null until the window fills or on a
     // degenerate (zero-variance) side
     "q_rolling_corr" -> ((s, dir) => {
+      // (orderkey, linenumber) ties EXIST within a supplier (one order
+      // line per part) — l_partkey completes the total order, without
+      // which the trailing frames are tie-order-dependent
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
         .rowsBetween(-7, Window.currentRow)
       val n = count(lit(1)).over(w)
       val sx = sum(col("l_quantity")).over(w)
@@ -1093,7 +1096,7 @@ object Relational {
       val vx = lit(8.0) * sxx - sx * sx
       val vy = lit(8.0) * syy - sy * sy
       t(s, dir, "lineitem").select(
-        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         when(n === 8 && vx > 0 && vy > 0,
           round((lit(8.0) * sxy - sx * sy) / sqrt(vx * vy), 4) + 0.0).as("rcorr"))
     }),
@@ -1522,13 +1525,13 @@ object Relational {
              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
              WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)))""",
     "q_rolling_corr" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
          CASE WHEN n = 8 AND (8.0*sxx - sx*sx) > 0 AND (8.0*syy - sy*sy) > 0
            THEN round((8.0*sxy - sx*sy)
                       / sqrt((8.0*sxx - sx*sx) * (8.0*syy - sy*sy)), 4) + 0.0
          END AS rcorr
          FROM (
-           SELECT l_suppkey, l_orderkey, l_linenumber,
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
              count(*) OVER w AS n,
              sum(l_quantity) OVER w AS sx,
              sum(l_extendedprice) OVER w AS sy,
@@ -1536,7 +1539,8 @@ object Relational {
              sum(l_extendedprice*l_extendedprice) OVER w AS syy,
              sum(l_quantity*l_extendedprice) OVER w AS sxy
            FROM lineitem
-           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+           WINDOW w AS (PARTITION BY l_suppkey
+                        ORDER BY l_orderkey, l_linenumber, l_partkey
                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))""",
     "q_agg_filter" ->
       """SELECT l_returnflag,
