@@ -104,6 +104,36 @@ object Vocab {
           sum(col("c")), 4).as("lm_score"))
   }
 
+  /** Bigram extension of [[lmScore]]: per-doc average transition
+    * log-likelihood Σ c·ln(c₂(p,w)/c₁(p)) / Σ c over the doc's
+    * adjacent token pairs, with counts from the corpus itself — the
+    * higher-fidelity CCNet-style signal (word-salad docs score low
+    * even when every individual token is common).
+    *
+    * Scale shape: bigrams are built SCAN-SIDE (zip of the token array
+    * with its own tail — no posexplode + per-token window shuffle),
+    * so the only shuffles are the (id, p, w) and (p, w) partial
+    * aggregations plus two vocabulary-sized equi-joins. Docs with < 2
+    * tokens have no transitions and drop out. */
+  def lmScoreBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val m = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("p"), b.as("w")))
+    val bg = docs.select(col(idCol).as("id"), explode(pairs).as("z"))
+      .select(col("id"), col("z.p").as("p"), col("z.w").as("w"))
+    val docBg = bg.groupBy(col("id"), col("p"), col("w")).agg(count(lit(1)).as("c"))
+    val c2 = docBg.groupBy(col("p"), col("w")).agg(sum(col("c")).as("c2"))
+    val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
+    docBg.join(c2, Seq("p", "w")).join(c1, Seq("p"))
+      .groupBy(col("id"))
+      .agg(
+        round(sum(col("c") * log(col("c2").cast("double") / col("c1"))) /
+          sum(col("c")), 4).as("lm2_score"),
+        sum(col("c")).as("n_transitions"))
+  }
+
   /** Per-document word-repetition signals (the Gopher repetition
     * filters): `dup_ratio` = fraction of tokens that are repeats of an
     * earlier token, `top_frac` = share of the single most frequent

@@ -291,6 +291,12 @@ object Pipeline {
       Vocab.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // bigram LM: transition likelihoods catch word salad the unigram
+    // model can't; bigrams built scan-side, no per-token window
+    "q_lm_bigram" -> ((s, dir) =>
+      Vocab.lmScoreBigram(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // near-dup clusters: connected components over the exact-jaccard
     // candidate pairs — the keep-one-per-cluster step after pair finding
     "q_dedup_cluster" -> ((s, dir) =>
@@ -871,6 +877,24 @@ object Pipeline {
       s"""SELECT token, count(*) AS tf, count(DISTINCT id) AS df
           FROM (SELECT doc_id AS id, unnest($TokSql) AS token FROM documents)
           GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+    // bigram-LM replica: same scan-side pair construction (list tail
+    // zip), same two-level counts and count-weighted average
+    "q_lm_bigram" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS l FROM documents),
+         bg AS (
+           SELECT doc_id, z[1] AS p, z[2] AS w
+           FROM (SELECT doc_id,
+                   unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+                 FROM toks WHERE len(l) >= 2)),
+         dbg AS (SELECT doc_id, p, w, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+         c2 AS (SELECT p, w, sum(c) AS c2 FROM dbg GROUP BY p, w),
+         c1 AS (SELECT p, sum(c2) AS c1 FROM c2 GROUP BY p)
+         SELECT dbg.doc_id,
+           round(sum(dbg.c * ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) / sum(dbg.c), 4)
+             AS lm2_score,
+           sum(dbg.c) AS n_transitions
+         FROM dbg JOIN c2 USING (p, w) JOIN c1 USING (p)
+         GROUP BY dbg.doc_id""",
     // unigram-LM replica: identical two-level counts, ln(tf/T) under
     // the corpus's own model, count-weighted average per doc
     "q_lm_score" ->

@@ -92,6 +92,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ref(1L) == r4(math.log(0.9)), "model probabilities, not corpus ones")
   }
 
+  test("lmScoreBigram: transition likelihoods are hand-exact; short docs drop") {
+    import spark.implicits._
+    // corpus bigrams: doc1 "a b a b" → (a,b)×2, (b,a)×1; doc2 "a x" →
+    // (a,x)×1. c2: ab=2, ba=1, ax=1; c1: a=3, b=1.
+    val docs = Seq((1L, "a b a b"), (2L, "a x"), (3L, "solo")).toDF("doc_id", "text")
+    val out = Vocab.lmScoreBigram(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out(1L)._1 == r4((2 * math.log(2.0 / 3) + math.log(1.0)) / 3))
+    assert(out(1L)._2 == 3L)
+    assert(out(2L)._1 == r4(math.log(1.0 / 3)) && out(2L)._2 == 1L)
+    assert(!out.contains(3L), "a one-token doc has no transitions")
+    assert(out(1L)._1 > out(2L)._1, "common transitions must outscore rare ones")
+  }
+
   test("line signals: bullet, ellipsis, and duplicate-line ratios are scan-exact") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
