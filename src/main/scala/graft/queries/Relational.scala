@@ -776,6 +776,35 @@ object Relational {
           coalesce(col("prio_rank"), lit(0)).as("prio_rank"))
     }),
 
+    // polars `replace` (non-strict): mapped values substitute, the
+    // rest PASS THROUGH unchanged (replace_strict above defaults them)
+    // — broadcast map + coalesce to the original column
+    "q_replace" -> ((s, dir) => {
+      val mapping = s.createDataFrame(Seq(
+        ("1-URGENT", "P1"), ("2-HIGH", "P2")))
+        .toDF("o_orderpriority", "mapped")
+      t(s, dir, "orders")
+        .join(broadcast(mapping), Seq("o_orderpriority"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("mapped"), col("o_orderpriority")).as("prio"))
+    }),
+
+    // URL namespace: host / path / query-param extraction — the domain
+    // side of blocklist filtering. The corpus carries no URLs, so the
+    // query builds one deterministically per doc and both engines rip
+    // it apart with the same anchored regexes
+    "q_url_parse" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        regexp_extract(url, "^https?://([^/]+)", 1).as("host"),
+        regexp_extract(url, "^https?://[^/]+([^?]*)", 1).as("path"),
+        regexp_extract(url, "[?&]lang=([^&]*)", 1).as("lang_param"),
+        regexp_extract(url, "^https?://(?:[^/.]+\\.)*([^/.]+\\.[^/.]+)(?:[/?]|$)", 1)
+          .as("registered_domain"))
+    }),
+
     // hist (polars Series.hist): fixed-width value binning + count —
     // single partial-agg pass, bins derived arithmetically (no
     // per-row table lookup)
@@ -1753,6 +1782,26 @@ object Relational {
          FROM orders LEFT JOIN (
            VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3), ('5-LOW', 5)
          ) m(o_orderpriority, prio_rank) USING (o_orderpriority)""",
+    "q_replace" ->
+      """SELECT o_orderkey,
+         CASE o_orderpriority WHEN '1-URGENT' THEN 'P1'
+              WHEN '2-HIGH' THEN 'P2'
+              ELSE o_orderpriority END AS prio
+         FROM orders""",
+    "q_url_parse" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+           FROM documents)
+         SELECT doc_id,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(url,
+             '^https?://(?:[^/.]+\.)*([^/.]+\.[^/.]+)(?:[/?]|$)', 1)
+             AS registered_domain
+         FROM u""",
     "q_hist" ->
       """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) * 100 AS bin_lo, count(*) AS n
          FROM documents GROUP BY 1""",
