@@ -74,6 +74,115 @@ object Bpe {
   private def utf8Len(cp: Int): Int =
     if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
 
+  /** Train a BPE merge table from the corpus (Sennrich et al. 2016) —
+    * the tokenizer-TRAINING half of the kernel family; its output
+    * feeds [[tokenCounts]] / `TextFunctions.bpeTokenCountGpt2`
+    * unchanged.
+    *
+    * Architecture is the standard one for corpus-scale tokenizer
+    * training: the ONLY distributed pass is word counting (two-level
+    * partial aggregation — by Zipf the distinct-word table is
+    * orders of magnitude smaller than the corpus), and merge learning
+    * iterates driver-side over that bounded table. `maxWords` caps the
+    * collect LOUDLY (like [[mergesFrom]]) — the top-`maxWords` words
+    * by count carry virtually all pair mass, the dropped tail is
+    * hapax noise.
+    *
+    * Determinism: the word cut orders by (count desc, word), each
+    * round merges the max-count pair with a lexicographic (left,
+    * right) tie-break, and training stops early when no pair repeats
+    * (count < 2) — the same corpus always yields the same table, on
+    * any cluster. Symbols are marker-mapped code points, exactly the
+    * representation [[tokenCounts]] merges over, so a trained table
+    * and the counting kernel agree on what a symbol is. */
+  def trainMerges(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      byteLevel: Boolean = true,
+      maxWords: Int = 1000000): Seq[(String, String)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    import graft.functions.{TextFunctions => TF}
+    val words =
+      if (byteLevel)
+        docs.select(explode(transform(TF.gpt2Pretokens(col(textCol)),
+          w => translate(w, TF.WsFrom, TF.WsTo))).as("w"))
+      else
+        docs.select(explode(TF.alnumWords(col(textCol))).as("w"))
+    val wc = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords + 1)
+      .collect()
+    require(wc.length <= maxWords,
+      s"distinct-word table exceeds maxWords=$maxWords — raise the cap explicitly " +
+        "if the corpus vocabulary is really this large")
+    // driver-side: words as code-point symbol arrays + counts
+    val syms = wc.map { r =>
+      val w = r.getString(0)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (buf, r.getLong(1))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val pairCounts = new java.util.HashMap[(String, String), java.lang.Long]()
+      syms.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          val prev = pairCounts.get(k)
+          pairCounts.put(k, java.lang.Long.valueOf(if (prev == null) c else prev.longValue + c))
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestC = 1L // require count >= 2: merging a hapax pair is noise
+      val it = pairCounts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue
+        if (c > bestC || (c == bestC && best != null &&
+            implicitly[Ordering[(String, String)]].lt(e.getKey, best))) {
+          best = e.getKey; bestC = c
+        }
+      }
+      if (best == null) continue = false
+      else {
+        merges += best
+        val (a, b) = best
+        syms.foreach { case (s, _) =>
+          var read = 0
+          var write = 0
+          while (read < s.length) {
+            if (read < s.length - 1 && s(read) == a && s(read + 1) == b) {
+              s(write) = a + b; read += 2
+            } else {
+              s(write) = s(read); read += 1
+            }
+            write += 1
+          }
+          s.takeInPlace(write)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The trained table as a (rank, left, right) DataFrame — the shape
+    * [[mergesFrom]] reads back, for persisting a tokenizer to parquet. */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
   /** Rank-priority merge of `syms` in place; returns the surviving
     * symbol count. Lowest-rank adjacent pair present merges first,
     * all its leftmost-non-overlapping occurrences at once — the

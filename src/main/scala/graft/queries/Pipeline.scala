@@ -59,6 +59,16 @@ object Pipeline {
       graft.operators.Bpe.tokenCounts(
         t(s, dir, "documents"), "doc_id", "text", TF.DefaultMerges)),
 
+    // tokenizer TRAINING: learn a 40-merge BPE table from the corpus
+    // itself (rows-only by design — iterative argmax has no SQL
+    // oracle; the Sennrich merge order is spec-pinned on the classic
+    // low/lower/newest/widest corpus). One distributed word-count
+    // pass; merge learning on the Zipf-bounded word table
+    "q_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.mergesDf(s,
+        graft.operators.Bpe.trainMerges(
+          t(s, dir, "documents"), "text", numMerges = 40))),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),

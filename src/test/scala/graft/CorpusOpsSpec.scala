@@ -324,6 +324,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(merged(13L) == 7L && merged(14L) == 14L)
   }
 
+  test("trainMerges learns the Sennrich merge order; trained table drives counting") {
+    import spark.implicits._
+    import graft.operators.Bpe
+    // the classic BPE training corpus: low×5 lower×2 newest×6 widest×3.
+    // Pair mass: (e,s)=9 ties (s,t)=9 → lex picks (e,s); then (es,t)=9;
+    // then (l,o)=7 ties (o,w) → lex picks (l,o)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", numMerges = 3, byteLevel = false)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+    // the trained table plugs straight into the counting kernel:
+    // "lowest" → l o w e s t → (e,s) → (es,t) → (l,o) → lo w est = 3
+    val counted = Bpe.tokenCounts(Seq((9L, "lowest")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, byteLevel = false)
+      .collect()(0).getLong(1)
+    assert(counted == 3L)
+    // persistence round-trip preserves rank order
+    val back = Bpe.mergesFrom(Bpe.mergesDf(spark, merges))
+    assert(back == merges)
+    // training stops when no pair repeats instead of emitting noise
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(tiny, "text", numMerges = 10, byteLevel = false).isEmpty)
+  }
+
   test("BPE merges apply in rank order with whole-symbol boundaries") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
