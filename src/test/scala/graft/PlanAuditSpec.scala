@@ -107,11 +107,24 @@ class PlanAuditSpec extends SparkSpec {
     // two-level (id, token) aggregation + token-key vocab join: every
     // pre-shuffle aggregate must be partial (map-side combine), and the
     // scanned text column must not survive into any exchange
-    val p = planOf("q_lm_score")
-    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
-    val exchanges = p.split("\n").filter(_.contains("Exchange"))
-    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
-      s"raw text must not shuffle:\n$p")
+    for (q <- Seq("q_lm_score", "q_lm_bigram")) {
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q expected hash aggregation:\n$p")
+      val exchanges = p.split("\n").filter(_.contains("Exchange"))
+      assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+        s"$q: raw text must not shuffle:\n$p")
+    }
+  }
+
+  test("q_url_parse is scan-local; q_business_days never forces a fact broadcast") {
+    assert(!planOf("q_url_parse").contains("Exchange"),
+      "URL extraction is per-row work — it must not shuffle")
+    // lineitem×orders is fact-fact: with estimate broadcasts disabled
+    // the join must fall back to a shuffle join, proving no broadcast()
+    // hint pins the corpus-sized side to the driver
+    val p = planNoAutoBroadcast("q_business_days")
+    assert(!p.contains("BroadcastExchange"),
+      s"q_business_days force-broadcasts a fact table:\n$p")
   }
 
   test("sign-LSH bucket shuffles carry long buckets, not 0/1 strings") {

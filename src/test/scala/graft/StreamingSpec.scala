@@ -359,4 +359,27 @@ class StreamingSpec extends SparkSpec {
       assert(kept == Set(1L), "stream gate must keep exactly the batch-kept docs")
     } finally q.stop()
   }
+
+  test("line signals and the trie replacer run unchanged on a stream") {
+    // both are stateless scan-local kernels — streaming them is free
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    docs.addData((1L, "- bullet\nplain spark line\nplain spark line"))
+    val q = docs.toDF().toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        TF.bulletLineRatio(col("text")).as("b"),
+        TF.dupLineRatio(col("text")).as("d"),
+        graft.plans.StringColumns.replaceMany(col("text"),
+          Seq("spark" -> "[X]")).as("scrubbed"))
+      .writeStream.outputMode("append").format("memory").queryName("linesig").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("linesig").collect()(0)
+      assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12)
+      assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-12)
+      assert(r.getString(3).contains("[X]") && !r.getString(3).contains("spark"))
+    } finally q.stop()
+  }
 }
