@@ -370,8 +370,14 @@ object Pipeline {
     "q_embed_pca" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = graft.operators.Pca.fit(emb, "embedding", k = 8)
+      // project the whitened vector to rounded scalar components so the
+      // driver's rows-only sort can hash the output (arrays are not
+      // sortable on the pandas side); sign of each axis is fixed by the
+      // eigensolver's deterministic orientation
       graft.operators.Pca.transform(emb, "embedding", model, "pca", whiten = true)
-        .select(col("vec_id"), col("pca"))
+        .select(
+          col("vec_id") +: (1 to 8).map(i =>
+            round(element_at(col("pca"), i), 4).as(s"pca_$i")): _*)
     }),
 
     // symmetric int8 embedding quantization: 4× smaller vectors for the
@@ -902,7 +908,7 @@ object Pipeline {
          SELECT dbg.doc_id,
            round(sum(dbg.c * ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) / sum(dbg.c), 4)
              AS lm2_score,
-           sum(dbg.c) AS n_transitions
+           CAST(sum(dbg.c) AS BIGINT) AS n_transitions
          FROM dbg JOIN c2 USING (p, w) JOIN c1 USING (p)
          GROUP BY dbg.doc_id""",
     // unigram-LM replica: identical two-level counts, ln(tf/T) under

@@ -108,7 +108,13 @@ object Relational {
     "q_distinct_keep" -> ((s, dir) => {
       val ds = graft.core.GDataset(
         t(s, dir, "orders").select(
-          col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice")),
+          // output as NTZ wall-clock: the harness renders DuckDB's
+          // date/timestamp as datetime64 while parquet date32 reads
+          // back as datetime.date — the NTZ form is the one both
+          // engines stringify identically
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_totalprice")),
         "o_orderkey", Seq("o_custkey"))
       val last = ds.unique(Seq("o_custkey"), "last",
         Seq(col("o_orderdate"), col("o_orderkey"))).df
