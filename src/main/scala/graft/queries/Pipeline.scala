@@ -69,6 +69,29 @@ object Pipeline {
         graft.operators.Bpe.trainMerges(
           t(s, dir, "documents"), "text", numMerges = 40))),
 
+    // SentencePiece-unigram tokenizer TRAINING (Kudo 2018, hard-EM
+    // variant): seed substrings → Viterbi E-step / count-normalize
+    // M-step → prune to the target vocab. Rows-only by design (the EM
+    // fixpoint has no SQL oracle); determinism, monotone objective and
+    // Viterbi optimality vs brute-force enumeration are spec-pinned
+    "q_sp_train" -> ((s, dir) =>
+      graft.operators.Unigram.piecesDf(s,
+        graft.operators.Unigram.train(
+          t(s, dir, "documents"), "text", vocabSize = 120))
+        .select(col("rank"), col("piece"), round(col("logp"), 6).as("logp"))),
+
+    // unigram-LM token counting under the trained vocabulary: Viterbi
+    // segmentation against a broadcast piece table with a per-partition
+    // distinct-pretoken memo — the q_token_bpe operator shape for the
+    // second production tokenizer family. Rows-only by design (Viterbi
+    // has no SQL oracle); segmentation optimality and count bounds are
+    // spec-pinned
+    "q_token_sp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pieces = graft.operators.Unigram.train(docs, "text", vocabSize = 120)
+      graft.operators.Unigram.tokenCounts(docs, "doc_id", "text", pieces)
+    }),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
