@@ -236,6 +236,17 @@ object Pipeline {
         "vec_id", "embedding", k = 5)
     }),
 
+    // product quantization + ADC with exact rerank: ~32× vector
+    // compression for the recall stage (codes shuffle, floats never
+    // do). Rows-only: the trained sub-codebooks aren't expressible in
+    // DuckDB; recall vs brute force and the codebook round trip are
+    // spec-pinned (SimilaritySpec).
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Pq.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, rerank = 50)
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(media).select(col("media_id"), col("n_bytes"))

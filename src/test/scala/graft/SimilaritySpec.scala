@@ -318,6 +318,41 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Pca.fit(df, "embedding", d + 1))
   }
 
+  test("pq ADC recall >= 0.6 vs brute force; exact rerank only improves it") {
+    import graft.operators.Pq
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Pq.pqTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pq ADC recall $recall")
+    val rr = Pq.pqTopK(emb, queries, "vec_id", "embedding", k = 5, rerank = 50)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = (exact & rr).size.toDouble / exact.size
+    assert(rrRecall >= recall, s"rerank recall $rrRecall < ADC recall $recall")
+    assert(rrRecall >= 0.8, s"reranked recall $rrRecall")
+  }
+
+  test("pq codebook persists round-trip; frozen-codebook encode is deterministic") {
+    import graft.operators.Pq
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val back = Pq.codebooksFrom(Pq.codebookDf(spark, cb))
+    assert(back.length == cb.length)
+    cb.zip(back).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+    // same codebook → bit-identical codes (the incremental-append
+    // contract: a new batch encodes against the frozen codebook)
+    val c1 = Pq.encode(emb, "vec_id", "embedding", cb)
+      .orderBy("cid").collect().map(_.getSeq[Int](1))
+    val c2 = Pq.encode(emb, "vec_id", "embedding", back)
+      .orderBy("cid").collect().map(_.getSeq[Int](1))
+    assert(c1.zip(c2).forall { case (a, b) => a == b })
+    assert(c1.forall(codes => codes.length == 8 && codes.forall(c => c >= 0 && c < 16)))
+  }
+
   test("cosinePairsLsh always surfaces an identical-vector duplicate") {
     // an exact copy shares every sign pattern, so it collides in every
     // band — LSH recall on true duplicates is 1 by construction
