@@ -174,4 +174,39 @@ object Pca {
     }
     df.withColumn(outCol, array(projections: _*))
   }
+
+  /** The model as a tiny (kind, idx, vec) DataFrame for parquet
+    * persistence — the IVF-centroid/PQ-codebook contract: fit ONCE on
+    * a bounded pass, store the artifact, and project every future
+    * ingest batch against the frozen model ([[modelFrom]] reads it
+    * back bit-identically, so reloaded transforms are bit-equal). */
+  def modelDf(spark: org.apache.spark.sql.SparkSession, model: PcaModel): DataFrame = {
+    import spark.implicits._
+    val rows =
+      Seq(("mean", 0, model.mean.toSeq), ("eigenvalues", 0, model.eigenvalues.toSeq)) ++
+        model.components.zipWithIndex.map { case (c, i) => ("component", i, c.toSeq) }
+    rows.toDF("kind", "idx", "vec")
+  }
+
+  /** Read a persisted model back. Bounded by construction (k + 2
+    * rows); malformed tables fail loudly. */
+  def modelFrom(df: DataFrame, maxRows: Int = 4096): PcaModel = {
+    val rows = df.select(col("kind"), col("idx"), col("vec"))
+      .orderBy(col("kind"), col("idx"))
+      .limit(maxRows + 1)
+      .collect()
+    require(rows.length <= maxRows,
+      s"PCA model table exceeds maxRows=$maxRows — is this really a model?")
+    def vecsOf(kind: String) = rows.filter(_.getString(0) == kind)
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    val mean = vecsOf("mean")
+    val eig = vecsOf("eigenvalues")
+    val comps = vecsOf("component")
+    require(mean.length == 1 && eig.length == 1 && comps.nonEmpty,
+      s"malformed PCA model table: ${mean.length} mean / ${eig.length} eigenvalue " +
+        s"/ ${comps.length} component rows")
+    require(eig.head.length == comps.length,
+      s"eigenvalue count ${eig.head.length} != component count ${comps.length}")
+    PcaModel(mean.head, comps, eig.head)
+  }
 }

@@ -318,6 +318,26 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Pca.fit(df, "embedding", d + 1))
   }
 
+  test("PCA model persists round-trip; reloaded transform is bit-equal") {
+    import graft.operators.Pca
+    val model = Pca.fit(emb, "embedding", k = 8)
+    val back = Pca.modelFrom(Pca.modelDf(spark, model))
+    assert(back.mean.sameElements(model.mean))
+    assert(back.eigenvalues.sameElements(model.eigenvalues))
+    assert(back.components.length == model.components.length)
+    back.components.zip(model.components).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+    // the projection of a reloaded model is bit-equal to the original's
+    def proj(m: Pca.PcaModel) =
+      Pca.transform(emb, "embedding", m, "p", whiten = true)
+        .orderBy("vec_id").select("p").collect().map(_.getSeq[Double](0))
+    assert(proj(model).zip(proj(back)).forall { case (a, b) => a == b })
+    // malformed tables fail loudly, not silently
+    intercept[IllegalArgumentException](
+      Pca.modelFrom(Pca.modelDf(spark, model).filter(col("kind") =!= "mean")))
+  }
+
   test("pq ADC recall >= 0.6 vs brute force; exact rerank only improves it") {
     import graft.operators.Pq
     val queries = emb.filter(col("vec_id") < 20)
