@@ -156,4 +156,29 @@ object Temporal {
       s"strToInstant: format '$fmt' carries no %z/%Z offset — use strToTimestamp")
     to_timestamp(c, p).cast("timestamp_ntz")
   }
+
+  /** polars group_by_dynamic bucket start with `offset` / `closed`
+    * parity: windows of `every` seconds shifted by `offset` seconds
+    * from the epoch grid; `closed` = "left" buckets [start, end) (the
+    * polars default), "right" buckets (start, end] — a timestamp
+    * exactly on a boundary belongs to the window ENDING there. Pure
+    * integer epoch arithmetic on µs longs (floor-mod, negative-safe),
+    * identical in any engine — no date_trunc unit table to match.
+    * Scan-local; the caller groups by the result, so the only shuffle
+    * is the aggregation's own. */
+  def dynamicBucket(ts: Column, everySeconds: Long, offsetSeconds: Long = 0L,
+      closed: String = "left"): Column = {
+    require(everySeconds > 0, "every must be positive")
+    require(closed == "left" || closed == "right", s"closed must be left|right, got $closed")
+    val everyUs = everySeconds * 1000000L
+    val offsetUs = offsetSeconds * 1000000L
+    // closed=right: shift an exact-boundary timestamp into the earlier
+    // window by bucketing (ts − 1µs)
+    val us = unix_micros(ts.cast("timestamp")) -
+      (if (closed == "right") lit(1L) else lit(0L))
+    val rel = us - offsetUs
+    // floor-mod so pre-1970 timestamps bucket correctly too
+    val start = rel - pmod(rel, lit(everyUs)) + offsetUs
+    timestamp_micros(start).cast("timestamp_ntz")
+  }
 }

@@ -240,6 +240,28 @@ object Relational {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
     }),
 
+    // group_by_dynamic `offset` parity: 1-hour windows anchored 15 min
+    // off the epoch grid. Pure integer epoch-µs floor-mod arithmetic
+    // (Temporal.dynamicBucket) — identical in any engine, scan-local
+    "q_time_bucket_offset" -> ((s, dir) => {
+      import graft.functions.Temporal
+      t(s, dir, "events")
+        .groupBy(Temporal.dynamicBucket(col("ts"), 3600, 900).as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    }),
+
+    // group_by_dynamic `closed="right"` parity: (start, end] windows —
+    // a timestamp exactly on a boundary belongs to the window ENDING
+    // there (bucket of ts − 1µs), vs the closed-left default
+    "q_time_bucket_closed" -> ((s, dir) => {
+      import graft.functions.Temporal
+      t(s, dir, "events")
+        .groupBy(Temporal.dynamicBucket(col("ts"), 3600, 0, "right").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    }),
+
     // overlapping sliding windows (polars group_by_dynamic with
     // every < period): 2-hour windows sliding by 1 hour, so each event
     // lands in two buckets. Spark's window() is epoch-aligned, hence
@@ -652,6 +674,28 @@ object Relational {
         least(col("l_tax"), col("l_discount")).as("hmin"),
         (col("l_tax") + col("l_discount")).as("hsum"),
         ((col("l_tax") + col("l_discount")) / 2).as("hmean"))),
+
+    // generic horizontal fold / reduce / cum_reduce (polars pl.fold /
+    // pl.reduce / pl.cum_reduce): arbitrary-expression accumulators
+    // composed at plan time into one fused codegen'd row expression.
+    // Float association is identical in both engines: the fold seeds
+    // (0.0 + x) / (1.0 * x), which are bit-exact identities
+    "q_h_fold" -> ((s, dir) => {
+      import graft.functions.Horizontal
+      val cum = Horizontal.cumReduce(
+        (a, x) => greatest(a, x),
+        Seq(col("l_tax"), col("l_discount")), Seq("r_tax", "r_td"))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Horizontal.fold(lit(0.0), (a, x) => a + x * x,
+          Seq(col("l_tax"), col("l_discount"), col("l_quantity"))), 6).as("sumsq"),
+        round(Horizontal.fold(lit(1.0), (a, x) => a * (lit(1.0) + x),
+          Seq(col("l_tax"), col("l_discount"))), 6).as("chain"),
+        Horizontal.reduce((a, x) => least(a, x),
+          Seq(col("l_tax"), col("l_discount"))).as("hleast"),
+        cum.getField("r_tax").as("r_tax"),
+        cum.getField("r_td").as("r_td"))
+    }),
 
     // list namespace over the embedding array: len / element / min / max
     // (comparisons only — no float arithmetic to diverge on)
@@ -1380,6 +1424,18 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS bucket, event_type,
          count(*) AS n, round(sum(value),2) AS total
          FROM events GROUP BY 1, 2""",
+    // same integer floor-mod epoch-µs arithmetic as Temporal.dynamicBucket
+    "q_time_bucket_offset" ->
+      """SELECT make_timestamp(r - (((r - 900000000) % 3600000000
+             + 3600000000) % 3600000000) ) AS bucket,
+         event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM (SELECT epoch_us(ts) AS r, event_type, value FROM events)
+         GROUP BY 1, 2""",
+    "q_time_bucket_closed" ->
+      """SELECT make_timestamp(r - ((r % 3600000000 + 3600000000) % 3600000000)) AS bucket,
+         event_type, count(*) AS n, round(sum(value), 2) AS total
+         FROM (SELECT epoch_us(ts) - 1 AS r, event_type, value FROM events)
+         GROUP BY 1, 2""",
     "q_window_sliding" ->
       """SELECT bucket, event_type, count(*) AS n, round(sum(value), 2) AS total
          FROM (
@@ -1633,6 +1689,16 @@ object Relational {
          least(l_tax, l_discount) AS hmin,
          l_tax + l_discount AS hsum,
          (l_tax + l_discount) / 2 AS hmean
+         FROM lineitem""",
+    // fold seeds (0.0 + x) / (1.0 * x) are bit-exact identities, so the
+    // plain left-to-right SQL expressions associate identically
+    "q_h_fold" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_tax*l_tax + l_discount*l_discount + l_quantity*l_quantity, 6) AS sumsq,
+         round((1.0 + l_tax) * (1.0 + l_discount), 6) AS chain,
+         least(l_tax, l_discount) AS hleast,
+         l_tax AS r_tax,
+         greatest(l_tax, l_discount) AS r_td
          FROM lineitem""",
     "q_list_ops" ->
       """SELECT vec_id,

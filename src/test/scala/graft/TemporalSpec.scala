@@ -110,4 +110,60 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Temporal.strToInstant(col("s"), "%Y-%m-%d %H:%M:%S"))
   }
+
+  test("dynamicBucket: offset anchoring, closed-right boundaries, trunc equivalence") {
+    import spark.implicits._
+    def buckets(closed: String, offset: Long = 0L): Seq[String] =
+      Seq("2024-03-01 10:00:00", "2024-03-01 10:14:59.999999",
+        "2024-03-01 10:15:00", "2024-03-01 10:59:59", "2024-03-01 11:00:00")
+        .toDF("s")
+        .select(Temporal.dynamicBucket(
+          col("s").cast("timestamp_ntz"), 3600, offset, closed).cast("string"))
+        .collect().map(_.getString(0)).toSeq
+    // closed=left (default): [start, end) — 11:00 opens a new bucket
+    assert(buckets("left") == Seq(
+      "2024-03-01 10:00:00", "2024-03-01 10:00:00", "2024-03-01 10:00:00",
+      "2024-03-01 10:00:00", "2024-03-01 11:00:00"))
+    // closed=right: (start, end] — 10:00 and 11:00 fall to the PREVIOUS window
+    assert(buckets("right") == Seq(
+      "2024-03-01 09:00:00", "2024-03-01 10:00:00", "2024-03-01 10:00:00",
+      "2024-03-01 10:00:00", "2024-03-01 10:00:00"))
+    // offset=15min: windows anchor at :15 — 10:14:59 still belongs to 09:15
+    assert(buckets("left", offset = 900) == Seq(
+      "2024-03-01 09:15:00", "2024-03-01 09:15:00", "2024-03-01 10:15:00",
+      "2024-03-01 10:15:00", "2024-03-01 10:15:00"))
+    // zero offset + closed-left degenerates to date_trunc on real data
+    val ev = Tables.t(spark, Sf, "events")
+    val diff = ev.select(
+        Temporal.dynamicBucket(col("ts"), 3600).as("a"),
+        date_trunc("hour", col("ts")).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(diff == 0)
+    // pre-epoch timestamps floor-mod correctly (no toward-zero bias)
+    val pre = Seq("1969-12-31 23:30:00").toDF("s")
+      .select(Temporal.dynamicBucket(col("s").cast("timestamp_ntz"), 3600).cast("string"))
+      .collect()(0).getString(0)
+    assert(pre == "1969-12-31 23:00:00")
+  }
+
+  test("Horizontal fold/reduce/cum_reduce compose arbitrary accumulators") {
+    import spark.implicits._
+    import graft.functions.Horizontal
+    val df = Seq((2.0, 3.0, 4.0)).toDF("a", "b", "c")
+    val cols = Seq(col("a"), col("b"), col("c"))
+    val out = df.select(
+      Horizontal.fold(lit(0.0), (acc, x) => acc + x * x, cols).as("sumsq"),
+      Horizontal.fold(lit(1.0), (acc, x) => acc * x, cols).as("prod"),
+      Horizontal.reduce((acc, x) => greatest(acc, x), cols).as("hmax"),
+      Horizontal.cumReduce((acc, x) => acc + x, cols, Seq("r1", "r2", "r3")).as("cr"))
+      .collect()(0)
+    assert(out.getDouble(0) == 4.0 + 9.0 + 16.0)
+    assert(out.getDouble(1) == 24.0)
+    assert(out.getDouble(2) == 4.0)
+    val cr = out.getStruct(3)
+    assert((cr.getDouble(0), cr.getDouble(1), cr.getDouble(2)) == ((2.0, 5.0, 9.0)))
+    intercept[IllegalArgumentException](Horizontal.fold(lit(0), (a, x) => a + x, Nil))
+    intercept[IllegalArgumentException](
+      Horizontal.cumReduce((a, x) => a + x, cols, Seq("only-two", "names")))
+  }
 }
