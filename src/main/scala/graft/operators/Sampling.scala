@@ -153,13 +153,21 @@ object Sampling {
       totalTokens: Long,
       maxDomains: Int = 100000): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
-    val counts = df.groupBy(domain.as("__dom"))
-      .agg(sum(col(tokenCol)).cast("double").as("__n"))
+    // NULL domains are excluded up front: tokenMixture matches on the
+    // string rendering, where SQL NULL can never equal a weight key —
+    // counting them here would silently build a weight no row can
+    // claim (and a "null" string key would collide with a real domain
+    // literally named "null")
+    val counts = df.filter(domain.isNotNull)
+      .groupBy(domain.as("__dom"))
+      // a domain whose token counts are all NULL sums to NULL → weight
+      // 0, dropped from the mixture deterministically instead of NPE
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).cast("double").as("__n"))
       .limit(maxDomains + 1)
       .collect()
     require(counts.length <= maxDomains,
       s"more than $maxDomains domains — is the domain column really a domain?")
-    require(counts.nonEmpty, "no domains to mix")
+    require(counts.nonEmpty, "no non-null domains to mix")
     val weights = counts.map { r =>
       val w = if (alpha == 0.5) math.sqrt(r.getDouble(1)) else math.pow(r.getDouble(1), alpha)
       String.valueOf(r.get(0)) -> w
@@ -223,6 +231,12 @@ object Sampling {
     * is fixed). */
   def writeShards(df: DataFrame, key: Column, nShards: Int, path: String): Unit =
     df.withColumn("shard", shardAssign(key, nShards))
-      .repartition(nShards, col("shard"))
+      // RANGE partitioning, not hash: hash(shardId) % nShards doesn't
+      // bijectively map nShards distinct ids to nShards partitions, so
+      // colliding ids would pack two shards into one task and leave
+      // others empty. Range boundaries over the int ids give each task
+      // (at most) one contiguous id — the one-task-per-shard balance
+      // the file-count bound promises.
+      .repartitionByRange(nShards, col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -109,6 +109,24 @@ class SamplingSpec extends SparkSpec {
         Seq(col("ord")), "n_tok", 0.5, 1000))
   }
 
+  test("temperatureMixture: NULL domains are excluded, all-NULL token sums don't crash") {
+    import spark.implicits._
+    val df = Seq(
+      ("a1", Some("a"), Some(100L), 1L), ("a2", Some("a"), Some(100L), 2L),
+      ("x1", None, Some(500L), 1L),            // null domain: excluded
+      ("b1", Some("b"), None: Option[Long], 1L) // domain with only NULL counts
+    ).toDF("doc", "domain", "n_tok", "ord")
+    val kept = Sampling.temperatureMixture(df, col("domain"), Seq(col("ord")),
+        "n_tok", 1.0, totalTokens = 200)
+      .select("doc").collect().map(_.getString(0)).toSet
+    // domain a gets the whole budget (b weighs 0, null domain never counts)
+    assert(kept == Set("a1", "a2"))
+    // all rows null-domain → loud, not a silent empty mixture
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMixture(df.filter(col("domain").isNull), col("domain"),
+        Seq(col("ord")), "n_tok", 0.5, 1000))
+  }
+
   test("budgetPerStratum keeps a prefix per stratum within the budget") {
     import spark.implicits._
     val df = Seq(
