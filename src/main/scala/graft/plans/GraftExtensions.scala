@@ -13,10 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `GraftFunctions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // restores parquet pushdown for date predicates over the
+    // DATE-normalized view of timestamp[us] columns (Tables.t)
+    ext.injectOptimizerRule(_ => UnwrapDateCastComparison)
+  }
 }
 
 object GraftFunctions {

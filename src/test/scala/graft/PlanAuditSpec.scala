@@ -17,8 +17,30 @@ class PlanAuditSpec extends SparkSpec {
       .explainString(FormattedMode)
 
   test("q1_agg pushes the shipdate filter into the parquet scan") {
+    // the column is DATE-normalized over a timestamp[us] physical type,
+    // so the pushed predicate is the unwrap rule's raw-timestamp form
+    // (LessThan at next midnight), not the user's date LessThanOrEqual
     val p = planOf("q1_agg")
-    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed to scan")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate"), s"filter not pushed to scan: $pushed")
+  }
+
+  test("UnwrapDateCastComparison turns date-cast predicates into pushable timestamp ranges") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, Sf, "lineitem")
+    // <= date d pushes as ts < midnight(d+1); >= pushes as ts >= midnight(d)
+    val p = li.filter(col("l_shipdate") <= lit("1997-06-15") &&
+        col("l_shipdate") >= lit("1996-01-01"))
+      .select(col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(l_shipdate") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date-cast filter did not reach PushedFilters: $p")
+    // semantics unchanged by the rewrite: same rows as the unpushable
+    // post-scan form
+    val rewritten = li.filter(col("l_shipdate") <= lit("1997-06-15")).count()
+    val reference = li.filter(
+      expr("cast(cast(l_shipdate as string) as date) <= date'1997-06-15'")).count()
+    assert(rewritten == reference, s"$rewritten != $reference")
   }
 
   test("scans are column-pruned to what the query needs") {
