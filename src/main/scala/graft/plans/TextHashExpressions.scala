@@ -116,6 +116,75 @@ object TextHash {
       Array[Any](n, top, n2, dup2))
   }
 
+  private def gramKey(toks: Array[UTF8String], start: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks(start + j).toString)
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** One-pass duplicate-n-gram counters for arbitrary n
+    * ([[NgramDupStats]]): gram keys are the exact space-joined token
+    * strings (the repetitionKernel convention — no hash-collision
+    * caveat vs a SQL `count(DISTINCT gram)` replica). */
+  def ngramDupKernel(input: UTF8String, n: Int): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = whitespaceTokens(input)
+    val nG = math.max(toks.length - n + 1, 0)
+    var dup = 0
+    if (nG > 0) {
+      val seen = new java.util.HashSet[String](nG * 2)
+      var i = 0
+      while (i < nG) {
+        if (!seen.add(gramKey(toks, i, n))) dup += 1
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nG, dup))
+  }
+
+  /** Fraction of token characters covered by n-grams that occur more
+    * than once in the document ([[DupNgramCharFrac]]) — the Gopher
+    * repetition signal for n ∈ 5..10: each covered token's characters
+    * count ONCE however many duplicate grams overlap it. Two passes
+    * over the (in-memory) token array, scan-local. */
+  def dupCharFracKernel(input: UTF8String, n: Int): Double = {
+    val toks = whitespaceTokens(input)
+    val total = toks.length
+    val nG = total - n + 1
+    var totalChars = 0L
+    var i = 0
+    while (i < total) { totalChars += toks(i).numChars(); i += 1 }
+    if (nG <= 0 || totalChars == 0L) return 0.0
+    val counts = new java.util.HashMap[String, Integer](nG * 2)
+    val keys = new Array[String](nG)
+    i = 0
+    while (i < nG) {
+      val k = gramKey(toks, i, n)
+      keys(i) = k
+      val prev = counts.get(k)
+      counts.put(k, Integer.valueOf(if (prev == null) 1 else prev.intValue + 1))
+      i += 1
+    }
+    val covered = new Array[Boolean](total)
+    i = 0
+    while (i < nG) {
+      if (counts.get(keys(i)).intValue > 1) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var c = 0L
+    i = 0
+    while (i < total) { if (covered(i)) c += toks(i).numChars(); i += 1 }
+    c.toDouble / totalChars
+  }
+
   /** Positional shingles for duplicate-SPAN detection: one
     * (hash, charStart, charEnd) struct per shingle position — NOT
     * de-duplicated (position matters), with the covered character range
@@ -309,6 +378,48 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Duplicate-n-gram counters for arbitrary n (the 2-gram case is
+  * [[RepetitionStats]]): struct<n_ngrams, n_dup_ngrams>. One pass per
+  * row, scan-local — same design note as RepetitionStats. */
+case class NgramDupStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, "n-gram n must be >= 2")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", IntegerType, nullable = false),
+    StructField("n_dup_ngrams", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.ngramDupKernel(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.ngramDupKernel($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Gopher duplicate-n-gram CHARACTER coverage: the fraction of token
+  * characters inside any n-gram that occurs more than once (each char
+  * counted once). */
+case class DupNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, "n-gram n must be >= 2")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.dupCharFracKernel(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.dupCharFracKernel($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashColumns {
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
     GraftShim.column(MinHashSignature(GraftShim.expression(text), shingleN, numHashes))
@@ -324,4 +435,10 @@ object TextHashColumns {
 
   def repetitionStats(text: Column): Column =
     GraftShim.column(RepetitionStats(GraftShim.expression(text)))
+
+  def ngramDupStats(text: Column, n: Int): Column =
+    GraftShim.column(NgramDupStats(GraftShim.expression(text), n))
+
+  def dupNgramCharFrac(text: Column, n: Int): Column =
+    GraftShim.column(DupNgramCharFrac(GraftShim.expression(text), n))
 }

@@ -146,6 +146,23 @@ object Pipeline {
             col("__r.n_dup_2grams").cast("double") / col("__r.n_2grams"))
             .otherwise(0.0), 4) + 0.0).as("dup_2gram_frac"))),
 
+    // Gopher duplicate-n-gram fractions for n=3,4 via the parametrized
+    // native kernel (the 2-gram case is q_repetition_2gram) — same
+    // scan-local one-pass design, zero token shuffle
+    "q_repetition_ngram" -> ((s, dir) => {
+      val g3 = graft.plans.TextHashColumns.ngramDupStats(col("text"), 3)
+      val g4 = graft.plans.TextHashColumns.ngramDupStats(col("text"), 4)
+      def frac(g: org.apache.spark.sql.Column) =
+        round(when(g.getField("n_ngrams") > 0,
+          g.getField("n_dup_ngrams").cast("double") / g.getField("n_ngrams"))
+          .otherwise(0.0), 4) + 0.0
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        g3.getField("n_ngrams").as("n_3grams"),
+        frac(g3).as("dup_3gram_frac"),
+        frac(g4).as("dup_4gram_frac"))
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)),
@@ -677,6 +694,34 @@ object Pipeline {
                   THEN gr.dup2 / CAST(gr.n2 AS DOUBLE) ELSE 0 END, 4) + 0.0
               AS dup_2gram_frac
           FROM t0 LEFT JOIN uni USING (doc_id) LEFT JOIN gr USING (doc_id)""",
+    // 3/4-gram replicas of the 2-gram duplicate-fraction oracle
+    "q_repetition_ngram" ->
+      s"""WITH t0 AS (SELECT doc_id, $TokSql AS t FROM documents),
+          g3 AS (
+            SELECT doc_id, count(*) AS n3,
+                   count(*) - count(DISTINCT g) AS dup3 FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+              FROM t0)
+            GROUP BY doc_id),
+          g4 AS (
+            SELECT doc_id, count(*) AS n4,
+                   count(*) - count(DISTINCT g) AS dup4 FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS g
+              FROM t0)
+            GROUP BY doc_id)
+          SELECT t0.doc_id,
+            CAST(coalesce(g3.n3, 0) AS INT) AS n_3grams,
+            round(CASE WHEN coalesce(g3.n3, 0) > 0
+                  THEN g3.dup3 / CAST(g3.n3 AS DOUBLE) ELSE 0 END, 4) + 0.0
+              AS dup_3gram_frac,
+            round(CASE WHEN coalesce(g4.n4, 0) > 0
+                  THEN g4.dup4 / CAST(g4.n4 AS DOUBLE) ELSE 0 END, 4) + 0.0
+              AS dup_4gram_frac
+          FROM t0 LEFT JOIN g3 USING (doc_id) LEFT JOIN g4 USING (doc_id)""",
     // quality-ordered token budget: the BEST documents fill each
     // language's budget first; the 4dp-rounded score is bit-identical
     // in both engines, so the cut order is deterministic

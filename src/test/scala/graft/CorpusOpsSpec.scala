@@ -580,4 +580,36 @@ class CorpusOpsSpec extends SparkSpec {
       shingleN = 3, minSpanTokens = 10)
     assert(spans.count() == 0, spans.collect().mkString(","))
   }
+
+  test("ngramDupStats and dupNgramCharFrac are hand-exact, n-parametrized, edge-safe") {
+    import spark.implicits._
+    import graft.plans.TextHashColumns._
+    // tokens a b a b a b c: 3-grams aba bab aba bab abc → 5 grams, 2 dups;
+    // 4-grams abab baba abab babc → 4 grams, 1 dup
+    val df = Seq((1L, "a b a b a b c"), (2L, "a b"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = df.select(
+        col("doc_id"),
+        ngramDupStats(col("text"), 3).as("g3"),
+        ngramDupStats(col("text"), 4).as("g4"),
+        dupNgramCharFrac(col("text"), 2).as("cf2"),
+        dupNgramCharFrac(col("text"), 5).as("cf5"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getStruct(1).getInt(0) == 5 && out(0).getStruct(1).getInt(1) == 2)
+    assert(out(0).getStruct(2).getInt(0) == 4 && out(0).getStruct(2).getInt(1) == 1)
+    // 2-grams ab ba ab ba ab bc: ab×3 and ba×2 repeat, covering tokens
+    // 0..5 of 7 single-char tokens → 6/7; all 5-grams distinct → 0
+    assert(math.abs(out(0).getDouble(3) - 6.0 / 7.0) < 1e-12)
+    assert(out(0).getDouble(4) == 0.0)
+    // short doc: no 3-grams, zero fractions; null text stays null
+    assert(out(1).getStruct(1).getInt(0) == 0 && out(1).getDouble(3) == 0.0)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(3))
+    // multi-byte chars count as chars, not bytes
+    val de = Seq((1L, "ää bb ää bb ää")).toDF("doc_id", "text")
+      .select(dupNgramCharFrac(col("text"), 2)).collect()(0).getDouble(0)
+    assert(de == 1.0, s"every token sits in a repeated 2-gram: $de")
+    // n must be sensible
+    intercept[IllegalArgumentException](
+      df.select(ngramDupStats(col("text"), 1)).collect())
+  }
 }

@@ -105,6 +105,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"BPE counting shuffles:\n$p")
   }
 
+  test("q_token_sp Viterbi counting stays scan-local — zero exchanges") {
+    // segmentation is per-row work against a broadcast piece table (the
+    // q_token_bpe contract for the unigram family); training is driver-
+    // side, so the counting plan itself must not shuffle
+    val p = planOf("q_token_sp")
+    assert(!p.contains("Exchange"), s"unigram counting shuffles:\n$p")
+  }
+
+  test("q_h_fold horizontal accumulators stay scan-local — zero exchanges") {
+    val p = planOf("q_h_fold")
+    assert(!p.contains("Exchange"), s"horizontal fold shuffles:\n$p")
+  }
+
+  test("q_time_bucket_offset pays exactly one aggregation shuffle") {
+    // the bucket is scan-side integer arithmetic; the only exchange is
+    // the groupBy's own (AQE wraps it, so count Exchange occurrences)
+    val p = planOf("q_time_bucket_offset")
+    // FormattedMode lists each node once as a "(n) Exchange" detail header
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("q_ann_pq: corpus codes stream through broadcast joins only") {
+    // ADC scoring and the rerank attach broadcast the (small) query
+    // side; a shuffle of the encoded corpus would mean the broadcast
+    // contract broke. SortMergeJoin anywhere = corpus-side shuffle.
+    val p = planOf("q_ann_pq")
+    assert(!p.contains("SortMergeJoin"), s"PQ corpus side shuffles into a join:\n$p")
+  }
+
   test("q_repetition_2gram and q_dt_round stay scan-local — zero exchanges") {
     // the native repetition kernel and integer dt.round are projections;
     // any exchange means token text started shuffling (the thing the
