@@ -549,6 +549,20 @@ object Dedup {
       .drop("__dl_id", "__drop_pos")
   }
 
+  /** Paragraph-level exact dedup — the CCNet granularity between
+    * [[dedupLines]] units and whole-document hashes: units are
+    * blank-line-separated paragraphs, every repeated paragraph keeps
+    * its first (doc, position) occurrence corpus-wide and later copies
+    * are cut from the text. Same machinery (and the same 100 TB shape:
+    * hashes+positions shuffle, paragraph text never does) — boilerplate
+    * headers/footers shared across a crawl snapshot are the target. */
+  def dedupParagraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minUnitChars: Int = 30): DataFrame =
+    dedupLines(docs, idCol, textCol, sep = "\n\n", minUnitChars = minUnitChars)
+
   /** Cut [[duplicateSpans]] ranges out of the text verbatim: each doc's
     * spans are collected (sorted, overlap-tolerant via a monotonic
     * cursor) and the survivors of the character ranges concatenated —

@@ -303,6 +303,19 @@ object Pipeline {
       Dedup.dedupLines(t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", sep = ". ", minUnitChars = 15)),
 
+    // paragraph-level exact dedup (CCNet granularity): a boilerplate
+    // header paragraph planted on every doc — only doc 0's copy
+    // survives; organic paragraphs (split at ' merge ') stay intact
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      val planted = concat(
+        lit("Shared boilerplate header paragraph planted on every document"),
+        lit("\n\n"),
+        replace(col("text"), lit(" merge "), lit("\n\nmerge ")))
+      Dedup.dedupParagraphs(
+        t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+        "doc_id", "text")
+    }),
+
     // decontamination at 100 TB: probe shingles → driver Bloom sketch →
     // scan-side prefilter → exact confirm on survivors only. Output =
     // the surviving corpus, bitwise-equal to the non-prefiltered path.
@@ -887,6 +900,37 @@ object Pipeline {
                 CASE WHEN d.text IS NULL THEN NULL
                      ELSE coalesce(r.text, '') END AS text
          FROM documents d LEFT JOIN reb r USING (doc_id)""",
+    // paragraph replica of the q_dedup_lines oracle: same planted text,
+    // blank-line units, first-(doc,pos)-occurrence keeps
+    "q_dedup_paragraphs" ->
+      """WITH d0 AS (
+           SELECT doc_id,
+                  'Shared boilerplate header paragraph planted on every document'
+                    || chr(10) || chr(10)
+                    || replace(text, ' merge ', chr(10) || chr(10) || 'merge ') AS text
+           FROM documents),
+         ls AS (
+           SELECT doc_id, string_split(text, chr(10) || chr(10)) AS us FROM d0),
+         u AS (
+           SELECT doc_id, i, us[i] AS u
+           FROM ls, LATERAL (SELECT unnest(range(1, len(us) + 1)) AS i) t),
+         flag AS (
+           SELECT doc_id, i, u,
+                  CASE WHEN length(u) >= 30
+                       THEN count(*) OVER (PARTITION BY u) END AS cnt,
+                  CASE WHEN length(u) >= 30
+                       THEN row_number() OVER (PARTITION BY u ORDER BY doc_id, i) END AS rn
+           FROM u),
+         kept AS (
+           SELECT doc_id, i, u FROM flag
+           WHERE cnt IS NULL OR cnt = 1 OR rn = 1),
+         reb AS (
+           SELECT doc_id, string_agg(u, chr(10) || chr(10) ORDER BY i) AS text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id,
+                CASE WHEN d.text IS NULL THEN NULL
+                     ELSE coalesce(r.text, '') END AS text
+         FROM d0 d LEFT JOIN reb r USING (doc_id)""",
     // same flagged set as q_decontaminate, anti-joined back onto the
     // corpus half (NOT EXISTS: null-safe anti-join semantics)
     "q_decontaminate_bloom" ->

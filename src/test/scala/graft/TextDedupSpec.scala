@@ -280,6 +280,24 @@ class TextDedupSpec extends SparkSpec {
     assert(wiped == "")
   }
 
+  test("dedupParagraphs cuts blank-line units without touching intra-paragraph newlines") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter\nfor updates and special offers"
+    val corpus = Seq(
+      (1L, s"$boiler\n\nfirst document's own paragraph with real content"),
+      (2L, s"second document opens differently\n\n$boiler\n\nthen more of its own text"),
+      (3L, "short\n\nok\n\na single standalone paragraph nothing else shares")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the boilerplate paragraph spans a SINGLE newline internally —
+    // paragraph units split only on blank lines, so it stays one unit
+    assert(out(1L) == s"$boiler\n\nfirst document's own paragraph with real content")
+    assert(out(2L) == "second document opens differently\n\nthen more of its own text")
+    // short paragraphs under minUnitChars are structural — kept
+    assert(out(3L) == "short\n\nok\n\na single standalone paragraph nothing else shares")
+  }
+
   test("decontaminateBloom output is bitwise-equal to decontaminate") {
     val corpus = docs.filter(col("doc_id") >= 50)
       .select(col("doc_id"), col("text"), col("lang"))
