@@ -295,6 +295,12 @@ object TextFunctions {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Repair UTF-8-decoded-as-Windows-1252 mojibake ("cafÃ©" → "café");
+    * lossless-and-shrinking reverse transform only, clean text passes
+    * through bit-identically — see [[graft.plans.Mojibake]]. */
+  def fixMojibake(text: Column): Column =
+    graft.plans.MojibakeColumns.fixMojibake(text)
+
   /** Word n-gram shingles (n consecutive tokens, space-joined). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

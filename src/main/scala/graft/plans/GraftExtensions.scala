@@ -112,6 +112,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => GraftShim.resolvedExpression(
         graft.functions.TextFunctions.bpeTokenCountMerges(
           GraftShim.column(arity("graft_bpe_count", 1)(args).head)))),
+    ("graft_fix_mojibake",
+      new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
+      (args: Seq[Expression]) =>
+        FixMojibake(arity("graft_fix_mojibake", 1)(args).head)),
     ("graft_compress_ratio",
       new ExpressionInfo(classOf[DeflateRatio].getName, "graft_compress_ratio"),
       (args: Seq[Expression]) => {

@@ -333,6 +333,18 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"), TF.redactPii(col("text")).as("clean_text"))),
 
+    // mojibake repair: a UTF-8-as-CP1252 garbage suffix (computed at
+    // plan time by actually mis-decoding the clean string) planted on
+    // every ASCII doc; the kernel must recover the clean text exactly
+    // while leaving the ASCII body untouched
+    "q_fix_mojibake" -> ((s, dir) => {
+      val clean = " café naïve — déjà vu"
+      val moji = graft.plans.Mojibake.utf8AsCp1252(clean)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.fixMojibake(concat(col("text"), lit(moji))).as("fixed"))
+    }),
+
     // multi-literal blocklist scrub: ONE trie-walk pass over the text
     // (native ReplaceMany kernel) vs the oracle's chained replace —
     // bit-identical here because the pattern set is overlap-free (no
@@ -900,6 +912,10 @@ object Pipeline {
                 CASE WHEN d.text IS NULL THEN NULL
                      ELSE coalesce(r.text, '') END AS text
          FROM documents d LEFT JOIN reb r USING (doc_id)""",
+    // the repaired text is the clean suffix appended to the (ASCII)
+    // body — no mojibake machinery needed on the oracle side
+    "q_fix_mojibake" ->
+      "SELECT doc_id, text || ' café naïve — déjà vu' AS fixed FROM documents",
     // paragraph replica of the q_dedup_lines oracle: same planted text,
     // blank-line units, first-(doc,pos)-occurrence keeps
     "q_dedup_paragraphs" ->

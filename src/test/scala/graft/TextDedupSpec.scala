@@ -280,6 +280,36 @@ class TextDedupSpec extends SparkSpec {
     assert(wiped == "")
   }
 
+  test("fixMojibake repairs single and double encoding, never touches clean text") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    def moji(s: String): String = graft.plans.Mojibake.utf8AsCp1252(s)
+    val clean = "café — naïve ‘quoted’ über"
+    val double = moji(moji(clean))
+    val df = Seq(
+      (1L, moji(clean)),          // classic single mojibake
+      (2L, double),               // double-encoded: needs two rounds
+      (3L, clean),                // already correct: must pass bit-identically
+      (4L, "plain ascii text"),   // trivially untouched
+      (5L, "Ƃ odd but real char"),// unmappable in CP1252: untouched
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TF.fixMojibake(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == clean, s"single: ${out(1L)}")
+    assert(out(2L) == clean, s"double: ${out(2L)}")
+    assert(out(3L) == clean)
+    assert(out(4L) == "plain ascii text")
+    assert(out(5L) == "Ƃ odd but real char")
+    assert(out(6L) == null)
+    // SQL face reaches the same kernel
+    graft.plans.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("moji_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_fix_mojibake(t) FROM moji_docs WHERE id = 1").head().getString(0)
+    assert(viaSql == clean)
+  }
+
   test("dedupParagraphs cuts blank-line units without touching intra-paragraph newlines") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter\nfor updates and special offers"
