@@ -382,4 +382,26 @@ class StreamingSpec extends SparkSpec {
       assert(r.getString(3).contains("[X]") && !r.getString(3).contains("spark"))
     } finally q.stop()
   }
+
+  test("mojibake repair and n-gram repetition kernels run unchanged on a stream") {
+    // both are stateless scan-local kernels — a standing ingest cleans
+    // encoding and scores repetition with zero streaming state
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val moji = graft.plans.Mojibake.utf8AsCp1252("café — déjà")
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    docs.addData((1L, s"prefix $moji"), (2L, "a b a b a b c"))
+    val q = docs.toDF().toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        TF.fixMojibake(col("text")).as("fixed"),
+        graft.plans.TextHashColumns.ngramDupStats(col("text"), 3).as("g3"))
+      .writeStream.outputMode("append").format("memory").queryName("mojirep").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("mojirep").collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(1L).getString(1) == "prefix café — déjà")
+      assert(rows(2L).getStruct(2).getInt(1) == 2, "3-gram dup count on stream")
+    } finally q.stop()
+  }
 }
