@@ -301,6 +301,23 @@ object TextFunctions {
   def fixMojibake(text: Column): Column =
     graft.plans.MojibakeColumns.fixMojibake(text)
 
+  /** Chars of `text` belonging to the given Unicode script (Java regex
+    * `\p{Is<script>}` class) — the writing-system complement of
+    * [[langId]]: script mix flags wrong-corpus and transliterated docs
+    * language-ID heuristics miss. Pure codegen'd regexp arithmetic,
+    * scan-local (count = length after deleting every NON-member). */
+  def scriptCharCount(text: Column, script: String): Column =
+    length(regexp_replace(text, s"[^\\p{Is$script}]", ""))
+
+  /** Fraction of chars in each of the major scripts (Latin, Cyrillic,
+    * Greek, Arabic, Hebrew, Han, Hangul, Devanagari), against total
+    * char count — empty/null-safe (all-zero profile). */
+  def scriptRatio(text: Column, script: String): Column = {
+    val n = length(text)
+    when(n > 0, round(scriptCharCount(text, script).cast("double") / n, 4))
+      .otherwise(0.0)
+  }
+
   /** Word n-gram shingles (n consecutive tokens, space-joined). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

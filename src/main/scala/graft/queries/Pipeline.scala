@@ -102,6 +102,19 @@ object Pipeline {
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), TF.langId(col("text")).as("pred_lang"))),
 
+    // writing-system profile: multi-script text planted per doc (the
+    // ASCII corpus carries Latin only); script char counts are pure
+    // codegen'd regexp arithmetic, identical classes in RE2/Java
+    "q_script_ratio" -> ((s, dir) => {
+      val planted = concat(col("text"), lit(" Привет мир Γεια 你好世界"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.scriptCharCount(planted, "Cyrillic").as("n_cyrillic"),
+        TF.scriptCharCount(planted, "Han").as("n_han"),
+        TF.scriptRatio(planted, "Greek").as("greek_ratio"),
+        TF.scriptRatio(planted, "Latin").as("latin_ratio"))
+    }),
+
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"), TF.qualityScore(col("text")).as("quality"))),
@@ -912,6 +925,22 @@ object Pipeline {
                 CASE WHEN d.text IS NULL THEN NULL
                      ELSE coalesce(r.text, '') END AS text
          FROM documents d LEFT JOIN reb r USING (doc_id)""",
+    // same script classes in RE2 (\p{Cyrillic}) as Java (\p{IsCyrillic})
+    "q_script_ratio" ->
+      """WITH d0 AS (
+           SELECT doc_id, text || ' Привет мир Γεια 你好世界' AS t FROM documents)
+         SELECT doc_id,
+           CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS INT) AS n_cyrillic,
+           CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS INT) AS n_han,
+           CASE WHEN length(t) > 0
+                THEN round(length(regexp_replace(t, '[^\p{Greek}]', '', 'g'))
+                     / CAST(length(t) AS DOUBLE), 4) + 0.0
+                ELSE 0.0 END AS greek_ratio,
+           CASE WHEN length(t) > 0
+                THEN round(length(regexp_replace(t, '[^\p{Latin}]', '', 'g'))
+                     / CAST(length(t) AS DOUBLE), 4) + 0.0
+                ELSE 0.0 END AS latin_ratio
+         FROM d0""",
     // the repaired text is the clean suffix appended to the (ASCII)
     // body — no mojibake machinery needed on the oracle side
     "q_fix_mojibake" ->

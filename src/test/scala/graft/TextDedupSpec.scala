@@ -310,6 +310,26 @@ class TextDedupSpec extends SparkSpec {
     assert(viaSql == clean)
   }
 
+  test("script char counts and ratios are hand-exact across mixed-script text") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    // 3 Latin + 6 Cyrillic + 4 Greek + 2 Han + 4 spaces + 1 digit = 20 chars
+    val df = Seq((1L, "abc Привет Γεια 你好 7"), (2L, ""), (3L, null: String))
+      .toDF("id", "t")
+    val r = df.select(
+        col("id"),
+        TF.scriptCharCount(col("t"), "Latin").as("lat"),
+        TF.scriptCharCount(col("t"), "Cyrillic").as("cyr"),
+        TF.scriptCharCount(col("t"), "Greek").as("grk"),
+        TF.scriptCharCount(col("t"), "Han").as("han"),
+        TF.scriptRatio(col("t"), "Cyrillic").as("cyr_ratio"))
+      .orderBy("id").collect()
+    assert((r(0).getInt(1), r(0).getInt(2), r(0).getInt(3), r(0).getInt(4)) == ((3, 6, 4, 2)))
+    assert(r(0).getDouble(5) == math.rint(6.0 / 20 * 10000) / 10000)
+    assert(r(1).getInt(1) == 0 && r(1).getDouble(5) == 0.0)
+    assert(r(2).isNullAt(1) && r(2).getDouble(5) == 0.0)
+  }
+
   test("dedupParagraphs cuts blank-line units without touching intra-paragraph newlines") {
     import spark.implicits._
     val boiler = "subscribe to our newsletter\nfor updates and special offers"
