@@ -1279,8 +1279,131 @@ object Relational {
       t(s, dir, "documents").select(
         col("doc_id"),
         regexp_count(col("text"), lit("\\bthe\\b")).as("n_the"),
-        regexp_count(col("text"), lit("[.!?]")).as("n_sentences")))
+        regexp_count(col("text"), lit("[.!?]")).as("n_sentences"))),
+
+    // update (polars DataFrame.update): overwrite matching rows from a
+    // delta frame, keep the rest — a left join + coalesce, so the fact
+    // side shuffles once and the delta can be broadcast when small
+    "q_update" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val delta = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("u_key"),
+          (col("o_totalprice") + 1000.0).as("u_price"))
+      o.join(delta, col("o_orderkey") === col("u_key"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("u_price"), col("o_totalprice")).as("price_new"))
+    }),
+
+    // join(validate="m:1") (polars): the uniqueness check is one
+    // bounded aggregate action (dup keys, limit 1) — metadata-small at
+    // any scale — and the join plan itself is untouched
+    "q_join_validate" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      joinValidated(o, c, Seq("c_custkey"), "m:1")
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // explode over multiple columns in lockstep (polars
+    // df.explode("a","b")): arrays_zip pairs the lists positionally,
+    // ONE generator pass — not a cross product of two explodes
+    "q_explode_multi" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          explode(arrays_zip(
+            sequence(lit(1L), lit(3L)).as("idx"),
+            slice(col("embedding"), 1, 3).as("v"))).as("z"))
+        .select(col("vec_id"), col("z.idx").as("idx"),
+          col("z.v").cast("double").as("val"))),
+
+    // str.extract_groups (polars): one regex pass builds the group
+    // struct, fields projected out as atomic columns
+    "q_str_extract_groups" -> ((s, dir) => {
+      val pat = "^(\\S+)\\s+(\\S+)$"
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          struct(
+            regexp_extract(col("p_name"), pat, 1).as("adj"),
+            regexp_extract(col("p_name"), pat, 2).as("noun"),
+            regexp_extract(col("p_brand"), "#(\\d+)$", 1).as("brand_num")).as("g"))
+        .select(col("p_partkey"), col("g.adj").as("adj"),
+          col("g.noun").as("noun"), col("g.brand_num").as("brand_num"))
+    }),
+
+    // rank(method="ordinal") (polars): row_number with a stable key
+    // tiebreak — deterministic unlike polars' arrival-order ordinal
+    "q_rank_ordinal" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        row_number().over(w).as("rk_ordinal"))
+    }),
+
+    // int_range / date_range generation (polars pl.int_range,
+    // pl.date_range): sequence() is a leaf generator — no driver-side
+    // materialization, splittable like spark.range
+    "q_range_gen" -> ((s, dir) => {
+      val _ = dir
+      s.range(0, 1)
+        .select(explode(expr(
+          "sequence(DATE'1995-01-01', DATE'1996-12-01', INTERVAL 1 MONTH)")).as("m"))
+        .select(
+          date_format(col("m"), "yyyy-MM-dd").as("month_start"),
+          datediff(add_months(col("m"), 1), col("m")).cast("long").as("n_days"),
+          months_between(col("m"), lit("1995-01-01").cast("date"))
+            .cast("long").as("i"))
+    }),
+
+    // list.slice / reverse-first / arg-max position / contains
+    // (polars list namespace) — all scan-local, no shuffle
+    "q_list_slice" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        element_at(slice(col("embedding"), 2, 2), 1).cast("double").as("s1"),
+        element_at(reverse(col("embedding")), 1).cast("double").as("rev1"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .cast("long").as("argmax_pos"))),
+
+    // struct ops (polars struct namespace / with_fields): pack, extend
+    // with a computed field via withField, project fields back out
+    "q_struct_ops" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_totalprice").as("price"),
+            col("o_orderpriority").as("prio")).as("o"))
+        .withColumn("o", col("o").withField("price_eur",
+          round(col("o.price") * 0.92, 2)))
+        .select(col("o_orderkey"), col("o.prio").as("prio"),
+          col("o.price_eur").as("price_eur")))
   )
+
+  /** polars join(validate=...): assert key multiplicity before joining.
+    * The check is a bounded aggregate action (first duplicate key,
+    * limit 1) — the join plan itself is unchanged, so Catalyst still
+    * picks broadcast/shuffle freely. At 100 TB the check costs one
+    * partial-agg pass over the key columns only.
+    */
+  def joinValidated(
+      left: DataFrame, right: DataFrame,
+      keys: Seq[String], validate: String): DataFrame = {
+    def hasDupKeys(df: DataFrame): Boolean =
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .limit(1).count() > 0
+    validate match {
+      case "m:m" => ()
+      case "m:1" =>
+        require(!hasDupKeys(right), s"join validate=m:1 violated: right side not unique on ${keys.mkString(", ")}")
+      case "1:m" =>
+        require(!hasDupKeys(left), s"join validate=1:m violated: left side not unique on ${keys.mkString(", ")}")
+      case "1:1" =>
+        require(!hasDupKeys(left), s"join validate=1:1 violated: left side not unique on ${keys.mkString(", ")}")
+        require(!hasDupKeys(right), s"join validate=1:1 violated: right side not unique on ${keys.mkString(", ")}")
+      case other => throw new IllegalArgumentException(s"unknown join validation '$other'")
+    }
+    left.join(right, keys)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2065,6 +2188,49 @@ object Relational {
       """SELECT doc_id,
          len(regexp_extract_all(text, '\bthe\b')) AS n_the,
          len(regexp_extract_all(text, '[.!?]')) AS n_sentences
-         FROM documents"""
+         FROM documents""",
+    "q_update" ->
+      """SELECT o.o_orderkey,
+         coalesce(u.u_price, o.o_totalprice) AS price_new
+         FROM orders o LEFT JOIN (
+           SELECT o_orderkey AS u_key, o_totalprice + 1000.0 AS u_price
+           FROM orders WHERE o_orderpriority = '1-URGENT') u
+         ON o.o_orderkey = u.u_key""",
+    "q_join_validate" ->
+      """SELECT o_orderkey, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q_explode_multi" ->
+      """SELECT vec_id,
+         unnest([CAST(1 AS BIGINT), 2, 3]) AS idx,
+         unnest([CAST(embedding[1] AS DOUBLE),
+                 CAST(embedding[2] AS DOUBLE),
+                 CAST(embedding[3] AS DOUBLE)]) AS val
+         FROM embeddings""",
+    "q_str_extract_groups" ->
+      """SELECT p_partkey,
+         regexp_extract(p_name, '^(\S+)\s+(\S+)$', 1) AS adj,
+         regexp_extract(p_name, '^(\S+)\s+(\S+)$', 2) AS noun,
+         regexp_extract(p_brand, '#(\d+)$', 1) AS brand_num
+         FROM part""",
+    "q_rank_ordinal" ->
+      """SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rk_ordinal
+         FROM orders""",
+    "q_range_gen" ->
+      """SELECT strftime(CAST(gs AS DATE), '%Y-%m-%d') AS month_start,
+         date_diff('day', CAST(gs AS DATE), CAST(gs AS DATE) + INTERVAL 1 MONTH) AS n_days,
+         date_diff('month', DATE '1995-01-01', CAST(gs AS DATE)) AS i
+         FROM generate_series(DATE '1995-01-01', DATE '1996-12-01', INTERVAL 1 MONTH) t(gs)""",
+    "q_list_slice" ->
+      """SELECT vec_id,
+         CAST(embedding[2] AS DOUBLE) AS s1,
+         CAST(embedding[-1] AS DOUBLE) AS rev1,
+         CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS argmax_pos
+         FROM embeddings""",
+    "q_struct_ops" ->
+      """SELECT o_orderkey, o_orderpriority AS prio,
+         round(o_totalprice*0.92, 2) AS price_eur
+         FROM orders"""
   )
 }

@@ -92,4 +92,21 @@ class SqlFunctionsSpec extends SparkSpec {
       assert(e.getMessage.contains("parameters"), s"unexpected error for: $bad — ${e.getMessage}")
     }
   }
+
+  test("joinValidated enforces key multiplicity like polars validate=") {
+    import spark.implicits._
+    import graft.queries.Relational.joinValidated
+    val uniq = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val dup  = Seq((1, "x"), (1, "y"), (3, "z")).toDF("k", "w")
+    // m:1 with a unique right side passes and returns the plain join
+    assert(joinValidated(dup, uniq, Seq("k"), "m:1").count() == 2)
+    // m:1 with a duplicated right side fails loudly
+    val e = intercept[IllegalArgumentException](
+      joinValidated(uniq, dup, Seq("k"), "m:1"))
+    assert(e.getMessage.contains("m:1"))
+    // 1:1 needs both sides unique; 1:m mirrors m:1; m:m never checks
+    intercept[IllegalArgumentException](joinValidated(dup, uniq, Seq("k"), "1:1"))
+    intercept[IllegalArgumentException](joinValidated(dup, uniq, Seq("k"), "1:m"))
+    assert(joinValidated(dup, dup.withColumnRenamed("w", "w2"), Seq("k"), "m:m").count() == 5)
+  }
 }
