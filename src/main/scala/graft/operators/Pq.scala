@@ -120,16 +120,19 @@ object Pq {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+      codebooks: Array[Array[Array[Double]]],
+      keep: Seq[String] = Nil): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks.head.head.length
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
-    val outSchema = StructType(Seq(
-      StructField("cid", df.schema(idCol).dataType),
-      StructField("codes", ArrayType(IntegerType, containsNull = false))))
+    val outSchema = StructType(
+      StructField("cid", df.schema(idCol).dataType) +:
+        StructField("codes", ArrayType(IntegerType, containsNull = false)) +:
+        keep.map(c => df.schema(df.schema.fieldIndex(c))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val idIdx = df.schema.fieldIndex(idCol)
     val vecIdx = df.schema.fieldIndex(vecCol)
+    val keepIdx = keep.map(df.schema.fieldIndex).toArray
     df.mapPartitions { rows =>
       val cbs = bc.value
       rows.map { r =>
@@ -155,7 +158,7 @@ object Pq {
           codes(s) = best
           s += 1
         }
-        Row(r.get(idIdx), codes.toSeq)
+        Row(r.get(idIdx) +: codes.toSeq +: keepIdx.map(r.get).toSeq: _*)
       }
     }(enc)
   }
@@ -231,6 +234,79 @@ object Pq {
       require(corpus != null, "rerank needs the float-vector corpus")
       // exact cosine on the ADC candidates only: candidate set scales
       // with |queries| · rerank, so the big corpus joins it by id
+      val exact = adc.select(col("qid"), col("cid"))
+        .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
+        .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
+        .select(col("qid"), col("cid"),
+          round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
+      val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("cid"), col("sim"), col("rank"))
+    }
+  }
+
+  /** IVF-PQ: the composed 100 TB ANN shape — the IVF coarse quantizer
+    * prunes the corpus to nProbe cells per query, and PQ/ADC scores
+    * only the surviving codes. Both indexes persist (cell-assigned
+    * table + centroid table + codebook table), so a standing corpus
+    * pays assignment + encode ONCE and queries touch
+    * ~nProbe/nLists of the codes — never a float vector. With
+    * `rerank > 0` the ADC survivors re-score exactly against the float
+    * corpus by id-equality join (the candidate set scales with
+    * |queries| · rerank, not the corpus).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 6,
+      m: Int = 8,
+      ksub: Int = 256,
+      rerank: Int = 0,
+      trainSample: Int = 2048,
+      iters: Int = 10): DataFrame = {
+    val (assigned, centroids) = Similarity.ivfBuild(corpus, idCol, vecCol, nLists, trainSample, iters)
+    val cb = train(corpus, idCol, vecCol, m, ksub, trainSample, iters)
+    // codes keyed by IVF cell in ONE encode pass — the cell id rides
+    // the kernel as a passthrough column, no join back to `assigned`
+    val encoded = encode(assigned, "cid", "cv", cb, keep = Seq("cell"))
+
+    // per-query probes (nProbe best cells) + the ADC lookup table,
+    // both on the small query side
+    val centArr = centroids.orderBy(col("cell")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cents = typedlit(centArr.map(_.toList).toList)
+    val wp = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell"))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        posexplode(transform(cents,
+          c => graft.plans.VectorColumns.cosine(col(vecCol), c))).as(Seq("cell", "d")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= math.min(nProbe, centArr.length))
+      .select(col("qid"), col("qv"), col("cell").cast("long").as("cell"))
+    val luts = lutDf(queries, idCol, vecCol, cb)
+    val probesWithLut = probes.join(luts, Seq("qid"))
+      .select(col("qid"), col("cell"), col("lut"))
+
+    // corpus codes stream through ONE broadcast join on the cell id;
+    // the per-pair score is m LUT additions
+    val scored = encoded
+      .join(broadcast(probesWithLut), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(aggregate(
+          zip_with(col("codes"), col("lut"), (code, row) => element_at(row, code + 1)),
+          lit(0.0), (a, d) => a + d), 6).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    val adc = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= (if (rerank > 0) math.max(rerank, k) else k))
+    if (rerank <= 0) adc.select(col("qid"), col("cid"), col("sim"), col("rank"))
+    else {
       val exact = adc.select(col("qid"), col("cid"))
         .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
         .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))

@@ -239,4 +239,35 @@ object Sampling {
       // the file-count bound promises.
       .repartitionByRange(nShards, col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** Cluster-balanced sampling over an embedding column: cap each
+    * semantic cluster at `perCluster` rows, so the sample covers the
+    * embedding space instead of mirroring the corpus's majority modes
+    * (the diversity-sampling stage of a pretraining mixture). Clusters
+    * come from the SAME bounded k-means machinery as the IVF index
+    * (Similarity.ivfBuild): training is one TakeOrdered sample collect,
+    * assignment is a scan-local argmax column, and the cap is one
+    * row_number window partitioned by cluster — a single shuffle of
+    * (id, cluster), never of the vectors. The within-cluster pick
+    * order is the id hash, so the sample is deterministic and
+    * append-stable under reruns. */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      perCluster: Int,
+      trainSample: Int = 2048,
+      iters: Int = 10): DataFrame = {
+    require(nClusters >= 1 && perCluster >= 1, "need nClusters >= 1 and perCluster >= 1")
+    val (assigned, _) =
+      Similarity.ivfBuild(df, idCol, vecCol, nClusters, trainSample, iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCluster)
+      .select(col("cid").as(idCol), col("cell").as("cluster"))
+  }
 }

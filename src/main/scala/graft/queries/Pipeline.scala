@@ -277,6 +277,28 @@ object Pipeline {
         "vec_id", "embedding", k = 5, rerank = 50)
     }),
 
+    // IVF-PQ composed: coarse cells prune the corpus, ADC scores only
+    // the surviving codes, exact rerank recovers recall — the standing
+    // 100 TB ANN shape (both indexes persist; queries touch
+    // ~nProbe/nLists of the codes and never a float vector). Rows-only:
+    // trained centroids/codebooks aren't expressible in DuckDB; recall
+    // vs brute force is spec-pinned (SimilaritySpec).
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 4, rerank = 50)
+    }),
+
+    // cluster-balanced diversity sample: cap each semantic k-means
+    // cluster so the mixture covers the embedding space. Rows-only:
+    // k-means clusters aren't expressible in DuckDB; the per-cluster
+    // cap, determinism, and id-subset invariants are spec-pinned
+    // (SamplingSpec).
+    "q_mixture_cluster" -> ((s, dir) =>
+      graft.operators.Sampling.clusterBalancedSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, perCluster = 40)),
+
     "q_multimodal" -> ((s, dir) => {
       val media = Multimodal.fromDocuments(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.decodeFeatures(media).select(col("media_id"), col("n_bytes"))
@@ -1297,8 +1319,9 @@ object Pipeline {
            array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text,
            len(tk[s + 1 : s + 64]) AS n_tok
          FROM st"""
-    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf:
-    // hash/quantizer approximations not expressible in DuckDB —
-    // rows-only + recall specs.
+    // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
+    // q_ann_ivf_pq / q_mixture_cluster: hash/quantizer/k-means
+    // approximations not expressible in DuckDB — rows-only + recall
+    // and invariant specs.
   )
 }

@@ -320,4 +320,22 @@ class SamplingSpec extends SparkSpec {
     assert(got(1L) == ((0.6, 0.8)))
     assert(got(2L) == ((0.0, math.rint(1.0 / 3 * 10000) / 10000)))
   }
+
+  test("clusterBalancedSample caps every cluster, stays deterministic, ids ⊆ corpus") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val s1 = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+      nClusters = 4, perCluster = 10)
+    val rows = s1.collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    assert(byCluster.values.forall(_.length <= 10),
+      s"cluster over cap: ${byCluster.view.mapValues(_.length).toMap}")
+    assert(byCluster.nonEmpty)
+    val corpusIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(corpusIds))
+    // deterministic under rerun (frozen sample order + hash pick order)
+    val s2 = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+      nClusters = 4, perCluster = 10).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      s2.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

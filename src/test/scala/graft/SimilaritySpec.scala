@@ -373,6 +373,32 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.forall(codes => codes.length == 8 && codes.forall(c => c >= 0 && c < 16)))
   }
 
+  test("ivf-pq: probing all cells with rerank matches plain pq rerank recall") {
+    import graft.operators.Pq
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe every cell → the cell pruning drops nothing, so composed
+    // IVF-PQ degenerates to PQ and reranked recall must stay high
+    val all = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nLists = 4, nProbe = 4, rerank = 50)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allRecall = (exact & all).size.toDouble / exact.size
+    assert(allRecall >= 0.8, s"ivf-pq full-probe recall $allRecall")
+    // partial probing trades recall for touched cells but stays useful
+    val part = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = 4, rerank = 50)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val partRecall = (exact & part).size.toDouble / exact.size
+    assert(partRecall >= 0.5, s"ivf-pq partial-probe recall $partRecall")
+    // contract shape: k rows per query, self excluded
+    val out = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 3,
+      nLists = 4, nProbe = 2)
+    val byQ = out.collect().groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length <= 3))
+    assert(out.filter(col("qid") === col("cid")).count() == 0)
+  }
+
   test("cosinePairsLsh always surfaces an identical-vector duplicate") {
     // an exact copy shares every sign pattern, so it collides in every
     // band — LSH recall on true duplicates is 1 by construction
