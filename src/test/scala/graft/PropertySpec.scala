@@ -13,13 +13,20 @@ import graft.functions.{Temporal, TextFunctions => TF}
   */
 class PropertySpec extends SparkSpec {
 
+  /** Deterministic draw: an unseeded `Gen.sample.get` gives different
+    * inputs every run, so a 1-in-N edge failure is unreproducible
+    * flake instead of a pinned regression. Same generators, fixed
+    * seed. */
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed))
+
   test("BPE: operator path equals Column path on random texts") {
     import spark.implicits._
     val genText = Gen.listOfN(12,
       Gen.oneOf(Gen.alphaLowerStr.map(_.take(8)), Gen.numStr.map(_.take(4)),
         Gen.const("the"), Gen.const("thing"), Gen.const("and"), Gen.const("!?;")))
       .map(_.mkString(" "))
-    val texts = Gen.listOfN(120, genText).sample.get.zipWithIndex
+    val texts = draw(Gen.listOfN(120, genText), 11L).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
     val df = texts.toDF("doc_id", "text")
     // byte-level (GPT-2) pair
@@ -53,7 +60,7 @@ class PropertySpec extends SparkSpec {
       vs <- Gen.listOfN(n, Gen.choose(-1000, 1000).map(_.toDouble))
       p <- Gen.choose(0, 100).map(_ / 100.0)
     } yield (vs, p)
-    val cases = Gen.listOfN(25, gen).sample.get.zipWithIndex
+    val cases = draw(Gen.listOfN(25, gen), 12L).zipWithIndex
     val df = cases.flatMap { case ((vs, _), g) => vs.map(v => (s"g$g", v)) }.toDF("g", "v")
     val ps = cases.map { case ((_, p), g) => (s"q$g", p, g) }
     // one call computes every group's quantile under all five strategies
@@ -85,7 +92,7 @@ class PropertySpec extends SparkSpec {
   test("strftime translation round-trips random dates for common formats") {
     import spark.implicits._
     val fmts = Seq("%Y-%m-%d", "%d/%m/%Y", "%Y-%m-%dT%H:%M:%S", "%b %d, %Y")
-    val days = Gen.listOfN(50, Gen.choose(-20000, 20000)).sample.get.distinct
+    val days = draw(Gen.listOfN(50, Gen.choose(-20000, 20000)), 13L).distinct
     val df = days.map(d => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)))
       .map(Tuple1(_)).toDF("d")
     for (f <- Seq("%Y-%m-%d", "%d/%m/%Y", "%b %d, %Y")) {
