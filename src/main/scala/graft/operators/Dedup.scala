@@ -45,6 +45,23 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
   }
 
+  /** Scope-aware exact dedup — dedup WITHIN a partition key (per
+    * source, per language, per crawl snapshot) while identical text in
+    * DIFFERENT scopes survives. The scope columns ride the shuffle key
+    * next to the 16-byte content hash, so the cost shape is identical
+    * to [[exact]]; with the corpus already partitioned by the scope on
+    * disk, the aggregation is map-side only. */
+  def exactScoped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scopeCols: Seq[String]): DataFrame = {
+    require(scopeCols.nonEmpty, "exactScoped needs at least one scope column — use exact() otherwise")
+    docs
+      .groupBy(scopeCols.map(col) :+ md5(col(textCol)).as("content_hash"): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+  }
+
   /** The persistable state of incremental exact dedup: one row per
     * distinct content hash with its winning (minimum) id. Write this to
     * parquet once per corpus snapshot; each new batch then dedups via

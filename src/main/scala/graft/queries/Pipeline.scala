@@ -17,6 +17,12 @@ object Pipeline {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
 
+    // scoped exact dedup: dedup within each source only — identical
+    // text in different sources survives (per-crawl / per-domain
+    // curation policy)
+    "q_dedup_scoped" -> ((s, dir) =>
+      Dedup.exactScoped(t(s, dir, "documents"), "doc_id", "text", Seq("source"))),
+
     // incremental dedup: a new batch (doc_id >= 250) dedups against the
     // content-hash index of the already-curated corpus (doc_id < 250) —
     // anti-join + within-batch min-id winner, no historical rescan
@@ -674,6 +680,10 @@ object Pipeline {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    "q_dedup_scoped" ->
+      """SELECT source, md5(text) AS content_hash,
+         min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY source, md5(text)""",
     "q_dedup_incremental" ->
       """WITH idx AS (
            SELECT md5(text) AS content_hash FROM documents WHERE doc_id < 250),

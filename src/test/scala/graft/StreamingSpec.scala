@@ -404,4 +404,46 @@ class StreamingSpec extends SparkSpec {
       assert(rows(2L).getStruct(2).getInt(1) == 2, "3-gram dup count on stream")
     } finally q.stop()
   }
+
+  test("streaming ANN index append: ivfAssign + PQ encode equal the batch path") {
+    // the standing-ingest shape for the persisted ANN indexes: new
+    // embedding batches assign to FROZEN centroids (pure Column
+    // expressions) and encode against the FROZEN PQ codebook
+    // (stateless mapPartitions) — both run unchanged on a stream, so
+    // the index grows without re-training or touching history
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet").limit(64)
+      .select(col("vec_id"), col("embedding"))
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centroids = Array(
+      Array.fill(64)(0.1), Array.tabulate(64)(i => if (i < 32) 1.0 else -1.0),
+      Array.tabulate(64)(i => math.sin(i.toDouble)))
+    val cb = graft.operators.Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 4)
+
+    val batchAssign = graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", centroids)
+      .select("cid", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCodes = graft.operators.Pq.encode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])](spark)
+    stream.addData(rows.take(32).toSeq)
+    stream.addData(rows.drop(32).toSeq)
+    val streamed = stream.toDF().toDF("vec_id", "embedding")
+    val assignQ = graft.operators.Similarity
+      .ivfAssign(streamed, "vec_id", "embedding", centroids)
+      .writeStream.outputMode("append").format("memory").queryName("ann_assign").start()
+    val encodeQ = graft.operators.Pq.encode(streamed, "vec_id", "embedding", cb)
+      .writeStream.outputMode("append").format("memory").queryName("ann_codes").start()
+    try {
+      assignQ.processAllAvailable()
+      encodeQ.processAllAvailable()
+      val sa = spark.table("ann_assign").select("cid", "cell")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sc = spark.table("ann_codes")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(sa == batchAssign, "streamed cell assignment == batch ivfAssign")
+      assert(sc == batchCodes, "streamed PQ codes == batch encode")
+    } finally { assignQ.stop(); encodeQ.stop() }
+  }
 }
