@@ -1365,6 +1365,37 @@ object Relational {
         array_position(col("embedding"), array_max(col("embedding")))
           .cast("long").as("argmax_pos"))),
 
+    // pairwise correlation matrix over numeric columns (polars
+    // DataFrame.corr): every co-moment partial-aggregates in ONE scan
+    // regardless of pair count; the long shape explodes a 1-row array
+    "q_corr_matrix" -> ((s, dir) =>
+      corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // dt parts beyond q_dt_ops: day-of-year, ISO week, days-in-month,
+    // leap year (shared integer formula — neither engine's builtin)
+    "q_dt_parts" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        dayofyear(col("o_orderdate")).as("yr_day"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofmonth(last_day(col("o_orderdate"))).as("days_in_mo"),
+        (((year(col("o_orderdate")) % 4 === 0) &&
+          (year(col("o_orderdate")) % 100 =!= 0)) ||
+          (year(col("o_orderdate")) % 400 === 0)).cast("int").as("leap"))),
+
+    // list.unique / n_unique over a computed list (polars list
+    // namespace): dedup + sort scan-local, joined string render so
+    // array formatting differences can't leak into the compare
+    "q_list_unique" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_unique"),
+        array_join(slice(sort_array(array_distinct(words)), 1, 5), "|").as("uniq_head"))
+    }),
+
     // struct ops (polars struct namespace / with_fields): pack, extend
     // with a computed field via withField, project fields back out
     "q_struct_ops" -> ((s, dir) =>
@@ -1377,6 +1408,26 @@ object Relational {
         .select(col("o_orderkey"), col("o.prio").as("prio"),
           col("o.price_eur").as("price_eur")))
   )
+
+  /** Pairwise correlation matrix in ONE scan: all n·(n−1)/2 corr()
+    * co-moments live in the same Aggregate, so the input is read once
+    * and partial-merged once however many pairs there are; the long
+    * (col_a, col_b, r) shape explodes a single-row struct array —
+    * never a per-pair re-scan. 4dp absorbs the engines' co-moment
+    * merge order (the q_corr convention). */
+  def corrMatrix(df: DataFrame, cols: Seq[String], dp: Int = 4): DataFrame = {
+    require(cols.length >= 2, "corrMatrix needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.map { case ((a, b), k) =>
+      round(corr(col(a), col(b)), dp).as(s"__c$k") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.zipWithIndex.map { case ((a, b), k) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"__c$k").as("r"))
+      }: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.r").as("r"))
+  }
 
   /** polars join(validate=...): assert key multiplicity before joining.
     * The check is a bounded aggregate action (first duplicate key,
@@ -2231,6 +2282,29 @@ object Relational {
     "q_struct_ops" ->
       """SELECT o_orderkey, o_orderpriority AS prio,
          round(o_totalprice*0.92, 2) AS price_eur
-         FROM orders"""
+         FROM orders""",
+    "q_corr_matrix" ->
+      """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 4) AS r FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 4) FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 4) FROM lineitem""",
+    "q_dt_parts" ->
+      """SELECT o_orderkey,
+         dayofyear(o_orderdate) AS yr_day,
+         weekofyear(o_orderdate) AS iso_week,
+         date_part('day', last_day(CAST(o_orderdate AS DATE))) AS days_in_mo,
+         CAST((year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+              OR year(o_orderdate) % 400 = 0 AS INT) AS leap
+         FROM orders""",
+    "q_list_unique" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_unique,
+         array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|') AS uniq_head
+         FROM documents"""
   )
 }
