@@ -446,4 +446,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!chunk.contains("lang") && !chunk.contains("source") && !chunk.contains("n_chars"),
       s"q_chunk reads unneeded metadata columns: $chunk")
   }
+
+  test("q_corr_matrix reads the input exactly once for all pairs") {
+    // the one-scan contract: n·(n−1)/2 correlations from a single
+    // Aggregate — a per-pair union would re-scan lineitem 3×
+    val p = planOf("q_corr_matrix")
+    // count detail headers "(n) Scan parquet" — FormattedMode prints
+    // each node once in the tree and once in the detail section
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"corrMatrix re-scans the input: $scans scans\n$p")
+  }
+
+  test("q_explode_multi is one generator pass, not a cross product") {
+    val p = planOf("q_explode_multi")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate\b.*""")) == 1,
+      s"lockstep explode must be a single Generate: $p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lockstep explode went cartesian")
+  }
+
+  test("q_dedup_scoped exchange carries scope + hash, never the text") {
+    val p = planOf("q_dedup_scoped")
+    val exchanges = p.linesIterator.zipWithIndex.filter(_._1.contains("Exchange")).toList
+    assert(exchanges.nonEmpty)
+    // the shuffle key block lists hashpartitioning columns inline
+    val exLines = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(exLines.contains("content_hash") || exLines.contains("source"),
+      s"scoped dedup shuffle not keyed on scope+hash: $exLines")
+    assert(!exLines.contains("text#"), s"scoped dedup shuffles document text: $exLines")
+  }
+
+  test("ivf-pq: the cell-keyed ADC join broadcasts the probe side") {
+    // corpus codes must stream; only the (qid, cell, lut) probe side is
+    // broadcast — a shuffle of the encoded corpus keyed on qid would be
+    // a scale regression
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val plan = graft.operators.Pq.ivfPqTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nLists = 4, nProbe = 2, m = 8, ksub = 4, trainSample = 256, iters = 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), "probe side not broadcast")
+  }
 }
