@@ -410,6 +410,47 @@ object Dedup {
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Semantic (embedding-space) decontamination: flag corpus vectors
+    * whose cosine to ANY benchmark vector clears the threshold — the
+    * contamination the n-gram paths can't see (paraphrases,
+    * translations, reformatted answers). Both sides band under the
+    * SAME deterministic sign hyperplanes (coordinate signs — no RNG,
+    * so corpus and benchmark bucket identically by construction), the
+    * benchmark band table broadcasts (a benchmark suite is orders of
+    * magnitude smaller than the corpus), and corpus vectors meet it
+    * scan-side: nothing corpus-sized ever shuffles. A candidate pair
+    * colliding in several bands is scored once per collision (d
+    * multiplications each) rather than paying an id-keyed dedup
+    * shuffle; the final per-id max absorbs the duplicates. Returns
+    * (id, bench_id, sim) — the best matching benchmark row per flagged
+    * corpus id; anti-join it to drop, or keep it as provenance. */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bitsPerBand: Int = 0,
+      bands: Int = 4,
+      targetBucketSize: Long = 64,
+      corpusSize: Long = -1L): DataFrame = {
+    val bits = resolveBits(corpus, dim, bitsPerBand, bands, targetBucketSize, corpusSize)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val b = benchmark.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val benchBands = signBanded(b, bits, bands, keep = Seq("v"))
+      .select(col("band"), col("bucket"), col("id").as("bench_id"), col("v").as("bv"))
+    signBanded(c, bits, bands, keep = Seq("v"))
+      .join(broadcast(benchBands), Seq("band", "bucket"))
+      .select(col("id"), col("bench_id"),
+        graft.plans.VectorColumns.cosine(col("v"), col("bv")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(struct(col("sim"), col("bench_id"))).as("m"))
+      .select(col("id").as(idCol), col("m.bench_id").as("bench_id"),
+        round(col("m.sim"), 6).as("sim"))
+  }
+
   /** Build the probe-shingle Bloom sketch [[decontaminateBloom]] probes
     * — exposed so a standing reference set (a benchmark suite) is
     * sketched ONCE and reused across every ingest batch via
@@ -800,18 +841,20 @@ object Dedup {
   // up-to-64-char "0/1" string, and still injective per fixed band
   // width — so the DuckDB replica's integer sum-of-powers form builds
   // bit-identical buckets (q_dedup_cosine), no hash collision caveat.
-  private def signBanded(vecs: DataFrame, bitsPerBand: Int, bands: Int): DataFrame =
+  private def signBanded(
+      vecs: DataFrame, bitsPerBand: Int, bands: Int,
+      keep: Seq[String] = Nil): DataFrame =
     vecs.select(
-      col("id"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => aggregate(
-            slice(col("v"), b * bitsPerBand + 1, lit(bitsPerBand)),
-            lit(0L),
-            (acc, x) => acc * 2 + when(x >= 0, lit(1L)).otherwise(lit(0L)))))
-        .as(Seq("band", "bucket")))
-      .select(col("id"), col("band"), col("bucket"))
+      col("id") +: keep.map(col) :+
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => aggregate(
+              slice(col("v"), b * bitsPerBand + 1, lit(bitsPerBand)),
+              lit(0L),
+              (acc, x) => acc * 2 + when(x >= 0, lit(1L)).otherwise(lit(0L)))))
+          .as(Seq("band", "bucket")): _*)
+      .select(col("id") +: keep.map(col) :+ col("band") :+ col("bucket"): _*)
 
   /** All-pairs cosine dedup — EXPLICIT OPT-IN, quadratic work and a
     * full broadcast of the corpus: only sane when the corpus fits the

@@ -247,6 +247,18 @@ object Pipeline {
       Dedup.semanticPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, nClusters = 8)),
 
+    // semantic decontamination: corpus vectors too close to a
+    // benchmark vector in embedding space — catches paraphrase-level
+    // contamination the n-gram paths can't. Rows-only: sign-LSH
+    // banding isn't expressible in DuckDB; recall vs planted
+    // duplicates and the no-vector-shuffle plan are spec-pinned.
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.decontaminateSemantic(
+        emb.filter(col("vec_id") >= 25), emb.filter(col("vec_id") < 25),
+        "vec_id", "embedding", threshold = 0.4, dim = 64)
+    }),
+
     // pre-existing locality column (cluster label) bounds the pair space
     "q_dedup_cosine_bucketed" -> ((s, dir) =>
       Dedup.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, bucketBy = "label")),

@@ -399,6 +399,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("qid") === col("cid")).count() == 0)
   }
 
+  test("decontaminateSemantic flags planted benchmark copies with exact scores") {
+    // plant exact copies of benchmark vectors in the corpus: identical
+    // signs collide in every band, so recall on true copies is 1
+    val bench = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.filter(col("vec_id") >= 10 && col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(bench.select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+    val flagged = graft.operators.Dedup.decontaminateSemantic(
+        corpus, bench, "vec_id", "embedding", threshold = 0.99, dim = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until 10L).foreach { i =>
+      val (bid, sim) = flagged.getOrElse(500000L + i,
+        fail(s"planted copy of benchmark $i not flagged"))
+      assert(bid == i && sim == 1.0, s"copy $i matched ($bid, $sim)")
+    }
+    // one row per flagged id (the per-id max absorbed band duplicates)
+    assert(flagged.size == flagged.keys.toSet.size)
+    // threshold gates: nothing below it sneaks through
+    val all = graft.operators.Dedup.decontaminateSemantic(
+      corpus, bench, "vec_id", "embedding", threshold = 0.4, dim = 64)
+    assert(all.filter(col("sim") < 0.4).count() == 0)
+  }
+
   test("cosinePairsLsh always surfaces an identical-vector duplicate") {
     // an exact copy shares every sign pattern, so it collides in every
     // band — LSH recall on true duplicates is 1 by construction
