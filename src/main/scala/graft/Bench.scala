@@ -39,25 +39,28 @@ object Bench {
         catch { case _: Throwable => () } // warmup errors re-surface in the timed runs
       }
     }
-    // best of three timed runs: the first run at the target scale still
-    // pays plan-specific JIT/codegen compilation that the small-scale
-    // warmup cannot reach; the min is the steady-state number
+    // best of three timed runs, INTERLEAVED round-robin: the whole query
+    // list runs three times (pass 1 of all queries, then pass 2, then
+    // pass 3) and each query keeps its per-pass minimum. Consecutive
+    // same-query repeats share any transient box load across all three
+    // samples, so a GC pause or noisy neighbor inflates every sample of
+    // that one query and survives into the committed record as a phantom
+    // regression; spreading the repeats ~minutes apart makes the min a
+    // trustworthy steady-state number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.flatMap { name =>
-      val ts = (1 to 3).flatMap { run =>
-        val t0 = System.nanoTime()
-        try {
-          exec(SparkEntry.queries(name)(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name run $run failed: $e")
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            None
-        }
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (pass <- 1 to 3; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        exec(SparkEntry.queries(name)(spark, sfDir))
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name pass $pass failed: $e")
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
-      ts.minOption.map(name -> _)
     }
+    val results = names.flatMap(n => samples.get(n).flatMap(_.minOption).map(n -> _))
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -423,7 +423,23 @@ object Dedup {
     * multiplications each) rather than paying an id-keyed dedup
     * shuffle; the final per-id max absorbs the duplicates. Returns
     * (id, bench_id, sim) — the best matching benchmark row per flagged
-    * corpus id; anti-join it to drop, or keep it as provenance. */
+    * corpus id; anti-join it to drop, or keep it as provenance.
+    *
+    * Banding is RECALL-oriented, not bucket-economy-oriented: a missed
+    * contaminated doc leaks a benchmark item into training data, which
+    * is strictly worse than scoring extra candidate cosines. By
+    * default (`bands = 0`) the band shape is derived from the
+    * threshold via [[recallBanding]]: a pair at cosine `t` agrees per
+    * sign coordinate with probability p = 1 − arccos(t)/π, so band
+    * width b and band count L are chosen to make the any-band
+    * collision probability 1 − (1 − p^b)^L ≥ `targetRecall` for pairs
+    * AT the threshold (pairs above it collide more often). Low
+    * thresholds genuinely cost more — at t = 0.4, dim = 64 the derived
+    * shape (b = 4, L = 14) scores most corpus×bench pairs, which is
+    * the honest price of paraphrase-level recall; at t = 0.8 the same
+    * rule prunes ~7/8 of random pairs. Pass explicit
+    * `bands`/`bitsPerBand` to override (e.g. the old economy sizing
+    * for exact-copy-only sweeps). */
   def decontaminateSemantic(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -432,15 +448,18 @@ object Dedup {
       threshold: Double,
       dim: Int,
       bitsPerBand: Int = 0,
-      bands: Int = 4,
+      bands: Int = 0,
       targetBucketSize: Long = 64,
-      corpusSize: Long = -1L): DataFrame = {
-    val bits = resolveBits(corpus, dim, bitsPerBand, bands, targetBucketSize, corpusSize)
+      corpusSize: Long = -1L,
+      targetRecall: Double = 0.9): DataFrame = {
+    val (bits, nBands) =
+      if (bands == 0) recallBanding(dim, threshold, targetRecall)
+      else (resolveBits(corpus, dim, bitsPerBand, bands, targetBucketSize, corpusSize), bands)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val b = benchmark.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val benchBands = signBanded(b, bits, bands, keep = Seq("v"))
+    val benchBands = signBanded(b, bits, nBands, keep = Seq("v"))
       .select(col("band"), col("bucket"), col("id").as("bench_id"), col("v").as("bv"))
-    signBanded(c, bits, bands, keep = Seq("v"))
+    signBanded(c, bits, nBands, keep = Seq("v"))
       .join(broadcast(benchBands), Seq("band", "bucket"))
       .select(col("id"), col("bench_id"),
         graft.plans.VectorColumns.cosine(col("v"), col("bv")).as("sim"))
@@ -812,6 +831,38 @@ object Dedup {
           / sum(col("bs")).cast("double"), 6).as("dropped_fraction"),
         coalesce(sum(when(col("bs") <= maxBucketSize, (col("bs") * (col("bs") - 1) / 2).cast("long"))),
           lit(0L)).as("candidate_pairs"))
+  }
+
+  /** Recall-first sign-LSH band shape for a cosine threshold: the
+    * widest band width b whose required band count
+    * L = ⌈ln(1−R) / ln(1−p^b)⌉ (p = 1 − arccos(t)/π, the per-coordinate
+    * sign-agreement probability of a pair at cosine t) still fits the
+    * coordinate budget (L·b ≤ dim). Widest-b-first minimizes random
+    * collisions (each extra bit halves a random pair's per-band
+    * collision odds) subject to guaranteed recall ≥ R at the
+    * threshold. b = 1, L = dim always satisfies any R < 1 for p > 0,
+    * so the search cannot come up empty. */
+  def recallBanding(dim: Int, threshold: Double, targetRecall: Double): (Int, Int) = {
+    require(dim >= 1, s"dim $dim must be positive")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall $targetRecall must be in (0,1)")
+    val t = math.max(-1.0, math.min(1.0, threshold))
+    val p = 1.0 - math.acos(t) / math.Pi
+    require(p > 0,
+      s"threshold $threshold gives zero sign-agreement probability; LSH cannot reach recall")
+    val lnMiss = math.log(1.0 - targetRecall)
+    (dim to 1 by -1).iterator.flatMap { b =>
+      val pb = math.pow(p, b)
+      // log1p keeps tiny pb from rounding 1-pb to exactly 1.0 (whose
+      // log of 0 would blow the division up to ±infinity)
+      val lnBandMiss = math.log1p(-pb)
+      if (pb >= 1.0) Some((b, 1))
+      else if (lnBandMiss == 0.0) None // pb underflowed: band can't contribute
+      else {
+        val l = math.ceil(lnMiss / lnBandMiss).toInt
+        if (l >= 1 && l.toLong * b <= dim) Some((b, l)) else None
+      }
+    }.next()
   }
 
   private def resolveBits(

@@ -34,6 +34,32 @@ object Sampling {
         "cast float/timestamp keys to string explicitly if their rendering is intended")
   }
 
+  /** Weighted sampling without replacement (polars sample(weights=)),
+    * deterministic: Efraimidis–Spirakis A-ES keys. Each row draws
+    * u = uniform(0,1) from the first 52 bits of md5(key) — exact in a
+    * double, replicable by any SQL engine — and the n rows with the
+    * smallest −ln(u)/w are kept, which is distributed-identical to
+    * drawing n rows sequentially with probability proportional to
+    * weight. ONE TakeOrderedAndProject (per-partition top-n heaps →
+    * driver merge of n·#partitions rows): the corpus never shuffles
+    * and the result is independent of partitioning. Rows with null or
+    * non-positive weight are excluded (polars raises there; a filter
+    * composes better at scale). The score column is internal — output
+    * columns are the input's, so no float ever reaches a comparison. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"sample size $n must be positive")
+    requireHashableKey(df, key)
+    // 13 hex chars = 52 bits < 2^53: conv's decimal string casts to an
+    // exact double; +0.5 centers the lattice and keeps u off 0 and 1
+    val u = (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__es_key", -log(u) / weight)
+      .orderBy(col("__es_key"))
+      .limit(n)
+      .drop("__es_key")
+  }
+
   /** Keep rows whose md5(key) falls in the first `sixteenths`/16 of hex
     * space — the flat-rate form (GDataset.sampleByHash exposes the same
     * predicate on the wrapper). Keys must be integer or string typed

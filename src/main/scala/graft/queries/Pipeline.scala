@@ -469,6 +469,14 @@ object Pipeline {
         rates = Map("en" -> 6, "zh" -> 16), defaultSixteenths = 10)
         .select(col("doc_id"), col("lang"))),
 
+    // weight-proportional sampling without replacement (polars
+    // sample(weights=)): Efraimidis–Spirakis keys from md5 bits, one
+    // TakeOrdered — deterministic and partitioning-independent
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        t(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"), n = 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))),
+
     // Gopher repetition signals: repeated-token fraction + share of the
     // single most frequent token, per document
     "q_repetition" -> ((s, dir) =>
@@ -1180,6 +1188,14 @@ object Pipeline {
            CASE WHEN lang = 'en' THEN '6'
                 WHEN lang = 'zh' THEN 'g'
                 ELSE 'a' END""",
+    // same Efraimidis–Spirakis keys: u from the first 52 md5 bits
+    // (exact in a double in both engines), smallest -ln(u)/w win
+    "q_sample_weighted" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+         WHERE o_totalprice > 0
+         ORDER BY -ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+                      / 4503599627370496.0) / o_totalprice
+         LIMIT 100""",
     "q_repetition" ->
       s"""WITH tf AS (
            SELECT doc_id AS id, tok, count(*) AS c

@@ -654,15 +654,18 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("rn"))
     }),
 
-    // value_counts(normalize=true): proportions via a window total —
-    // one division of two exact longs, no rounding needed
+    // value_counts(normalize=true): proportions against the grand total.
+    // The total is a separately-aggregated 1-row frame broadcast back
+    // onto the per-value counts (the winsorize broadcast-back idiom) —
+    // an unpartitioned window here would funnel every group through one
+    // task, which is a scale-killer when the value domain is wide
     "q_value_props" -> ((s, dir) => {
       val counts = t(s, dir, "orders")
         .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("count"))
-      counts.select(
+      val total = counts.agg(sum(col("count")).as("__total"))
+      counts.crossJoin(broadcast(total)).select(
         col("o_orderpriority").as("value"), col("count"),
-        (col("count").cast("double") /
-          sum(col("count")).over(Window.partitionBy())).as("prop"))
+        (col("count").cast("double") / col("__total")).as("prop"))
     }),
 
     // horizontal namespace (polars min/max/sum/mean_horizontal):
@@ -1372,6 +1375,32 @@ object Relational {
       corrMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
+    // per-group Spearman rank correlation (polars corr
+    // method="spearman"): average-tie ranks within each group (one
+    // exchange on the group key, two sorts over it), Pearson on the
+    // ranks — ranks are exact integers/halves, so only the final
+    // co-moment merge needs the 4dp round
+    "q_corr_spearman" -> ((s, dir) => {
+      val g = col("l_returnflag")
+      val rq = rank().over(Window.partitionBy(g).orderBy(col("l_quantity"))) +
+        (count(lit(1)).over(Window.partitionBy(g, col("l_quantity"))) - 1) / lit(2.0)
+      val rp = rank().over(Window.partitionBy(g).orderBy(col("l_extendedprice"))) +
+        (count(lit(1)).over(Window.partitionBy(g, col("l_extendedprice"))) - 1) / lit(2.0)
+      t(s, dir, "lineitem")
+        .select(g, rq.as("rq"), rp.as("rp"))
+        .groupBy(g)
+        .agg(round(corr(col("rq"), col("rp")), 4).as("rho"),
+          count(lit(1)).as("n"))
+    }),
+
+    // whole-frame Spearman matrix: global average-tie ranks via the
+    // distributed two-scan cumsum (avgRank — no single-partition
+    // window), then the one-pass co-moment matrix over the ranks
+    "q_corr_matrix_spearman" -> ((s, dir) =>
+      corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        method = "spearman")),
+
     // dt parts beyond q_dt_ops: day-of-year, ISO week, days-in-month,
     // leap year (shared integer formula — neither engine's builtin)
     "q_dt_parts" -> ((s, dir) =>
@@ -1409,19 +1438,70 @@ object Relational {
           col("o.price_eur").as("price_eur")))
   )
 
+  /** Global average-tie rank of `c` appended as column `out` — the
+    * distributed form of polars `Series.rank("average")`. NO global
+    * single-partition window: the CDF's minimal representation (one
+    * (value, count) row per distinct value) is range-partitioned by
+    * value and cumulated with the withRowIndex two-scan idiom — a
+    * within-partition running sum keyed on the pinned partition id
+    * plus broadcast per-partition offsets — then joined back on the
+    * value. Cost: one column-pruned scan, one counts-sized range
+    * shuffle, one value-keyed join back; nothing corpus-sized ever
+    * funnels through a single task, and per-partition window state is
+    * one running long. The counts frame stays persisted (the pin makes
+    * the partition ids the offsets were computed from provably describe
+    * the layout the join sees — same caveat as GDataset.withRowIndex);
+    * rows with a null value keep a null rank. */
+  def avgRank(df: DataFrame, c: String, out: String): DataFrame = {
+    val counts = df.select(col(c)).na.drop()
+      .groupBy(col(c)).agg(count(lit(1)).as("__n"))
+    val ranged = counts.repartitionByRange(col(c))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2)).toIndexedSeq
+    val offDf = df.sparkSession.createDataFrame(offs).toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(c))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // avg rank of a tie group = (count of rows <= v) − (n_eq − 1)/2
+    val ranks = ranged.join(broadcast(offDf), Seq("__pid"))
+      .select(col(c),
+        (col("__off") + sum(col("__n")).over(w)
+          - (col("__n") - 1) / lit(2.0)).as(out))
+    df.join(ranks, Seq(c), "left")
+  }
+
   /** Pairwise correlation matrix in ONE scan: all n·(n−1)/2 corr()
     * co-moments live in the same Aggregate, so the input is read once
     * and partial-merged once however many pairs there are; the long
     * (col_a, col_b, r) shape explodes a single-row struct array —
     * never a per-pair re-scan. 4dp absorbs the engines' co-moment
-    * merge order (the q_corr convention). */
-  def corrMatrix(df: DataFrame, cols: Seq[String], dp: Int = 4): DataFrame = {
+    * merge order (the q_corr convention).
+    *
+    * `method = "spearman"` (polars corr(method="spearman")) replaces
+    * each column with its global average-tie rank via [[avgRank]]
+    * before the same one-pass co-moment aggregate — k extra
+    * column-pruned counting scans and k value-keyed joins, all
+    * distributed; the ranks themselves are exact integers/halves so
+    * the rank transform contributes no float drift. */
+  def corrMatrix(df: DataFrame, cols: Seq[String], dp: Int = 4,
+      method: String = "pearson"): DataFrame = {
     require(cols.length >= 2, "corrMatrix needs at least two columns")
+    val base = method match {
+      case "pearson" => df
+      case "spearman" =>
+        cols.foldLeft(df.select(cols.map(col): _*)) {
+          (acc, c) => avgRank(acc, c, s"__r_$c")
+        }.select(cols.map(c => col(s"__r_$c").as(c)): _*)
+      case other =>
+        throw new IllegalArgumentException(s"unknown corr method '$other'")
+    }
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
       yield (cols(i), cols(j))
     val aggs = pairs.zipWithIndex.map { case ((a, b), k) =>
       round(corr(col(a), col(b)), dp).as(s"__c$k") }
-    df.agg(aggs.head, aggs.tail: _*)
+    base.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs.zipWithIndex.map { case ((a, b), k) =>
         struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"__c$k").as("r"))
       }: _*)).as("p"))
@@ -1434,6 +1514,15 @@ object Relational {
     * limit 1) — the join plan itself is unchanged, so Catalyst still
     * picks broadcast/shuffle freely. At 100 TB the check costs one
     * partial-agg pass over the key columns only.
+    *
+    * Semantics note: the check runs EAGERLY at DataFrame-construction
+    * time, not inside the join's own execution (polars validates
+    * during the join). If the underlying source mutates — or is
+    * non-deterministic — between building the returned join and
+    * executing it, the validation is stale and the join runs
+    * unchecked. Fine for immutable snapshots (parquet paths, frozen
+    * tables); for tables that can change underneath, re-validate at
+    * execution time by calling this right before the action.
     */
   def joinValidated(
       left: DataFrame, right: DataFrame,
@@ -2292,6 +2381,32 @@ object Relational {
          UNION ALL
          SELECT 'l_extendedprice', 'l_discount',
            round(corr(l_extendedprice, l_discount), 4) FROM lineitem""",
+    "q_corr_spearman" ->
+      """WITH r AS (
+           SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rq,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rp
+           FROM lineitem)
+         SELECT l_returnflag, round(corr(rq, rp), 4) AS rho, count(*) AS n
+         FROM r GROUP BY l_returnflag""",
+    "q_corr_matrix_spearman" ->
+      """WITH r AS (
+           SELECT
+             rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+             rank() OVER (ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS re,
+             rank() OVER (ORDER BY l_discount)
+               + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
+           FROM lineitem)
+         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(rq, re), 4) AS r FROM r
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount', round(corr(rq, rd), 4) FROM r
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount', round(corr(re, rd), 4) FROM r""",
     "q_dt_parts" ->
       """SELECT o_orderkey,
          dayofyear(o_orderdate) AS yr_day,

@@ -447,6 +447,19 @@ class PlanAuditSpec extends SparkSpec {
       s"q_chunk reads unneeded metadata columns: $chunk")
   }
 
+  test("q_value_props has no single-partition global window") {
+    // the grand total comes from a broadcast 1-row aggregate, never
+    // from sum().over(Window.partitionBy()) — an unpartitioned window
+    // funnels every group through ONE task at a wide value domain
+    // (the 1-row total agg's own SinglePartition exchange is fine —
+    // it moves one partial-agg row per partition, not data rows)
+    val p = planOf("q_value_props")
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Window\b.*""")),
+      s"q_value_props still uses a window for the total:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "total should come back via a broadcast")
+  }
+
   test("q_corr_matrix reads the input exactly once for all pairs") {
     // the one-scan contract: n·(n−1)/2 correlations from a single
     // Aggregate — a per-pair union would re-scan lineitem 3×
@@ -471,8 +484,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.nonEmpty)
     // the shuffle key block lists hashpartitioning columns inline
     val exLines = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
-    assert(exLines.contains("content_hash") || exLines.contains("source"),
-      s"scoped dedup shuffle not keyed on scope+hash: $exLines")
+    // BOTH must ride the key: a hash-only shuffle (scope silently
+    // dropped) would dedup across scopes and still pass an ||-check.
+    // Catalyst renders the md5(text) grouping key as an unaliased
+    // _groupingexpression — accept either spelling for the hash half
+    assert(exLines.contains("source"),
+      s"scoped dedup shuffle dropped the scope column: $exLines")
+    assert(exLines.contains("content_hash") || exLines.contains("_groupingexpression"),
+      s"scoped dedup shuffle dropped the content hash: $exLines")
     assert(!exLines.contains("text#"), s"scoped dedup shuffles document text: $exLines")
   }
 
@@ -486,5 +505,16 @@ class PlanAuditSpec extends SparkSpec {
       k = 3, nLists = 4, nProbe = 2, m = 8, ksub = 4, trainSample = 256, iters = 2)
       .queryExecution.explainString(FormattedMode)
     assert(plan.contains("BroadcastHashJoin"), "probe side not broadcast")
+    // the SPECIFIC join: a BroadcastHashJoin keyed on the IVF cell —
+    // the tiny probes⋈luts broadcast join alone must not satisfy this
+    // audit while the main ADC join regresses to a corpus shuffle
+    assert(plan.linesIterator.exists(l => l.contains("keys") && l.contains("cell#")),
+      s"no join keyed on the IVF cell id in:\n$plan")
+    // and the encoded corpus never shuffles: no exchange key or
+    // partition expression may carry the codes column
+    val shuffled = plan.linesIterator
+      .filter(l => l.contains("hashpartitioning") || l.contains("rangepartitioning"))
+      .filter(_.contains("codes#")).toList
+    assert(shuffled.isEmpty, s"corpus codes entered a shuffle: $shuffled")
   }
 }

@@ -175,6 +175,45 @@ class SamplingSpec extends SparkSpec {
     assert(out.values.flatten.forall(q => q >= -127L && q <= 127L))
   }
 
+  test("weightedSample: deterministic, partitioning-independent, weight-proportional") {
+    import spark.implicits._
+    // 100 heavy keys (w=100) among 900 light ones (w=1): under
+    // Efraimidis–Spirakis a heavy row's exponential key has rate 100,
+    // so drawing n=100 picks nearly every heavy row — far above the
+    // count-proportional 10 a weight-blind sampler would give
+    val df = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 100) 100.0 else 1.0)).toDF("id", "w")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, col("id"), col("w"), n = 100)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val once = sample(df)
+    assert(once.size == 100)
+    assert(sample(df) == once, "rerun must pick the identical set")
+    assert(sample(df.repartition(7)) == once, "sample must not depend on partitioning")
+    val heavy = once.count(_ <= 100L)
+    assert(heavy >= 78, s"only $heavy/100 heavy rows sampled — not weight-proportional")
+    // null / non-positive weights are excluded, never sampled
+    val edge = Seq((1L, Some(2.0)), (2L, None), (3L, Some(0.0)), (4L, Some(-1.0)))
+      .toDF("id", "w")
+    assert(Sampling.weightedSample(edge, col("id"), col("w"), n = 10)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("weightedSample with equal weights matches top-n by the uniform md5 draw") {
+    import spark.implicits._
+    // with all weights equal the E-S key −ln(u)/w is monotone
+    // DECREASING in u, so the kept set must equal the n LARGEST u
+    // values — a closed form that pins the md5→uniform plumbing
+    val df = (1 to 300).map(_.toLong).toDF("id")
+    val u = (conv(substring(md5(col("id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0)
+    val expect = df.withColumn("u", u).orderBy(col("u").desc).limit(40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = Sampling.weightedSample(df.withColumn("w", lit(7.5)), col("id"), col("w"), n = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
   test("unitNorm produces unit vectors and passes zero vectors through") {
     import spark.implicits._
     val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f))).toDF("id", "v")

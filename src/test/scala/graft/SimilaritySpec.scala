@@ -423,6 +423,63 @@ class SimilaritySpec extends SparkSpec {
     assert(all.filter(col("sim") < 0.4).count() == 0)
   }
 
+  test("recallBanding sizes bands to the threshold's sign-agreement probability") {
+    // closed-form checks: p = 1 - acos(t)/pi, widest b whose
+    // L = ceil(ln(1-R)/ln(1-p^b)) fits L*b <= dim
+    assert(graft.operators.Dedup.recallBanding(64, 0.4, 0.9) == (4, 14))
+    assert(graft.operators.Dedup.recallBanding(64, 0.8, 0.9) == (6, 8))
+    // exact copies agree on every coordinate: one band of full width suffices
+    assert(graft.operators.Dedup.recallBanding(64, 1.0, 0.9) == (64, 1))
+    // the shape always fits the coordinate budget
+    for (t <- Seq(0.2, 0.4, 0.6, 0.8, 0.95); d <- Seq(16, 64, 256)) {
+      val (b, l) = graft.operators.Dedup.recallBanding(d, t, 0.9)
+      assert(b >= 1 && l >= 1 && b * l <= d, s"($b,$l) for t=$t dim=$d")
+    }
+  }
+
+  test("decontaminateSemantic catches paraphrase-level near-duplicates, not just copies") {
+    // plant NON-exact near-dups at a controlled cosine: rotate each
+    // benchmark vector by a fixed angle inside span(v, w) where w is
+    // another corpus vector orthogonalized against v — the planted
+    // pair's cosine is exactly cos(theta), deterministic, no RNG.
+    // With threshold 0.4 the recall-oriented defaults must catch
+    // pairs at cosine ~0.55; the old economy sizing (bands=4, 64-row
+    // buckets) collides on such pairs with probability well under 1%.
+    val sess = spark
+    import sess.implicits._
+    val benchRows = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val noiseRows = emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val cosTheta = 0.55
+    val sinTheta = math.sqrt(1 - cosTheta * cosTheta)
+    val planted = benchRows.zip(noiseRows).map { case ((id, vF), wF) =>
+      val v = normalize(vF.map(_.toDouble))
+      val w = wF.map(_.toDouble)
+      val proj = v.zip(w).map { case (a, b) => a * b }.sum
+      val wPerp = normalize(w.zip(v).map { case (b, a) => b - proj * a })
+      val u = v.zip(wPerp).map { case (a, b) => cosTheta * a + sinTheta * b }
+      (id + 700000L, u.map(_.toFloat))
+    }
+    val corpus = emb.filter(col("vec_id") >= 40 && col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(planted.toSeq.toDF("vec_id", "embedding"))
+    val bench = emb.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding"))
+    val flagged = graft.operators.Dedup.decontaminateSemantic(
+        corpus, bench, "vec_id", "embedding", threshold = 0.4, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val caught = benchRows.map(_._1).count(i => flagged.get(700000L + i).contains(i))
+    // expected any-band collision at cosine 0.55 under (b=4, L=14) is
+    // ~0.95 per pair; >= 14/20 leaves slack for coordinate-vs-random
+    // hyperplane deviation on real data while still being unreachable
+    // by the old economy defaults (expected ~0 of 20)
+    assert(caught >= 14, s"near-dup recall $caught/20 — banding misses paraphrases")
+  }
+
   test("cosinePairsLsh always surfaces an identical-vector duplicate") {
     // an exact copy shares every sign pattern, so it collides in every
     // band — LSH recall on true duplicates is 1 by construction

@@ -109,4 +109,48 @@ class SqlFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](joinValidated(dup, uniq, Seq("k"), "1:m"))
     assert(joinValidated(dup, dup.withColumnRenamed("w", "w2"), Seq("k"), "m:m").count() == 5)
   }
+
+  test("avgRank equals the windowed average-tie rank, partitioning-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values with heavy ties plus a null (which must keep a null rank)
+    val df = (Seq.fill(5)(10.0) ++ Seq.fill(3)(20.0) ++ Seq(5.0, 30.0, 30.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, Option(v)) }
+      .toDF("id", "v")
+      .unionByName(Seq((99L, Option.empty[Double])).toDF("id", "v"))
+    val expect = df.filter(col("v").isNotNull).select(col("id"),
+      (rank().over(Window.orderBy(col("v"))) +
+        (count(lit(1)).over(Window.partitionBy(col("v"))) - 1) / lit(2.0)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def got(d: org.apache.spark.sql.DataFrame) =
+      graft.queries.Relational.avgRank(d, "v", "r")
+        .select("id", "r").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    val g = got(df)
+    assert(g(99L).isEmpty, "null value must keep a null rank")
+    expect.foreach { case (id, r) =>
+      assert(g(id).contains(r), s"id $id: got ${g(id)}, want $r") }
+    assert(got(df.repartition(7)) == g, "ranks must not depend on partitioning")
+  }
+
+  test("corrMatrix spearman matches corr of windowed ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 200).map { i =>
+      (i.toDouble % 17, (i * i).toDouble % 23, (200 - i).toDouble % 11)
+    }.toDF("a", "b", "c")
+    def wRank(c: String) = rank().over(Window.orderBy(col(c))) +
+      (count(lit(1)).over(Window.partitionBy(col(c))) - 1) / lit(2.0)
+    val expect = df.select(wRank("a").as("a"), wRank("b").as("b"), wRank("c").as("c"))
+      .agg(round(corr(col("a"), col("b")), 4), round(corr(col("a"), col("c")), 4),
+        round(corr(col("b"), col("c")), 4))
+      .collect().head
+    val got = graft.queries.Relational
+      .corrMatrix(df, Seq("a", "b", "c"), method = "spearman")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", "b")) == expect.getDouble(0))
+    assert(got(("a", "c")) == expect.getDouble(1))
+    assert(got(("b", "c")) == expect.getDouble(2))
+  }
 }
