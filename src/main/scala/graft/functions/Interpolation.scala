@@ -10,12 +10,19 @@ package graft.functions
   * cubic spline (O(n) tridiagonal solve) and a direct DFT.
   */
 /** Spline knobs — the Spark-side analog of the reference's `**kwargs`
-  * pass-through to its spline plugin (polars_dataset.py:212).
+  * pass-through to its spline plugin (polars_dataset.py:212; the build
+  * artifact also exposes scipy's PchipInterpolator,
+  * build/lib/polars_dataset.py:8,304).
   *
+  * @param kind        "cubic" (C² natural/clamped spline) or "pchip"
+  *                    (Fritsch–Carlson monotone cubic Hermite: shape-
+  *                    preserving, no overshoot between knots — the
+  *                    right default for physical series with plateaus)
   * @param boundary    "natural" (zero second derivative at the ends) or
   *                    "clamped" (first derivatives pinned to
   *                    `derivStart`/`derivEnd`; exact for cubics when the
-  *                    true end slopes are supplied)
+  *                    true end slopes are supplied). Cubic kind only —
+  *                    pchip derives its end slopes from the data.
   * @param derivStart  end slope at xs.head (clamped only)
   * @param derivEnd    end slope at xs.last (clamped only)
   * @param extrapolate outside [xs.head, xs.last]: "cubic" extends the
@@ -27,7 +34,10 @@ final case class SplineOptions(
     boundary: String = "natural",
     derivStart: Double = 0.0,
     derivEnd: Double = 0.0,
-    extrapolate: String = "cubic") {
+    extrapolate: String = "cubic",
+    kind: String = "cubic") {
+  require(Seq("cubic", "pchip").contains(kind),
+    s"unknown spline kind `$kind`")
   require(Seq("natural", "clamped").contains(boundary),
     s"unknown spline boundary `$boundary`")
   require(Seq("cubic", "constant", "none").contains(extrapolate),
@@ -56,6 +66,7 @@ object Interpolation {
     if (n == 1) return grid.map { x =>
       if (opts.extrapolate == "none" && x != xs(0)) Double.NaN else ys(0)
     }
+    if (opts.kind == "pchip") return pchip(xs, ys, grid, opts)
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
     // second derivatives m via Thomas solve of the full n×n tridiagonal
     // system; rows 1..n-2 are the standard continuity equations, rows 0
@@ -118,6 +129,80 @@ object Interpolation {
         val b2 = (x - xs(seg)) / hh
         aa * ys(seg) + b2 * ys(seg + 1) +
           ((aa * aa * aa - aa) * m(seg) + (b2 * b2 * b2 - b2) * m(seg + 1)) * hh * hh / 6.0
+      }
+    }
+  }
+
+  /** PCHIP — monotone cubic Hermite with Fritsch–Carlson tangents
+    * (scipy PchipInterpolator semantics; see the reference build
+    * artifact's import, build/lib/polars_dataset.py:8). Interior
+    * tangents are the weighted harmonic mean of adjacent secant
+    * slopes, zero whenever the slopes change sign or either is zero —
+    * which is exactly the condition that pins the interpolant inside
+    * the data's local range: monotone data stays monotone and a step
+    * never rings, where the C² spline overshoots. Endpoint slopes use
+    * the standard one-sided three-point formula with the monotonicity
+    * clamps. Callers guarantee xs strictly increasing. */
+  private def pchip(
+      xs: Array[Double],
+      ys: Array[Double],
+      grid: Array[Double],
+      opts: SplineOptions): Array[Double] = {
+    val n = xs.length
+    val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
+    val delta = Array.tabulate(n - 1)(i => (ys(i + 1) - ys(i)) / h(i))
+    val d = new Array[Double](n)
+    if (n == 2) { d(0) = delta(0); d(1) = delta(0) }
+    else {
+      var i = 1
+      while (i < n - 1) {
+        d(i) =
+          if (delta(i - 1) == 0.0 || delta(i) == 0.0 ||
+              math.signum(delta(i - 1)) != math.signum(delta(i))) 0.0
+          else {
+            val w1 = 2.0 * h(i) + h(i - 1)
+            val w2 = h(i) + 2.0 * h(i - 1)
+            (w1 + w2) / (w1 / delta(i - 1) + w2 / delta(i))
+          }
+        i += 1
+      }
+      def endSlope(h0: Double, h1: Double, d0: Double, d1: Double): Double = {
+        var s = ((2.0 * h0 + h1) * d0 - h0 * d1) / (h0 + h1)
+        if (math.signum(s) != math.signum(d0)) s = 0.0
+        else if (math.signum(d0) != math.signum(d1) && math.abs(s) > 3.0 * math.abs(d0))
+          s = 3.0 * d0
+        s
+      }
+      d(0) = endSlope(h(0), h(1), delta(0), delta(1))
+      d(n - 1) = endSlope(h(n - 2), h(n - 3), delta(n - 2), delta(n - 3))
+    }
+    grid.map { x =>
+      val below = x < xs(0)
+      val above = x > xs(n - 1)
+      if ((below || above) && opts.extrapolate == "none") Double.NaN
+      else if (below && opts.extrapolate == "constant") ys(0)
+      else if (above && opts.extrapolate == "constant") ys(n - 1)
+      else {
+        val seg =
+          if (x <= xs(0)) 0
+          else if (x >= xs(n - 1)) n - 2
+          else {
+            var l = 0
+            var r = n - 2
+            while (l < r) {
+              val mid = (l + r + 1) >>> 1
+              if (xs(mid) <= x) l = mid else r = mid - 1
+            }
+            l
+          }
+        val hh = h(seg)
+        val t = (x - xs(seg)) / hh
+        val t2 = t * t
+        val t3 = t2 * t
+        (2.0 * t3 - 3.0 * t2 + 1.0) * ys(seg) +
+          (t3 - 2.0 * t2 + t) * hh * d(seg) +
+          (-2.0 * t3 + 3.0 * t2) * ys(seg + 1) +
+          (t3 - t2) * hh * d(seg + 1)
       }
     }
   }

@@ -319,6 +319,49 @@ object Pq {
     }
   }
 
+  /** Index health metric: sampled-recall estimate of a STANDING PQ
+    * index (persisted encoded table + codebook) without a rebuild —
+    * the ANN-family analog of lshBucketStats. As a corpus drifts away
+    * from the distribution the codebook was trained on, ADC recall
+    * decays silently; this measures it. `nQueries` corpus vectors are
+    * drawn deterministically (md5 order of the id — the same probe set
+    * every run, so successive measurements are comparable) and scored
+    * ADC-vs-exact-brute-force; one row per probe
+    * (qid, hits, k, recall) — aggregate recall is avg(recall).
+    * Cost is bounded by the sample: |corpus| · nQueries exact cosines
+    * for ground truth plus one ADC pass over the codes, never a
+    * retrain. Re-measure periodically; a falling average says retrain
+    * the codebook. */
+  def recallEstimate(
+      corpus: DataFrame,
+      encoded: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nQueries: Int = 32,
+      rerank: Int = 0): DataFrame = {
+    require(k >= 1 && nQueries >= 1, "need k >= 1 and nQueries >= 1")
+    // TakeOrdered over the md5 of the id: deterministic, partition-
+    // independent, and uncorrelated with insertion order or the id
+    // sequence (a head() sample would measure only the oldest rows)
+    val probes = corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(nQueries)
+    val exact = Similarity.bruteForceTopK(corpus, probes, idCol, vecCol, k)
+    val adc = adcTopK(encoded, probes, idCol, vecCol, codebooks, k,
+      rerank, if (rerank > 0) corpus else null)
+    val hits = exact.select(col("qid"), col("cid"))
+      .join(adc.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    probes.select(col(idCol).as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k).as("k"),
+        round(coalesce(col("hits"), lit(0L)) / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** One-shot convenience: train → encode → ADC (with optional exact
     * rerank), the [[Similarity.ivfTopK]] shape for PQ. */
   def pqTopK(

@@ -134,6 +134,95 @@ object Vocab {
         sum(col("c")).as("n_transitions"))
   }
 
+  /** Interpolated trigram extension of [[lmScoreBigram]] — the
+    * standard CCNet-adjacent word-salad catcher: per-doc average
+    * Σ c·ln(λ₃·P₃ + λ₂·P₂ + λ₁·P₁) / Σ c over the doc's adjacent
+    * token triples (u,v,w), with P₃ = c₃(u,v,w)/c₁₂(u,v),
+    * P₂ = c₂₃(v,w)/c₂(v), P₁ = c(w)/T — every count a marginal of the
+    * ONE corpus trigram table, so the model is self-consistent and
+    * any SQL engine can replicate it exactly. Interpolation means a
+    * never-seen trigram still scores via its bigram/unigram mass
+    * instead of −∞, which is what separates fluent-but-novel text
+    * from actual word salad.
+    *
+    * Scale shape: triples are built SCAN-SIDE (three aligned slices
+    * of the token array zipped into structs — no posexplode + window);
+    * shuffles are the (id,u,v,w) partial agg plus four
+    * vocabulary-sized marginal aggs and their equi-joins back. T is
+    * one driver-side scalar (the [[lmScore]] pattern). Docs with < 3
+    * tokens have no transitions and drop out. */
+  def lmScoreTrigram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      l3: Double = 0.6,
+      l2: Double = 0.3,
+      l1: Double = 0.1): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9 && l3 >= 0 && l2 >= 0 && l1 >= 0,
+      s"interpolation weights ($l3, $l2, $l1) must be non-negative and sum to 1")
+    val toks = TF.tokens(col(textCol))
+    val m = greatest(size(toks) - 2, lit(0))
+    val uv = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("u"), b.as("v")))
+    val triples = zip_with(uv, slice(toks, lit(3), m),
+      (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
+    val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
+      .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
+    val docTg = tg.groupBy(col("id"), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val c3 = docTg.groupBy(col("u"), col("v"), col("w")).agg(sum(col("c")).as("c3"))
+    val c12 = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c12"))
+    val c23 = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c23"))
+    val c2m = c23.groupBy(col("v")).agg(sum(col("c23")).as("c2m"))
+    val cw = c23.groupBy(col("w")).agg(sum(col("c23")).as("cw"))
+    val total = c3.agg(sum(col("c3"))).first().getLong(0)
+    require(total > 0, "trigram model has zero transitions")
+    val p = lit(l3) * (col("c3").cast("double") / col("c12")) +
+      lit(l2) * (col("c23").cast("double") / col("c2m")) +
+      lit(l1) * (col("cw").cast("double") / lit(total.toDouble))
+    docTg.join(c3, Seq("u", "v", "w")).join(c12, Seq("u", "v"))
+      .join(c23, Seq("v", "w")).join(c2m, Seq("v")).join(cw, Seq("w"))
+      .groupBy(col("id"))
+      .agg(
+        round(sum(col("c") * log(p)) / sum(col("c")), 4).as("lm3_score"),
+        sum(col("c")).as("n_transitions"))
+  }
+
+  /** Tokenizer-vocabulary coverage QA: per-doc out-of-vocabulary
+    * token count and fraction against a vocabulary — either supplied
+    * (a real tokenizer's piece table, one `token` column) or the
+    * corpus's own top-`vocabSize` tokens under a deterministic
+    * (count desc, token asc) tie-break. The pre-training question
+    * this answers: how much of each document would a tokenizer
+    * shatter into unknowns/bytes — a high OOV rate flags encoding
+    * damage, the wrong language, or a vocab trained on the wrong
+    * distribution. Same two-level (id, token) partial-agg shape as
+    * [[lmScore]]; the vocab side is one TakeOrdered (never a global
+    * sort) and joins by token equality. */
+  def oovRate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Option[DataFrame] = None,
+      vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(TF.tokens(col(textCol))).as("token"))
+    val docTf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
+    val v = vocab.map(_.select(col("token"))).getOrElse(
+      docTf.groupBy(col("token")).agg(sum(col("c")).as("tf"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(vocabSize)
+        .select(col("token")))
+    val oov = sum(when(col("__in").isNull, col("c")).otherwise(lit(0L)))
+    docTf.join(v.withColumn("__in", lit(1)), Seq("token"), "left")
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        oov.as("n_oov"),
+        round(oov.cast("double") / sum(col("c")), 4).as("oov_rate"))
+  }
+
   /** Per-document word-repetition signals (the Gopher repetition
     * filters): `dup_ratio` = fraction of tokens that are repeats of an
     * earlier token, `top_frac` = share of the single most frequent

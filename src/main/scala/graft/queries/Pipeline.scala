@@ -295,6 +295,18 @@ object Pipeline {
         "vec_id", "embedding", k = 5, rerank = 50)
     }),
 
+    // ANN index health: sampled ADC-vs-exact recall of a standing PQ
+    // index — the drift monitor a persisted index needs. Rows-only:
+    // trained codebooks aren't DuckDB-expressible; the estimate is
+    // spec-pinned against a hand-computed recall (SimilaritySpec).
+    "q_ann_pq_health" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.operators.Pq.train(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      graft.operators.Pq.recallEstimate(
+        emb, graft.operators.Pq.encode(emb, "vec_id", "embedding", cb), cb,
+        "vec_id", "embedding", k = 5, nQueries = 16)
+    }),
+
     // IVF-PQ composed: coarse cells prune the corpus, ADC scores only
     // the surviving codes, exact rerank recovers recall — the standing
     // 100 TB ANN shape (both indexes persist; queries touch
@@ -434,6 +446,19 @@ object Pipeline {
     // model can't; bigrams built scan-side, no per-token window
     "q_lm_bigram" -> ((s, dir) =>
       Vocab.lmScoreBigram(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // interpolated trigram LM: λ-mix of tri/bi/unigram likelihoods —
+    // unseen trigrams back off to lower orders instead of -inf
+    "q_lm_trigram" -> ((s, dir) =>
+      Vocab.lmScoreTrigram(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
+    // tokenizer-vocab coverage: per-doc OOV fraction against the
+    // corpus's top-1k tokens (deterministic tie-break) — high OOV
+    // flags mojibake, wrong language, or a mistrained vocab
+    "q_oov_rate" -> ((s, dir) =>
+      Vocab.oovRate(t(s, dir, "documents"), "doc_id", "text", vocabSize = 1000)
         .withColumnRenamed("id", "doc_id")),
 
     // near-dup clusters: connected components over the exact-jaccard
@@ -1131,6 +1156,58 @@ object Pipeline {
            CAST(sum(dbg.c) AS BIGINT) AS n_transitions
          FROM dbg JOIN c2 USING (p, w) JOIN c1 USING (p)
          GROUP BY dbg.doc_id""",
+    // trigram replica: every count is a marginal of the one trigram
+    // table; parenthesization of the λ-mix matches the Spark AST so
+    // the doubles agree bit-for-bit before the 4dp round. MATERIALIZED
+    // is load-bearing: DuckDB inlines plain CTEs per reference, and
+    // c3's lineage is referenced five times — inlined, the re-expanded
+    // tree re-tokenizes the corpus per reference and the check runs
+    // out of memory
+    "q_lm_trigram" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $TokSql AS l FROM documents),
+         tg AS MATERIALIZED (
+           SELECT doc_id, z[1] AS u, z[2] AS v, z[3] AS w
+           FROM (SELECT doc_id,
+                   unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS z
+                 FROM toks WHERE len(l) >= 3)),
+         dtg AS MATERIALIZED (SELECT doc_id, u, v, w, count(*) AS c FROM tg GROUP BY 1, 2, 3, 4),
+         c3 AS MATERIALIZED (SELECT u, v, w, sum(c) AS c3 FROM dtg GROUP BY u, v, w),
+         c12 AS MATERIALIZED (SELECT u, v, sum(c3) AS c12 FROM c3 GROUP BY u, v),
+         c23 AS MATERIALIZED (SELECT v, w, sum(c3) AS c23 FROM c3 GROUP BY v, w),
+         c2m AS MATERIALIZED (SELECT v, sum(c23) AS c2m FROM c23 GROUP BY v),
+         cw AS MATERIALIZED (SELECT w, sum(c23) AS cw FROM c23 GROUP BY w),
+         tot AS (SELECT CAST(sum(c3) AS DOUBLE) AS t FROM c3)
+         SELECT dtg.doc_id,
+           round(sum(dtg.c * ln(
+               0.6 * (CAST(c3.c3 AS DOUBLE) / c12.c12)
+             + 0.3 * (CAST(c23.c23 AS DOUBLE) / c2m.c2m)
+             + 0.1 * (CAST(cw.cw AS DOUBLE) / tot.t))) / sum(dtg.c), 4)
+             AS lm3_score,
+           CAST(sum(dtg.c) AS BIGINT) AS n_transitions
+         FROM dtg JOIN c3 USING (u, v, w) JOIN c12 USING (u, v)
+              JOIN c23 USING (v, w) JOIN c2m USING (v) JOIN cw USING (w)
+              CROSS JOIN tot
+         GROUP BY dtg.doc_id""",
+
+    // OOV replica: same (doc, token) counts; vocabulary = top-1000 by
+    // (count DESC, token ASC) — the tie-break makes the boundary of
+    // the top-k identical in both engines
+    "q_oov_rate" ->
+      s"""WITH dt AS MATERIALIZED (
+           SELECT doc_id, token, count(*) AS c
+           FROM (SELECT doc_id, unnest($TokSql) AS token FROM documents)
+           GROUP BY doc_id, token),
+         v AS MATERIALIZED (
+           SELECT token FROM (SELECT token, sum(c) AS tf FROM dt GROUP BY token)
+           ORDER BY tf DESC, token LIMIT 1000)
+         SELECT dt.doc_id,
+           CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN dt.c ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.token IS NULL THEN dt.c ELSE 0 END) AS DOUBLE)
+                 / sum(dt.c), 4) AS oov_rate
+         FROM dt LEFT JOIN v ON dt.token = v.token
+         GROUP BY dt.doc_id""",
+
     // unigram-LM replica: identical two-level counts, ln(tf/T) under
     // the corpus's own model, count-weighted average per doc
     "q_lm_score" ->

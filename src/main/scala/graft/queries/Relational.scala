@@ -1401,6 +1401,14 @@ object Relational {
         Seq("l_quantity", "l_extendedprice", "l_discount"),
         method = "spearman")),
 
+    // global Series.rank("average") as a query: the distributed
+    // two-scan cumsum over per-value counts — what a naive
+    // Window.orderBy(price) would funnel through one task
+    "q_rank_global" -> ((s, dir) =>
+      avgRank(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", "price_rank")
+        .select(col("o_orderkey"), col("price_rank"))),
+
     // dt parts beyond q_dt_ops: day-of-year, ISO week, days-in-month,
     // leap year (shared integer formula — neither engine's builtin)
     "q_dt_parts" -> ((s, dir) =>
@@ -2407,6 +2415,11 @@ object Relational {
          SELECT 'l_quantity', 'l_discount', round(corr(rq, rd), 4) FROM r
          UNION ALL
          SELECT 'l_extendedprice', 'l_discount', round(corr(re, rd), 4) FROM r""",
+    "q_rank_global" ->
+      """SELECT o_orderkey,
+           rank() OVER (ORDER BY o_totalprice)
+             + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0 AS price_rank
+         FROM orders""",
     "q_dt_parts" ->
       """SELECT o_orderkey,
          dayofyear(o_orderdate) AS yr_day,

@@ -42,6 +42,56 @@ class InterpolationSpec extends SparkSpec {
       "natural boundary unexpectedly exact at the edge — clamped adds nothing")
   }
 
+  test("pchip is monotone on a step where the C2 spline overshoots") {
+    import graft.functions.SplineOptions
+    // a plateau-step-plateau series: the shape-preserving contract is
+    // (a) every interpolated value stays inside [0, 1] and (b) values
+    // never decrease along x — the natural cubic rings on both counts
+    val xs = Array(0.0, 1.0, 2.0, 3.0, 4.0, 5.0)
+    val ys = Array(0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+    val grid = (0 to 500).map(_ * 0.01).toArray
+    val p = Interpolation.cubicSpline(xs, ys, grid, SplineOptions(kind = "pchip"))
+    assert(p.forall(y => y >= -1e-12 && y <= 1.0 + 1e-12),
+      s"pchip overshot the data range: min=${p.min} max=${p.max}")
+    p.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 1e-12, "pchip lost monotonicity") }
+    val c = Interpolation.cubicSpline(xs, ys, grid)
+    assert(c.min < -1e-3 || c.max > 1.0 + 1e-3,
+      "natural spline unexpectedly monotone here — the pchip test proves nothing")
+  }
+
+  test("pchip hits every knot and is exact for linear data") {
+    import graft.functions.SplineOptions
+    val xs = Array(0.0, 0.5, 2.0, 3.5, 7.0)
+    val ys = Array(1.0, 3.0, 2.0, 2.0, -4.0)
+    val atKnots = Interpolation.cubicSpline(xs, ys, xs, SplineOptions(kind = "pchip"))
+    xs.indices.foreach(i => assert(math.abs(atKnots(i) - ys(i)) < 1e-12))
+    // harmonic-mean tangents reproduce a straight line exactly,
+    // including the two-point degenerate case
+    val lin = (x: Double) => -0.5 * x + 3.0
+    val lxs = Array(0.0, 1.0, 2.5, 4.0)
+    val got = Interpolation.cubicSpline(lxs, lxs.map(lin),
+      Array(0.3, 1.7, 3.9), SplineOptions(kind = "pchip"))
+    Array(0.3, 1.7, 3.9).zip(got).foreach { case (x, y) =>
+      assert(math.abs(y - lin(x)) < 1e-12, s"at $x: $y") }
+    val two = Interpolation.cubicSpline(Array(0.0, 2.0), Array(1.0, 5.0),
+      Array(0.5, 1.5), SplineOptions(kind = "pchip"))
+    assert(math.abs(two(0) - 2.0) < 1e-12 && math.abs(two(1) - 4.0) < 1e-12)
+  }
+
+  test("pchip extrapolation modes mirror the cubic kind's") {
+    import graft.functions.SplineOptions
+    val xs = Array(0.0, 1.0, 2.0)
+    val ys = Array(0.0, 1.0, 4.0)
+    val g = Array(-1.0, 3.0)
+    val const = Interpolation.cubicSpline(xs, ys, g,
+      SplineOptions(kind = "pchip", extrapolate = "constant"))
+    assert(const(0) == 0.0 && const(1) == 4.0)
+    val none = Interpolation.cubicSpline(xs, ys, g,
+      SplineOptions(kind = "pchip", extrapolate = "none"))
+    assert(none.forall(_.isNaN))
+  }
+
   test("extrapolation modes: cubic extends, constant holds, none yields NaN") {
     import graft.functions.SplineOptions
     val xs = Array(0.0, 1.0, 2.0, 3.0)

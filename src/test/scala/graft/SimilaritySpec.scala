@@ -399,6 +399,40 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("qid") === col("cid")).count() == 0)
   }
 
+  test("recallEstimate reports the true sampled ADC recall, deterministically") {
+    import graft.operators.{Pq, Similarity}
+    val corpus = emb.select(col("vec_id"), col("embedding")).limit(200)
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, ksub = 16,
+      trainSample = 256, iters = 4)
+    val enc = Pq.encode(corpus, "vec_id", "embedding", cb)
+    val est = Pq.recallEstimate(corpus, enc, cb, "vec_id", "embedding",
+      k = 5, nQueries = 12)
+    val rows = est.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 12, s"one row per probe, got ${rows.length}")
+    // ground truth by hand: same probe set (first 12 by md5 of id),
+    // brute-force vs ADC overlap collected and intersected driver-side
+    val probes = corpus
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(12)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(corpus, probes, "vec_id", "embedding", 5))
+    val adc = topSets(Pq.adcTopK(enc, probes, "vec_id", "embedding", cb, 5))
+    rows.foreach { case (qid, hits, k, recall) =>
+      val want = (exact.getOrElse(qid, Set.empty) & adc.getOrElse(qid, Set.empty)).size
+      assert(k == 5 && hits == want.toLong,
+        s"probe $qid: reported $hits hits, hand count $want")
+      assert(math.abs(recall - want / 5.0) < 1e-9)
+    }
+    // the probe set is pinned by the md5 order: a second measurement
+    // sees the same probes, so successive health checks are comparable
+    val again = Pq.recallEstimate(corpus, enc, cb, "vec_id", "embedding",
+      k = 5, nQueries = 12).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.map(r => (r._1, r._2)).toSet)
+  }
+
   test("decontaminateSemantic flags planted benchmark copies with exact scores") {
     // plant exact copies of benchmark vectors in the corpus: identical
     // signs collide in every band, so recall on true copies is 1
