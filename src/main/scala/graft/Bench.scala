@@ -29,6 +29,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // static conf, must be set before the session exists: the default
+      // 100-entry codegen class cache holds ~30 queries' generated
+      // stages, so ROUND-ROBIN passes (see below) would recompile every
+      // stage every pass and bench compile time, not execution time
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted

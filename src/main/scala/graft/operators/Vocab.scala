@@ -126,7 +126,9 @@ object Vocab {
     val docBg = bg.groupBy(col("id"), col("p"), col("w")).agg(count(lit(1)).as("c"))
     val c2 = docBg.groupBy(col("p"), col("w")).agg(sum(col("c")).as("c2"))
     val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
-    docBg.join(c2, Seq("p", "w")).join(c1, Seq("p"))
+    // c1 attaches to the distinct-bigram table first: the per-doc
+    // table pays ONE (p, w) join, not two
+    docBg.join(c2.join(c1, Seq("p")), Seq("p", "w"))
       .groupBy(col("id"))
       .agg(
         round(sum(col("c") * log(col("c2").cast("double") / col("c1"))) /
@@ -171,20 +173,113 @@ object Vocab {
     val docTg = tg.groupBy(col("id"), col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("c"))
     val c3 = docTg.groupBy(col("u"), col("v"), col("w")).agg(sum(col("c")).as("c3"))
+    val total = c3.agg(sum(col("c3"))).first().getLong(0)
+    require(total > 0, "trigram model has zero transitions")
+    // marginals attach to the DISTINCT-trigram table first, so the big
+    // per-doc table pays ONE (u,v,w) join instead of five — the four
+    // marginal joins move model-sized tables only
+    docTg.join(enrichTrigrams(c3), Seq("u", "v", "w"))
+      .groupBy(col("id"))
+      .agg(
+        round(sum(col("c") * log(interpP(l3, l2, l1, total))) / sum(col("c")), 4)
+          .as("lm3_score"),
+        sum(col("c")).as("n_transitions"))
+  }
+
+  /** (u,v,w,c3) → the same rows with every lower-order marginal the
+    * interpolated score needs attached: c12(u,v), c23(v,w), c2m(v),
+    * c(w). All four aggregations and joins stay on the distinct-
+    * trigram table — per-doc tables never enter them. */
+  private def enrichTrigrams(c3: DataFrame): DataFrame = {
+    val c12 = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c12"))
+    val c23 = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c23"))
+    val c2m = c23.groupBy(col("v")).agg(sum(col("c23")).as("c2m"))
+    val cw = c23.groupBy(col("w")).agg(sum(col("c23")).as("cw"))
+    c3.join(c12, Seq("u", "v")).join(c23, Seq("v", "w"))
+      .join(c2m, Seq("v")).join(cw, Seq("w"))
+  }
+
+  // the λ-mix AST is parenthesized exactly like the DuckDB oracle so
+  // the doubles agree bit-for-bit before the 4dp round
+  private def interpP(l3: Double, l2: Double, l1: Double, total: Long) =
+    lit(l3) * (col("c3").cast("double") / col("c12")) +
+      lit(l2) * (col("c23").cast("double") / col("c2m")) +
+      lit(l1) * (col("cw").cast("double") / lit(total.toDouble))
+
+  /** The persistable state of [[lmScoreTrigramWith]]: the corpus
+    * trigram table (u, v, w, c3). Every lower-order count the
+    * interpolated score needs is a marginal of this one table, so one
+    * parquet write freezes the whole model — train on a reference
+    * corpus once (Wikipedia, a held-out clean slice), score every
+    * ingest batch against it without rescanning the reference. */
+  def trigramModel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val m = greatest(size(toks) - 2, lit(0))
+    val uv = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("u"), b.as("v")))
+    val triples = zip_with(uv, slice(toks, lit(3), m),
+      (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
+    docs.select(explode(triples).as("z"))
+      .select(col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
+      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3"))
+  }
+
+  /** Score docs against a FROZEN trigram model ([[trigramModel]],
+    * typically read back from parquet) — the incremental twin of
+    * [[lmScoreTrigram]], which models the scored corpus itself. Batch
+    * cost scales with the batch: the model's marginals are four
+    * aggregations of the (already small) model table, never a corpus
+    * rescan. Out-of-model mass backs off: an unseen trigram keeps its
+    * bigram/unigram terms (LEFT joins, null terms contribute zero),
+    * and a transition with NO known term at any order has zero
+    * probability and is excluded from the average (the [[lmScore]]
+    * OOV convention) rather than scoring −∞; `n_transitions` counts
+    * the scored transitions. Scoring a corpus against its own model
+    * reproduces [[lmScoreTrigram]] exactly (spec-pinned). */
+  def lmScoreTrigramWith(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      l3: Double = 0.6,
+      l2: Double = 0.3,
+      l1: Double = 0.1): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-9 && l3 >= 0 && l2 >= 0 && l1 >= 0,
+      s"interpolation weights ($l3, $l2, $l1) must be non-negative and sum to 1")
+    val toks = TF.tokens(col(textCol))
+    val m = greatest(size(toks) - 2, lit(0))
+    val uv = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("u"), b.as("v")))
+    val triples = zip_with(uv, slice(toks, lit(3), m),
+      (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
+    val docTg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
+      .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
+      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("c"))
+    val c3 = model.select(col("u"), col("v"), col("w"), col("c3"))
     val c12 = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c12"))
     val c23 = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c23"))
     val c2m = c23.groupBy(col("v")).agg(sum(col("c23")).as("c2m"))
     val cw = c23.groupBy(col("w")).agg(sum(col("c23")).as("cw"))
     val total = c3.agg(sum(col("c3"))).first().getLong(0)
     require(total > 0, "trigram model has zero transitions")
-    val p = lit(l3) * (col("c3").cast("double") / col("c12")) +
-      lit(l2) * (col("c23").cast("double") / col("c2m")) +
-      lit(l1) * (col("cw").cast("double") / lit(total.toDouble))
-    docTg.join(c3, Seq("u", "v", "w")).join(c12, Seq("u", "v"))
-      .join(c23, Seq("v", "w")).join(c2m, Seq("v")).join(cw, Seq("w"))
+    val p =
+      coalesce(lit(l3) * (col("c3").cast("double") / col("c12")), lit(0.0)) +
+      coalesce(lit(l2) * (col("c23").cast("double") / col("c2m")), lit(0.0)) +
+      coalesce(lit(l1) * (col("cw").cast("double") / lit(total.toDouble)), lit(0.0))
+    // three doc-sized LEFT joins, one per backoff level — the minimum
+    // that preserves backoff (a lower order can be known when the
+    // higher one isn't). Denominators ride their numerators: c12 only
+    // matters when the trigram exists, c2m only when the bigram does,
+    // so both attach model-side, never in a doc-sized join
+    docTg
+      .join(c3.join(c12, Seq("u", "v")), Seq("u", "v", "w"), "left")
+      .join(c23.join(c2m, Seq("v")), Seq("v", "w"), "left")
+      .join(cw, Seq("w"), "left")
+      .withColumn("__p", p)
+      .filter(col("__p") > 0)
       .groupBy(col("id"))
       .agg(
-        round(sum(col("c") * log(p)) / sum(col("c")), 4).as("lm3_score"),
+        round(sum(col("c") * log(col("__p"))) / sum(col("c")), 4).as("lm3_score"),
         sum(col("c")).as("n_transitions"))
   }
 

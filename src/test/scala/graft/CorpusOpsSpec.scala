@@ -107,6 +107,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L)._1 > out(2L)._1, "common transitions must outscore rare ones")
   }
 
+  test("lmScoreTrigram: interpolated λ-mix is hand-exact; backs off, never -inf") {
+    import spark.implicits._
+    // corpus triples: doc1 "a b c a b c" → (a,b,c)×2, (b,c,a), (c,a,b);
+    // doc2 "a b d" → (a,b,d). marginals: c12(a,b)=3, c3(a,b,c)=2 →
+    // P3=2/3; c23(b,c)=2, c2m(b)=... hand-check just one doc below
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Vocab.lmScoreTrigram(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc2's one triple (a,b,d): c3=1, c12(a,b)=3, c23(b,d)=1,
+    // c2m(b)=3, cw(d)=1, T=5
+    val p2 = 0.6 * (1.0 / 3) + 0.3 * (1.0 / 3) + 0.1 * (1.0 / 5)
+    assert(out(2L)._1 == r4(math.log(p2)) && out(2L)._2 == 1L)
+    assert(!out.contains(3L), "a two-token doc has no trigram transitions")
+    assert(out(1L)._1 > out(2L)._1, "repeated transitions must outscore one-offs")
+  }
+
+  test("lmScoreTrigramWith a frozen model == one-shot on the same corpus; OOV backs off") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "b c a b")).toDF("doc_id", "text")
+    val model = Vocab.trigramModel(corpus, "doc_id", "text")
+    val one = Vocab.lmScoreTrigram(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val frozen = Vocab.lmScoreTrigramWith(corpus, "doc_id", "text", model).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(frozen == one, "self-model scoring must reproduce the one-shot exactly")
+    // a batch with an unseen trigram whose bigram tail IS known backs
+    // off to the lower orders; a fully-unknown transition is excluded
+    // (finite score, not -inf), and an all-unknown doc drops out
+    val batch = Seq((10L, "d b c"), (11L, "q q q")).toDF("doc_id", "text")
+    val scored = Vocab.lmScoreTrigramWith(batch, "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.contains(10L) && !scored(10L).isNaN && !scored(10L).isInfinite,
+      "unseen trigram with known (b,c) tail must score via backoff")
+    assert(!scored.contains(11L), "no known mass at any order — nothing to score")
+  }
+
+  test("oovRate: fractions are hand-exact against an explicit vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b z"), (2L, "z q"), (3L, "a b")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val out = Vocab.oovRate(docs, "doc_id", "text", vocab = Some(vocab)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    // self-vocab (top-k) mode: with k covering every token, OOV = 0
+    val self = Vocab.oovRate(docs, "doc_id", "text", vocabSize = 10).collect()
+      .map(r => r.getDouble(3))
+    assert(self.forall(_ == 0.0))
+  }
+
   test("line signals: bullet, ellipsis, and duplicate-line ratios are scan-exact") {
     import spark.implicits._
     import graft.functions.{TextFunctions => TF}
