@@ -283,6 +283,38 @@ object Vocab {
         sum(col("c")).as("n_transitions"))
   }
 
+  /** N-gram novelty against a frozen [[trigramModel]]: the fraction
+    * of each doc's trigram transitions absent from the reference
+    * table. Low novelty against a training-corpus model flags likely
+    * memorization/duplication of training text; high novelty against
+    * a clean reference flags out-of-distribution or garbled text.
+    * One LEFT join of the per-doc trigram table against the model on
+    * (u,v,w) — the [[lmScoreTrigramWith]] cost shape minus the
+    * backoff levels. Docs with < 3 tokens drop out. */
+  def noveltyRate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    val m = greatest(size(toks) - 2, lit(0))
+    val uv = zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => struct(a.as("u"), b.as("v")))
+    val triples = zip_with(uv, slice(toks, lit(3), m),
+      (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
+    val docTg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
+      .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
+      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("c"))
+    val novel = sum(when(col("c3").isNull, col("c")).otherwise(lit(0L)))
+    docTg.join(model.select(col("u"), col("v"), col("w"), col("c3")),
+        Seq("u", "v", "w"), "left")
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_transitions"),
+        novel.as("n_novel"),
+        round(novel.cast("double") / sum(col("c")), 4).as("novelty"))
+  }
+
   /** Tokenizer-vocabulary coverage QA: per-doc out-of-vocabulary
     * token count and fraction against a vocabulary — either supplied
     * (a real tokenizer's piece table, one `token` column) or the

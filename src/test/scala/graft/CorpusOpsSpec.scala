@@ -144,6 +144,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!scored.contains(11L), "no known mass at any order — nothing to score")
   }
 
+  test("noveltyRate: unseen-transition fractions are hand-exact") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val model = Vocab.trigramModel(ref, "doc_id", "text")
+    // batch: doc10 repeats a known trigram (novelty 0); doc11 mixes one
+    // known (a,b,c) with one unknown (b,c,x); doc12 is all-new; doc13
+    // is too short to have transitions
+    val batch = Seq(
+      (10L, "a b c"), (11L, "a b c x"), (12L, "p q r"), (13L, "a b")
+    ).toDF("doc_id", "text")
+    val out = Vocab.noveltyRate(batch, "doc_id", "text", model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((1L, 0L, 0.0)))
+    assert(out(11L) == ((2L, 1L, 0.5)))
+    assert(out(12L) == ((1L, 1L, 1.0)))
+    assert(!out.contains(13L), "no transitions, nothing to measure")
+  }
+
   test("oovRate: fractions are hand-exact against an explicit vocab") {
     import spark.implicits._
     val docs = Seq((1L, "a a b z"), (2L, "z q"), (3L, "a b")).toDF("doc_id", "text")

@@ -53,6 +53,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pchip on random monotone data: monotone, bounded, exact at knots") {
+    import graft.functions.{Interpolation, SplineOptions}
+    // Fritsch–Carlson's theorem: monotone knot values give a monotone
+    // interpolant everywhere, for ANY spacing — random cases hunt the
+    // spacing/plateau edges the example spec misses
+    val genCase = for {
+      n <- Gen.choose(3, 12)
+      gaps <- Gen.listOfN(n - 1, Gen.choose(0.05, 5.0))
+      steps <- Gen.listOfN(n - 1, Gen.oneOf(Gen.const(0.0), Gen.choose(0.0, 3.0)))
+    } yield {
+      val xs = gaps.scanLeft(0.0)(_ + _).toArray
+      val ys = steps.scanLeft(1.0)(_ + _).toArray
+      (xs, ys)
+    }
+    draw(Gen.listOfN(40, genCase), 97L).foreach { case (xs, ys) =>
+      val grid = (0 to 400).map(i => xs.head + (xs.last - xs.head) * i / 400.0).toArray
+      val got = Interpolation.cubicSpline(xs, ys, grid, SplineOptions(kind = "pchip"))
+      got.sliding(2).foreach { case Array(a, b) =>
+        assert(b >= a - 1e-9, s"monotonicity lost on xs=${xs.toSeq} ys=${ys.toSeq}") }
+      assert(got.head >= ys.head - 1e-9 && got.last <= ys.last + 1e-9,
+        "interpolant escaped the data range")
+      val atKnots = Interpolation.cubicSpline(xs, ys, xs, SplineOptions(kind = "pchip"))
+      xs.indices.foreach(i => assert(math.abs(atKnots(i) - ys(i)) < 1e-9,
+        s"knot ${xs(i)} missed: ${atKnots(i)} != ${ys(i)}"))
+    }
+  }
+
   test("quantile strategies: bounded by lower/higher and exact on integral ranks") {
     import spark.implicits._
     val gen = for {
