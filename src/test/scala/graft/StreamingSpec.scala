@@ -162,6 +162,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen-model trigram scoring over micro-batches equals the batch path") {
+    import spark.implicits._
+    // the production shape for LM quality scoring on an ingest stream:
+    // the reference model is a frozen parquet table (trained once),
+    // each micro-batch scores against it via foreachBatch — per-doc
+    // scores depend only on the doc and the model, so batch boundaries
+    // cannot change any score
+    val docs = Tables.t(spark, Sf, "documents")
+      .filter(col("doc_id") < 120).select("doc_id", "text")
+    val model = graft.operators.Vocab
+      .trigramModel(docs, "doc_id", "text").localCheckpoint()
+    var scored = Map.empty[Long, (Double, Long)]
+    val base = 1700000000000L
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IncDoc](spark)
+    val q = stream.toDS().toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        scored ++= graft.operators.Vocab
+          .lmScoreTrigramWith(batch, "doc_id", "text", model)
+          .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2))))
+    }.start()
+    try {
+      def feed(df: org.apache.spark.sql.DataFrame): Unit = {
+        stream.addData(df.select("doc_id", "text").collect().map(r =>
+          IncDoc(r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)), r.getString(1))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(docs.filter(col("doc_id") < 60))
+      feed(docs.filter(col("doc_id") >= 60))
+      val oneShot = graft.operators.Vocab
+        .lmScoreTrigramWith(docs, "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+      assert(scored == oneShot,
+        s"streamed scores diverge: ${(scored.toSet -- oneShot.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment attaches dimension columns per batch") {
     import spark.implicits._
     val evs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent](spark)
