@@ -87,21 +87,25 @@ object Vocab {
     val toks = docs.select(
       col(idCol).as("id"),
       explode(TF.tokens(col(textCol))).as("token"))
-    val docTf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
     // vocabulary: (token, tf) — either the supplied reference model or
-    // this corpus's own counts (second level of the same aggregation)
+    // this corpus's own counts (one partial-agg'd token shuffle)
     val vocab = model.getOrElse(
-      docTf.groupBy(col("token")).agg(sum(col("c")).as("tf")))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("tf")))
     val total = vocab.agg(sum(col("tf"))).first().getLong(0)
     require(total > 0, "language model has zero tokens")
-    // inner join: under a reference model, out-of-vocabulary tokens
-    // drop out of the average (CCNet scores known tokens; a smoothing
-    // variant would left-join + coalesce to a floor logprob)
-    docTf.join(vocab, Seq("token"))
+    // FLAT occurrence form: Σ ln(tf/T) over occurrences == the
+    // c-weighted sum over per-doc distinct tokens, so the (id, token)
+    // dedup shuffle buys nothing — the raw occurrences shuffle once
+    // into the token join (or not at all when AQE broadcasts the
+    // vocab) and once, partial-agg'd to a row per doc, into the final
+    // average. Inner join: under a reference model, out-of-vocabulary
+    // tokens drop out of the average (CCNet scores known tokens; a
+    // smoothing variant would left-join + coalesce to a floor logprob)
+    toks.join(vocab, Seq("token"))
       .groupBy(col("id"))
       .agg(round(
-        sum(col("c") * log(col("tf").cast("double") / lit(total.toDouble))) /
-          sum(col("c")), 4).as("lm_score"))
+        sum(log(col("tf").cast("double") / lit(total.toDouble))) /
+          count(lit(1)), 4).as("lm_score"))
   }
 
   /** Bigram extension of [[lmScore]]: per-doc average transition
@@ -111,10 +115,13 @@ object Vocab {
     * even when every individual token is common).
     *
     * Scale shape: bigrams are built SCAN-SIDE (zip of the token array
-    * with its own tail — no posexplode + per-token window shuffle),
-    * so the only shuffles are the (id, p, w) and (p, w) partial
-    * aggregations plus two vocabulary-sized equi-joins. Docs with < 2
-    * tokens have no transitions and drop out. */
+    * with its own tail — no posexplode + per-token window shuffle)
+    * and scored in FLAT occurrence form: Σ ln(c₂/c₁) over occurrences
+    * equals the c-weighted sum over per-doc distinct pairs, so no
+    * (id, p, w) dedup shuffle exists — occurrences shuffle once into
+    * the bigram join and once, partial-agg'd, into the per-doc
+    * average; c₁ attaches to the distinct-bigram table model-side.
+    * Docs with < 2 tokens have no transitions and drop out. */
   def lmScoreBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TF.tokens(col(textCol))
     val m = greatest(size(toks) - 1, lit(0))
@@ -123,17 +130,14 @@ object Vocab {
       (a, b) => struct(a.as("p"), b.as("w")))
     val bg = docs.select(col(idCol).as("id"), explode(pairs).as("z"))
       .select(col("id"), col("z.p").as("p"), col("z.w").as("w"))
-    val docBg = bg.groupBy(col("id"), col("p"), col("w")).agg(count(lit(1)).as("c"))
-    val c2 = docBg.groupBy(col("p"), col("w")).agg(sum(col("c")).as("c2"))
+    val c2 = bg.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
-    // c1 attaches to the distinct-bigram table first: the per-doc
-    // table pays ONE (p, w) join, not two
-    docBg.join(c2.join(c1, Seq("p")), Seq("p", "w"))
+    bg.join(c2.join(c1, Seq("p")), Seq("p", "w"))
       .groupBy(col("id"))
       .agg(
-        round(sum(col("c") * log(col("c2").cast("double") / col("c1"))) /
-          sum(col("c")), 4).as("lm2_score"),
-        sum(col("c")).as("n_transitions"))
+        round(sum(log(col("c2").cast("double") / col("c1"))) /
+          count(lit(1)), 4).as("lm2_score"),
+        count(lit(1)).as("n_transitions"))
   }
 
   /** Interpolated trigram extension of [[lmScoreBigram]] — the
@@ -170,20 +174,22 @@ object Vocab {
       (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
     val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
-    val docTg = tg.groupBy(col("id"), col("u"), col("v"), col("w"))
-      .agg(count(lit(1)).as("c"))
-    val c3 = docTg.groupBy(col("u"), col("v"), col("w")).agg(sum(col("c")).as("c3"))
+    val c3 = tg.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3"))
     val total = c3.agg(sum(col("c3"))).first().getLong(0)
     require(total > 0, "trigram model has zero transitions")
-    // marginals attach to the DISTINCT-trigram table first, so the big
-    // per-doc table pays ONE (u,v,w) join instead of five — the four
-    // marginal joins move model-sized tables only
-    docTg.join(enrichTrigrams(c3), Seq("u", "v", "w"))
+    // FLAT occurrence form (Σ ln(p) over occurrences == the c-weighted
+    // sum over per-doc distinct triples): no (id,u,v,w) dedup shuffle —
+    // occurrences shuffle once into the trigram join and once,
+    // partial-agg'd to a row per doc, into the average. Marginals
+    // attach to the DISTINCT-trigram table first, so the big per-doc
+    // stream pays ONE (u,v,w) join — the four marginal joins move
+    // model-sized tables only
+    tg.join(enrichTrigrams(c3), Seq("u", "v", "w"))
       .groupBy(col("id"))
       .agg(
-        round(sum(col("c") * log(interpP(l3, l2, l1, total))) / sum(col("c")), 4)
+        round(sum(log(interpP(l3, l2, l1, total))) / count(lit(1)), 4)
           .as("lm3_score"),
-        sum(col("c")).as("n_transitions"))
+        count(lit(1)).as("n_transitions"))
   }
 
   /** (u,v,w,c3) → the same rows with every lower-order marginal the
@@ -252,9 +258,8 @@ object Vocab {
       (a, b) => struct(a.as("u"), b.as("v")))
     val triples = zip_with(uv, slice(toks, lit(3), m),
       (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
-    val docTg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
+    val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
-      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("c"))
     val c3 = model.select(col("u"), col("v"), col("w"), col("c3"))
     val c12 = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c12"))
     val c23 = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c23"))
@@ -266,12 +271,13 @@ object Vocab {
       coalesce(lit(l3) * (col("c3").cast("double") / col("c12")), lit(0.0)) +
       coalesce(lit(l2) * (col("c23").cast("double") / col("c2m")), lit(0.0)) +
       coalesce(lit(l1) * (col("cw").cast("double") / lit(total.toDouble)), lit(0.0))
-    // three doc-sized LEFT joins, one per backoff level — the minimum
-    // that preserves backoff (a lower order can be known when the
-    // higher one isn't). Denominators ride their numerators: c12 only
-    // matters when the trigram exists, c2m only when the bigram does,
-    // so both attach model-side, never in a doc-sized join
-    docTg
+    // FLAT occurrence stream through three LEFT joins, one per backoff
+    // level — the minimum that preserves backoff (a lower order can be
+    // known when the higher one isn't). Denominators ride their
+    // numerators: c12 only matters when the trigram exists, c2m only
+    // when the bigram does, so both attach model-side, never in a
+    // doc-sized join
+    tg
       .join(c3.join(c12, Seq("u", "v")), Seq("u", "v", "w"), "left")
       .join(c23.join(c2m, Seq("v")), Seq("v", "w"), "left")
       .join(cw, Seq("w"), "left")
@@ -279,8 +285,8 @@ object Vocab {
       .filter(col("__p") > 0)
       .groupBy(col("id"))
       .agg(
-        round(sum(col("c") * log(col("__p"))) / sum(col("c")), 4).as("lm3_score"),
-        sum(col("c")).as("n_transitions"))
+        round(sum(log(col("__p"))) / count(lit(1)), 4).as("lm3_score"),
+        count(lit(1)).as("n_transitions"))
   }
 
   /** N-gram novelty against a frozen [[trigramModel]]: the fraction
@@ -302,17 +308,16 @@ object Vocab {
       (a, b) => struct(a.as("u"), b.as("v")))
     val triples = zip_with(uv, slice(toks, lit(3), m),
       (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
-    val docTg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
+    val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
-      .groupBy(col("id"), col("u"), col("v"), col("w")).agg(count(lit(1)).as("c"))
-    val novel = sum(when(col("c3").isNull, col("c")).otherwise(lit(0L)))
-    docTg.join(model.select(col("u"), col("v"), col("w"), col("c3")),
+    val novel = sum(when(col("c3").isNull, lit(1L)).otherwise(lit(0L)))
+    tg.join(model.select(col("u"), col("v"), col("w"), col("c3")),
         Seq("u", "v", "w"), "left")
       .groupBy(col("id"))
       .agg(
-        sum(col("c")).as("n_transitions"),
+        count(lit(1)).as("n_transitions"),
         novel.as("n_novel"),
-        round(novel.cast("double") / sum(col("c")), 4).as("novelty"))
+        round(novel.cast("double") / count(lit(1)), 4).as("novelty"))
   }
 
   /** Tokenizer-vocabulary coverage QA: per-doc out-of-vocabulary
@@ -335,19 +340,21 @@ object Vocab {
     val toks = docs.select(
       col(idCol).as("id"),
       explode(TF.tokens(col(textCol))).as("token"))
-    val docTf = toks.groupBy(col("id"), col("token")).agg(count(lit(1)).as("c"))
     val v = vocab.map(_.select(col("token"))).getOrElse(
-      docTf.groupBy(col("token")).agg(sum(col("c")).as("tf"))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("token"))
         .limit(vocabSize)
         .select(col("token")))
-    val oov = sum(when(col("__in").isNull, col("c")).otherwise(lit(0L)))
-    docTf.join(v.withColumn("__in", lit(1)), Seq("token"), "left")
+    // flat occurrence form — no (id, token) dedup shuffle; the small
+    // vocab side broadcasts under AQE so the membership probe is
+    // effectively scan-side
+    val oov = sum(when(col("__in").isNull, lit(1L)).otherwise(lit(0L)))
+    toks.join(v.withColumn("__in", lit(1)), Seq("token"), "left")
       .groupBy(col("id"))
       .agg(
-        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_tokens"),
         oov.as("n_oov"),
-        round(oov.cast("double") / sum(col("c")), 4).as("oov_rate"))
+        round(oov.cast("double") / count(lit(1)), 4).as("oov_rate"))
   }
 
   /** Per-document word-repetition signals (the Gopher repetition
