@@ -460,6 +460,39 @@ class PlanAuditSpec extends SparkSpec {
       "total should come back via a broadcast")
   }
 
+  test("q_sample_weighted is one TakeOrdered, never a global sort of the corpus") {
+    // Efraimidis–Spirakis = per-partition top-n heaps + driver merge;
+    // a Sort + Limit pair instead would shuffle the whole corpus
+    val p = planOf("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its TakeOrdered shape:\n$p")
+    assert(!p.linesIterator.exists(_.matches("""\(\d+\) Sort\b.*""")),
+      "weighted sample pays a full sort")
+  }
+
+  test("q_rank_global: no data-sized single-partition window") {
+    // the rank comes from the two-scan cumsum over per-value COUNTS;
+    // every Window in the plan must be partitioned (by the pinned
+    // partition id), never a global Window over the data
+    val p = planOf("q_rank_global")
+    val winArgs = p.linesIterator.filter(_.contains("windowspecdefinition")).mkString
+    assert(winArgs.isEmpty || winArgs.contains("__pid"),
+      s"q_rank_global window is not partitioned by __pid: $winArgs")
+  }
+
+  test("q_lm_trigram: occurrences shuffle at most twice, text never does") {
+    // flat-form contract: the doc-sized trigram stream pays one
+    // exchange into the (u,v,w) join and one partial-agg'd exchange
+    // into the per-doc average; marginal joins move model-sized tables
+    val p = planNoAutoBroadcast("q_lm_trigram")
+    val exLines = p.linesIterator.filter(_.contains("hashpartitioning")).toList
+    assert(!exLines.exists(_.contains("text#")),
+      s"q_lm_trigram shuffles raw document text: $exLines")
+    // doc-sized exchanges are exactly those carrying the doc id
+    val docSized = exLines.count(_.contains("id#"))
+    assert(docSized <= 2, s"per-doc trigram stream pays $docSized exchanges: $exLines")
+  }
+
   test("q_corr_matrix reads the input exactly once for all pairs") {
     // the one-scan contract: n·(n−1)/2 correlations from a single
     // Aggregate — a per-pair union would re-scan lineitem 3×
