@@ -90,6 +90,37 @@ final class TrieReplacer(patterns: Array[String], replacements: Array[String])
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Extraction dual of [[replaceAll]]: the ordered list of matches
+    * under the SAME walk (leftmost, longest-at-position,
+    * non-overlapping) — so a pattern set behaves identically whether
+    * it is being redacted out or surveyed. */
+  def extractAll(input: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = input.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < s.length) {
+      var node = 0
+      var j = i
+      var best = -1
+      var bestEnd = -1
+      var walking = true
+      while (walking && j < s.length) {
+        val next = children.get(node).get(Character.valueOf(s.charAt(j)))
+        if (next == null) walking = false
+        else {
+          node = next.intValue()
+          j += 1
+          val o = outs.get(node).intValue()
+          if (o >= 0) { best = o; bestEnd = j }
+        }
+      }
+      if (best >= 0) { out.add(UTF8String.fromString(patterns(best))); i = bestEnd }
+      else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
 }
 
 /** Catalyst face of [[TrieReplacer]]: the automaton is built once and
@@ -119,10 +150,44 @@ case class ReplaceMany(
     copy(child = newChild)
 }
 
+/** polars `str.extract_many`: every trie match in document order as
+  * an array<string> — keyword surveying / blocklist auditing with the
+  * same one-pass cost shape as [[ReplaceMany]] (O(maxPatternLen) per
+  * position, independent of pattern count). */
+case class ExtractMany(
+    child: Expression,
+    patterns: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val replacer =
+    new TrieReplacer(patterns.toArray, patterns.toArray)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    replacer.extractAll(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trieExtractor", replacer,
+      classOf[TrieReplacer].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.extractAll($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StringColumns {
   /** Ordered (pattern → replacement) pairs — a Seq, not a Map, so
     * duplicate-pattern priority is explicit and deterministic. */
   def replaceMany(c: Column, pairs: Seq[(String, String)]): Column =
     GraftShim.column(ReplaceMany(
       GraftShim.expression(c), pairs.map(_._1), pairs.map(_._2)))
+
+  /** All matches of a literal set in document order (leftmost,
+    * longest-at-position, non-overlapping — the [[replaceMany]]
+    * walk). */
+  def extractMany(c: Column, patterns: Seq[String]): Column =
+    GraftShim.column(ExtractMany(GraftShim.expression(c), patterns))
 }

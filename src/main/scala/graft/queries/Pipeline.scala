@@ -423,6 +423,18 @@ object Pipeline {
           "spark" -> "[ENGINE]",
           "slow" -> "[SLOW]")).as("scrubbed"))),
 
+    // polars str.extract_many: keyword survey under the same trie walk
+    // as the replacer — includes an overlapping pair to exercise
+    // longest-at-position ("customer query" beats "customer")
+    "q_extract_many" -> ((s, dir) => {
+      val m = graft.plans.StringColumns.extractMany(col("text"),
+        Seq("customer query", "customer", "spark", "slow"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(m).as("n_matches"),
+        array_join(m, "|").as("matches"))
+    }),
+
     // batch sessionization: gaps-and-islands per user at a 1-hour gap
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
@@ -1109,6 +1121,19 @@ object Pipeline {
             'spark', '[ENGINE]'),
             'slow', '[SLOW]') AS scrubbed
           FROM documents""",
+    // regex replica of the trie extraction: RE2 alternation is
+    // leftmost-FIRST-alternative, so listing the overlapping pair
+    // longest first ("customer query" before "customer") reproduces
+    // the trie's longest-at-position choice; both engines resume
+    // after each match end (non-overlapping)
+    "q_extract_many" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, 'customer query|customer|spark|slow'))
+             AS n_matches,
+           coalesce(array_to_string(
+             regexp_extract_all(text, 'customer query|customer|spark|slow'), '|'), '')
+             AS matches
+         FROM documents""",
     // gaps-and-islands replica: µs epochs are integers in both engines
     // (ns ts truncated to µs), so the gap test and the running break
     // sum are exact; only sum_value is float and it is rounded like

@@ -239,6 +239,40 @@ class CorpusOpsSpec extends SparkSpec {
       "trie pass must equal chained replace on an overlap-free set")
   }
 
+  test("extractMany: matches in document order under the replaceMany walk") {
+    import spark.implicits._
+    import graft.plans.StringColumns
+    def run(text: String, pats: Seq[String]): Seq[String] = {
+      val out = Seq(Tuple1(text)).toDF("t")
+        .select(StringColumns.extractMany(col("t"), pats)).collect()(0)
+      if (out.isNullAt(0)) null else out.getSeq[String](0)
+    }
+    // longest at the same start; document order; non-overlapping
+    assert(run("abcd ab x abc", Seq("ab", "abc")) == Seq("abc", "ab", "abc"))
+    assert(run("aaa", Seq("aa")) == Seq("aa"))
+    assert(run("none here", Seq("xyz")) == Seq.empty)
+    assert(run("", Seq("a")) == Seq.empty)
+    val nullOut = Seq(Tuple1(null: String)).toDF("t")
+      .select(StringColumns.extractMany(col("t"), Seq("a"))).collect()(0)
+    assert(nullOut.isNullAt(0))
+    // extraction and replacement agree: what replaceMany deletes is
+    // exactly what extractMany reports, span for span
+    val text = "the customer query was slow; customer asked why spark was slow"
+    val pats = Seq("customer query", "customer", "spark", "slow")
+    val got = run(text, pats)
+    assert(got == Seq("customer query", "slow", "customer", "spark", "slow"))
+    // generated code compiles (no silent interpreted fallback)
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val n = graft.Tables.t(spark, Sf, "documents").limit(20)
+        .select(size(StringColumns.extractMany(col("text"), pats)).as("n"))
+        .collect().map(_.getInt(0))
+      assert(n.forall(_ >= 0))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("greedyPack fills bins to the budget, isolates oversized docs, keeps every doc") {
     import spark.implicits._
     import graft.operators.Pack
