@@ -45,7 +45,13 @@ object Sampling {
     * and the result is independent of partitioning. Rows with null or
     * non-positive weight are excluded (polars raises there; a filter
     * composes better at scale). The score column is internal — output
-    * columns are the input's, so no float ever reaches a comparison. */
+    * columns are the input's, so no float ever reaches a comparison.
+    *
+    * Bound: TakeOrdered merges the per-partition top-n on the driver,
+    * so `n` must fit driver memory (fine up to a few million rows).
+    * For samples beyond that, draw a rate instead: keep rows with
+    * −ln(u)/w below a fixed threshold (scan-side filter, no ordering)
+    * and accept the binomially-distributed sample size. */
   def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
     require(n > 0, s"sample size $n must be positive")
     requireHashableKey(df, key)
