@@ -121,6 +121,27 @@ class InterpolationSpec extends SparkSpec {
     }
   }
 
+  test("GDataset.regrid with kind=pchip is monotone per group on step data") {
+    import spark.implicits._
+    import graft.functions.SplineOptions
+    // the public wrapper path: each group is a plateau-step series;
+    // the resampled values must stay monotone and inside [0, 1] —
+    // the same contract the kernel spec pins, now through regrid
+    val df = (for { g <- Seq("a", "b"); i <- 0 to 5 }
+      yield (g, i.toDouble, if (i < 3) 0.0 else 1.0)).toDF("g", "x", "y")
+    val grid = (0 to 50).map(_ * 0.1).toArray
+    val out = GDataset(df, "x", Seq("g"))
+      .regrid(grid, SplineOptions(kind = "pchip"))
+      .df.orderBy("g", "x").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length == 2 * grid.length)
+    out.groupBy(_._1).values.foreach { rows =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      assert(ys.forall(y => y >= -1e-9 && y <= 1.0 + 1e-9), "overshoot through regrid")
+      ys.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-9) }
+    }
+  }
+
   test("spline handles tiny groups") {
     assert(Interpolation.cubicSpline(Array(1.0), Array(5.0), Array(0.0, 2.0)).toSeq == Seq(5.0, 5.0))
     val two = Interpolation.cubicSpline(Array(0.0, 2.0), Array(0.0, 4.0), Array(1.0))
