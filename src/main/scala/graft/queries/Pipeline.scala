@@ -466,6 +466,17 @@ object Pipeline {
       Vocab.lmScoreTrigram(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // n-gram novelty vs a frozen reference: fraction of a doc's
+    // trigram transitions unseen in the model (memorization / OOD
+    // signal). Model = first half of the corpus, scored on the rest
+    "q_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Vocab.trigramModel(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      Vocab.noveltyRate(docs.filter(col("doc_id") >= 250), "doc_id", "text", model)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // tokenizer-vocab coverage: per-doc OOV fraction against the
     // corpus's top-1k tokens (deterministic tie-break) — high OOV
     // flags mojibake, wrong language, or a mistrained vocab
@@ -1213,6 +1224,28 @@ object Pipeline {
               JOIN c23 USING (v, w) JOIN c2m USING (v) JOIN cw USING (w)
               CROSS JOIN tot
          GROUP BY dtg.doc_id""",
+
+    // novelty replica: distinct model trigrams from the first-half
+    // slice, left-joined per occurrence; explicit ON (not USING) so
+    // the null probe tests the model side, not a coalesced key
+    "q_novelty" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, $TokSql AS l FROM documents),
+         tg AS MATERIALIZED (
+           SELECT doc_id, z[1] AS u, z[2] AS v, z[3] AS w
+           FROM (SELECT doc_id,
+                   unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)])) AS z
+                 FROM toks WHERE len(l) >= 3)),
+         model AS MATERIALIZED (
+           SELECT u, v, w FROM tg WHERE doc_id < 250 GROUP BY u, v, w)
+         SELECT tg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN m.u IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN m.u IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS novelty
+         FROM tg LEFT JOIN model m
+           ON tg.u = m.u AND tg.v = m.v AND tg.w = m.w
+         WHERE tg.doc_id >= 250
+         GROUP BY tg.doc_id""",
 
     // OOV replica: same (doc, token) counts; vocabulary = top-1000 by
     // (count DESC, token ASC) — the tie-break makes the boundary of
