@@ -66,6 +66,33 @@ object Sampling {
       .drop("__es_key")
   }
 
+  /** Per-stratum [[weightedSample]]: the n best Efraimidis–Spirakis
+    * keys WITHIN each stratum — quality-weighted per-language (or
+    * per-source) subsampling, the corpus-rebalancing step where both
+    * the mixture shape and the within-language pick need control.
+    * One shuffle on the stratum key; the rank filter compiles to
+    * WindowGroupLimit, so each task keeps an n-row heap per stratum
+    * map-side before the exchange — a skewed stratum never drags its
+    * full population through one sort. Deterministic: the E-S key is
+    * a pure function of md5(key), ties broken by the key itself. */
+  def weightedSampleByStratum(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      stratum: Column,
+      nPerStratum: Int): DataFrame = {
+    require(nPerStratum > 0, s"sample size $nPerStratum must be positive")
+    requireHashableKey(df, key)
+    val u = (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy((-log(u) / weight).asc, key.asc)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__es_rn", row_number().over(w))
+      .filter(col("__es_rn") <= nPerStratum)
+      .drop("__es_rn")
+  }
+
   /** Keep rows whose md5(key) falls in the first `sixteenths`/16 of hex
     * space — the flat-rate form (GDataset.sampleByHash exposes the same
     * predicate on the wrapper). Keys must be integer or string typed

@@ -525,6 +525,14 @@ object Pipeline {
         t(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"), n = 100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))),
 
+    // per-stratum weighted draw: n best E-S keys within each priority
+    // class — quality-weighted per-language subsampling at scale
+    "q_sample_weighted_strat" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSampleByStratum(
+        t(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"), nPerStratum = 20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))),
+
     // Gopher repetition signals: repeated-token fraction + share of the
     // single most frequent token, per document
     "q_repetition" -> ((s, dir) =>
@@ -1331,6 +1339,15 @@ object Pipeline {
          ORDER BY -ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
                       / 4503599627370496.0) / o_totalprice
          LIMIT 100""",
+    "q_sample_weighted_strat" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM (
+           SELECT o_orderkey, o_custkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY -ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+                            / 4503599627370496.0) / o_totalprice,
+                        o_orderkey) AS rn
+           FROM orders WHERE o_totalprice > 0)
+         WHERE rn <= 20""",
     "q_repetition" ->
       s"""WITH tf AS (
            SELECT doc_id AS id, tok, count(*) AS c

@@ -199,6 +199,28 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("weightedSampleByStratum: n per stratum, weight-proportional within, deterministic") {
+    import spark.implicits._
+    // two strata; inside stratum "a" 20 heavy rows among 180 light
+    val df = (1 to 400).map { i =>
+      val stratum = if (i <= 200) "a" else "b"
+      val w = if (stratum == "a" && i <= 20) 50.0 else 1.0
+      (i.toLong, stratum, w)
+    }.toDF("id", "s", "w")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSampleByStratum(d, col("id"), col("w"), col("s"), nPerStratum = 20)
+        .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+    val once = sample(df)
+    assert(once.count(_._2 == "a") == 20 && once.count(_._2 == "b") == 20)
+    assert(sample(df.repartition(7)).toSet == once.toSet, "partitioning changed the draw")
+    val heavyIn = once.count { case (id, s) => s == "a" && id <= 20 }
+    assert(heavyIn >= 15, s"only $heavyIn/20 heavy rows drawn in stratum a")
+    // a stratum smaller than n comes back whole
+    val tiny = Seq((1L, "t", 1.0), (2L, "t", 2.0)).toDF("id", "s", "w")
+    assert(Sampling.weightedSampleByStratum(tiny, col("id"), col("w"), col("s"), 20)
+      .count() == 2)
+  }
+
   test("weightedSample with equal weights matches top-n by the uniform md5 draw") {
     import spark.implicits._
     // with all weights equal the E-S key −ln(u)/w is monotone
