@@ -470,6 +470,17 @@ class PlanAuditSpec extends SparkSpec {
       "weighted sample pays a full sort")
   }
 
+  test("q_sample_weighted_strat ranks through WindowGroupLimit, one stratum shuffle") {
+    // the rank()<=n filter must push a group-limit below the exchange
+    // (map-side n-row heap per stratum) — without it a skewed stratum
+    // sorts its whole population in one task
+    val p = planOf("q_sample_weighted_strat")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-stratum top-n lost its WindowGroupLimit:\n$p")
+    val ex = p.linesIterator.count(_.matches("""\(\d+\) Exchange\b.*"""))
+    assert(ex <= 1, s"per-stratum sample pays $ex exchanges")
+  }
+
   test("q_rank_global: no data-sized single-partition window") {
     // the rank comes from the two-scan cumsum over per-value COUNTS;
     // every Window in the plan must be partitioned (by the pinned
