@@ -222,6 +222,19 @@ object Relational {
         Seq("l_returnflag"), "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))),
 
+    // sketch quantiles — the 100 TB path when the exact family's
+    // range shuffle is too expensive: Greenwald–Khanna partial-aggs
+    // map-side, rank error bounded by 1/accuracy. Rows-only (DuckDB's
+    // approx_quantile is a different sketch); rank-error envelope vs
+    // the exact path is spec-pinned (QuantilesSpec)
+    "q_quantile_approx" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"),
+          count(lit(1)).as("n"))),
+
     // the polars interpolation-strategy surface: all four non-linear
     // strategies resolve the same two neighbor ranks, so mixing them in
     // one call still costs ONE range shuffle (same plan as q_quantile).
@@ -1019,10 +1032,13 @@ object Relational {
     "q_zscore" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
       val sd = stddev_samp(col("value")).over(w)
+      // + 0.0 normalizes a −0.0 (a rounded ulp-negative residual when
+      // value ≈ the group mean) to 0.0 — the engines' co-moment merge
+      // orders can put the residual on opposite sides of zero
       t(s, dir, "events").select(
         col("user_id"), col("event_id"),
-        round((col("value") - avg(col("value")).over(w)) /
-          when(sd =!= 0, sd), 4).as("z"))
+        (round((col("value") - avg(col("value")).over(w)) /
+          when(sd =!= 0, sd), 4) + lit(0.0)).as("z"))
     }),
 
     // winsorize: clip at per-group exact p05/p95 — composes the
@@ -2101,13 +2117,17 @@ object Relational {
          array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
          count(*) AS n
          FROM lineitem GROUP BY l_orderkey""",
+    // floor(epoch) is load-bearing: Spark's ts→long cast truncates to
+    // whole seconds while DuckDB's epoch() keeps the µs fraction — a
+    // row landing within a fraction of a second of the 3-day range
+    // boundary would enter one engine's window and not the other's
     "q_rolling_time" ->
       """SELECT user_id, event_id,
          min(value) OVER w AS rmin3d,
          max(value) OVER w AS rmax3d,
          count(*) OVER w AS rn3d
          FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+         WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)""",
     "q_rle" ->
       """SELECT user_id, event_id,
@@ -2233,7 +2253,7 @@ object Relational {
     "q_zscore" ->
       """SELECT user_id, event_id,
          round((value - avg(value) OVER w)
-               / nullif(stddev_samp(value) OVER w, 0), 4) AS z
+               / nullif(stddev_samp(value) OVER w, 0), 4) + 0.0 AS z
          FROM events WINDOW w AS (PARTITION BY user_id)""",
     // breaks CTE = the q_quantile oracle at p05/p95, so the clip edges
     // are bit-identical to Quantiles.exactQuantiles

@@ -79,6 +79,25 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.exactQuantilesStrategy(df, Seq("g"), "v", Seq(("x", 0.5, "cubic"))))
   }
 
+  test("approx percentile stays inside the GK rank-error envelope vs exact") {
+    import spark.implicits._
+    // GK at accuracy A guarantees rank error <= n/A: the sketch's p50
+    // must land on a value whose exact rank is within that window.
+    // 10k rows, accuracy 1000 -> rank error <= 10
+    val n = 10000
+    val df = draw(n).toDF("v")
+    val approx = df.agg(
+      percentile_approx(col("v"), lit(0.5), lit(1000))).collect()(0).getDouble(0)
+    val sorted = draw(n).sorted
+    val rank = sorted.indexWhere(_ >= approx)
+    assert(math.abs(rank - n / 2) <= 2 * n / 1000,
+      s"approx p50 $approx has exact rank $rank — outside the GK envelope")
+  }
+
+  // deterministic non-uniform values: quadratic spacing plus heavy ties
+  private def draw(n: Int): Seq[Double] =
+    (1 to n).map(i => if (i % 10 == 0) 500.0 else (i.toDouble * i) / n)
+
   test("quantiles handle a single-row group, ties, and ignore nulls") {
     import spark.implicits._
     val df = Seq(
