@@ -52,15 +52,23 @@ object Sampling {
     * For samples beyond that, draw a rate instead: keep rows with
     * −ln(u)/w below a fixed threshold (scan-side filter, no ordering)
     * and accept the binomially-distributed sample size. */
+  /** The Efraimidis–Spirakis key −ln(u)/w with u drawn from the first
+    * 52 md5 bits of the key's string rendering (13 hex chars < 2^53:
+    * conv's decimal string casts to an exact double; +0.5 centers the
+    * lattice and keeps u off 0 and 1). Pure function of (key, weight)
+    * — the batch and streaming samplers share it, which is what makes
+    * their draws provably identical. */
+  def esKey(key: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    -log(u) / weight
+  }
+
   def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
     require(n > 0, s"sample size $n must be positive")
     requireHashableKey(df, key)
-    // 13 hex chars = 52 bits < 2^53: conv's decimal string casts to an
-    // exact double; +0.5 centers the lattice and keeps u off 0 and 1
-    val u = (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
-      .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
     df.filter(weight.isNotNull && weight > 0)
-      .withColumn("__es_key", -log(u) / weight)
+      .withColumn("__es_key", esKey(key, weight))
       .orderBy(col("__es_key"))
       .limit(n)
       .drop("__es_key")
@@ -83,10 +91,8 @@ object Sampling {
       nPerStratum: Int): DataFrame = {
     require(nPerStratum > 0, s"sample size $nPerStratum must be positive")
     requireHashableKey(df, key)
-    val u = (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
-      .cast("double") + 0.5) / lit(4503599627370496.0)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy((-log(u) / weight).asc, key.asc)
+      .partitionBy(stratum).orderBy(esKey(key, weight).asc, key.asc)
     df.filter(weight.isNotNull && weight > 0)
       .withColumn("__es_rn", row_number().over(w))
       .filter(col("__es_rn") <= nPerStratum)

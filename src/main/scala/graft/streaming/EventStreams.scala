@@ -311,6 +311,44 @@ object EventStreams {
         })
   }
 
+  final case class WeightedRow(stratum: String, id: Long, esKey: Double)
+  final case class StratumSample(stratum: String, ids: Seq[Long])
+
+  /** Streaming per-stratum weighted sampling — the stateful twin of
+    * `Sampling.weightedSampleByStratum`: each micro-batch merges its
+    * rows' Efraimidis–Spirakis keys into the per-stratum top-n kept in
+    * state, and emits the stratum's CURRENT sample. Because the E-S
+    * key is a pure function of (key, weight) (Sampling.esKey — shared
+    * with the batch path), the emitted sample after any prefix of the
+    * stream equals the batch draw over exactly the rows seen so far:
+    * batch boundaries cannot change the result, and replaying the
+    * stream in any batching reproduces it. State is O(n) doubles+longs
+    * per stratum — a weighted reservoir, not a row buffer. */
+  def weightedSampleStream(
+      rows: DataFrame,
+      key: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column,
+      stratum: org.apache.spark.sql.Column,
+      nPerStratum: Int): Dataset[StratumSample] = {
+    require(nPerStratum > 0, s"sample size $nPerStratum must be positive")
+    import rows.sparkSession.implicits._
+    rows
+      .filter(weight.isNotNull && weight > 0)
+      .select(stratum.cast("string").as("stratum"), key.cast("long").as("id"),
+        graft.operators.Sampling.esKey(key, weight).as("esKey"))
+      .as[WeightedRow]
+      .groupByKey(_.stratum)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (s: String, it: Iterator[WeightedRow], state: GroupState[Seq[(Double, Long)]]) => {
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            it.map(r => (r.esKey, r.id)))
+            .sortBy(identity) // (key asc, id asc) — the batch tiebreak
+            .take(nPerStratum)
+          state.update(merged)
+          StratumSample(s, merged.map(_._2))
+        })
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp, n_events: Int)

@@ -162,6 +162,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted sample == batch draw over the rows seen so far, any batching") {
+    import spark.implicits._
+    val rows = (1 to 400).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", if (i <= 40) 50.0 else 1.0)
+    }
+    def batchDraw(rs: Seq[(Long, String, Double)]): Map[String, Set[Long]] =
+      graft.operators.Sampling.weightedSampleByStratum(
+          rs.toDF("id", "s", "w"), col("id"), col("w"), col("s"), nPerStratum = 15)
+        .select("s", "id").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def run(splits: Seq[Seq[(Long, String, Double)]]): Seq[Map[String, Set[Long]]] = {
+      var latest = Map.empty[String, Set[Long]]
+      val snapshots = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[Long]]]
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)](spark)
+      val q = EventStreams.weightedSampleStream(
+          stream.toDS().toDF("id", "s", "w"),
+          col("id"), col("w"), col("s"), nPerStratum = 15)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[EventStreams.StratumSample], _: Long) =>
+            latest ++= b.collect().map(s => s.stratum -> s.ids.toSet)
+        }.start()
+      try splits.foreach { part =>
+        stream.addData(part); q.processAllAvailable(); snapshots += latest
+      } finally q.stop()
+      snapshots.toSeq
+    }
+    val snaps = run(Seq(rows.take(150), rows.drop(150)))
+    // after each micro-batch the maintained sample equals the batch
+    // draw over exactly the rows seen so far — the shared E-S key
+    // makes the reservoir path-independent
+    assert(snaps(0) == batchDraw(rows.take(150)))
+    assert(snaps(1) == batchDraw(rows))
+    // and the final sample is invariant to how the stream was batched
+    val other = run(Seq(rows.take(37), rows.slice(37, 290), rows.drop(290)))
+    assert(other.last == snaps(1))
+  }
+
   test("frozen-model trigram scoring over micro-batches equals the batch path") {
     import spark.implicits._
     // the production shape for LM quality scoring on an ingest stream:
