@@ -318,6 +318,17 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** Fraction of characters inside HTML/XML-style tag spans (`<...>`
+    * runs without an intervening `<`/`>`) — the boilerplate-extraction
+    * QA signal: a high ratio means the upstream HTML-to-text step
+    * failed and the "document" is still markup. Codegen'd regexp
+    * arithmetic, scan-local, empty/null-safe. */
+  def markupRatio(text: Column): Column = {
+    val n = length(text)
+    val markup = n - length(regexp_replace(text, "<[^<>]*>", ""))
+    when(n > 0, round(markup.cast("double") / n, 4)).otherwise(0.0)
+  }
+
   /** Word n-gram shingles (n consecutive tokens, space-joined). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -423,6 +423,13 @@ object Pipeline {
           "spark" -> "[ENGINE]",
           "slow" -> "[SLOW]")).as("scrubbed"))),
 
+    // markup-density QA: chars inside <...> spans / total — flags docs
+    // whose HTML-to-text extraction failed upstream
+    "q_markup" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextFunctions.markupRatio(col("text")).as("markup_ratio"))),
+
     // polars str.extract_many: keyword survey under the same trie walk
     // as the replacer — includes an overlapping pair to exercise
     // longest-at-position ("customer query" beats "customer")
@@ -1140,6 +1147,16 @@ object Pipeline {
             'spark', '[ENGINE]'),
             'slow', '[SLOW]') AS scrubbed
           FROM documents""",
+    // same deletion arithmetic; DuckDB regexp_replace needs the 'g'
+    // flag to delete EVERY tag span (Spark's replaces all by default)
+    "q_markup" ->
+      """SELECT doc_id,
+           CASE WHEN length(text) > 0
+             THEN round(CAST(length(text) - length(regexp_replace(text, '<[^<>]*>', '', 'g')) AS DOUBLE)
+                        / length(text), 4)
+             ELSE 0.0 END AS markup_ratio
+         FROM documents""",
+
     // regex replica of the trie extraction: RE2 alternation is
     // leftmost-FIRST-alternative, so listing the overlapping pair
     // longest first ("customer query" before "customer") reproduces

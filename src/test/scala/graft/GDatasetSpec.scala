@@ -320,6 +320,19 @@ class GDatasetSpec extends SparkSpec {
     assert(loaded.index == "ts" && loaded.df.count() == 100)
   }
 
+  test("datafile text format round-trips a raw line corpus") {
+    import spark.implicits._
+    // the line-per-row shape raw text dumps arrive in: one `value`
+    // string column both ways (the generic format branch handles it)
+    val f = Datafile("/tmp/graft_test_text", format = "text")
+    val lines = Seq("first line", "second line", "third").toDF("value")
+    f.write(lines)
+    val loaded = f.load(spark).get.left.toOption.get
+    assert(loaded.columns.toSeq == Seq("value"))
+    assert(loaded.collect().map(_.getString(0)).toSet ==
+      Set("first line", "second line", "third"))
+  }
+
   test("datafile orc round-trip and partitioned parquet write prune on load") {
     val orc = Datafile("/tmp/graft_test_orc", index = Some("ts"), format = "orc")
     orc.write(events.select(col("ts"), col("user_id"), col("value")).limit(50))
