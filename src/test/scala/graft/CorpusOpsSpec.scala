@@ -271,6 +271,17 @@ class CorpusOpsSpec extends SparkSpec {
         .collect().map(_.getInt(0))
       assert(n.forall(_ >= 0))
     } finally spark.conf.set(key, prev)
+    // cross-kernel consistency on real docs: deleting with the SAME
+    // pattern set removes exactly the characters extraction reports —
+    // the two walks can never disagree about what matched
+    val docs = graft.Tables.t(spark, Sf, "documents").limit(200)
+    val deleted = StringColumns.replaceMany(col("text"), pats.map(_ -> ""))
+    val bad = docs.select(
+        (length(col("text")) - length(deleted)).as("dropped"),
+        aggregate(transform(StringColumns.extractMany(col("text"), pats), m => length(m)),
+          lit(0), (a, x) => a + x).as("matched"))
+      .filter(col("dropped") =!= col("matched")).count()
+    assert(bad == 0, "replaceMany and extractMany disagree on matched spans")
   }
 
   test("greedyPack fills bins to the budget, isolates oversized docs, keeps every doc") {
