@@ -53,6 +53,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("avgRank equals the windowed rank on random tie-heavy multisets") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // values drawn from a SMALL domain so ties dominate — the
+    // tie-averaging arithmetic and the cross-partition offset stitching
+    // are exactly what random multisets stress; a null sprinkled in
+    // must keep a null rank
+    val genVals = Gen.listOfN(300,
+      Gen.frequency(9 -> Gen.choose(0, 12).map(i => Option(i * 2.5)),
+        1 -> Gen.const(Option.empty[Double])))
+    val vals = draw(genVals, 41L).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vals.toDF("id", "v").repartition(7)
+    val expect = df.filter(col("v").isNotNull).select(col("id"),
+      (rank().over(Window.orderBy(col("v"))) +
+        (count(lit(1)).over(Window.partitionBy(col("v"))) - 1) / lit(2.0)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = graft.queries.Relational.avgRank(df, "v", "r")
+      .select("id", "r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    vals.foreach { case (id, v) =>
+      if (v.isEmpty) assert(got(id).isEmpty, s"null value at $id must keep a null rank")
+      else assert(got(id).contains(expect(id)),
+        s"id $id value $v: got ${got(id)}, want ${expect(id)}")
+    }
+  }
+
   test("pchip on random monotone data: monotone, bounded, exact at knots") {
     import graft.functions.{Interpolation, SplineOptions}
     // Fritsch–Carlson's theorem: monotone knot values give a monotone
