@@ -299,6 +299,13 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     // the wrapper must enforce the same determinism contract)
     transform(graft.operators.Sampling.hashSample(_, key, sixteenths))
 
+  /** polars sample(weights=) on the wrapper: deterministic
+    * weight-proportional draw of n rows without replacement
+    * (Sampling.weightedSample — Efraimidis–Spirakis keys, one
+    * TakeOrdered, partitioning-independent). */
+  def sampleWeighted(key: Column, weight: Column, n: Int): GDataset =
+    transform(graft.operators.Sampling.weightedSample(_, key, weight, n))
+
   /** head/tail/slice over an explicit total order (polars slice is
     * positional; a distributed engine needs the order spelled out). */
   def slice(sortCols: Seq[Column], offset: Int, n: Int): GDataset =

@@ -183,6 +183,20 @@ class GDatasetSpec extends SparkSpec {
     assert(ds.sampleByHash(col("i"), 16).df.count() == 1000)
   }
 
+  test("sampleWeighted on the wrapper == the operator draw, metadata preserved") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, if (i <= 50) 20.0 else 1.0)).toDF("i", "w")
+    val ds = GDataset(df, "i")
+    val viaWrapper = ds.sampleWeighted(col("i"), col("w"), 40)
+    assert(viaWrapper.index == "i", "metadata must survive the transform")
+    val wrapperIds = viaWrapper.df.select("i").collect().map(_.getLong(0)).toSet
+    val operatorIds = graft.operators.Sampling
+      .weightedSample(df, col("i"), col("w"), 40)
+      .select("i").collect().map(_.getLong(0)).toSet
+    assert(wrapperIds == operatorIds)
+    assert(wrapperIds.count(_ <= 50L) >= 20, "weights must bias the draw")
+  }
+
   test("unique keep variants pick the documented winners") {
     import spark.implicits._
     // key a: 3 rows, key b: 1 row, key c: 2 rows
