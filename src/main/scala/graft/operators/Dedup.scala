@@ -840,8 +840,12 @@ object Dedup {
     * coordinate budget (L·b ≤ dim). Widest-b-first minimizes random
     * collisions (each extra bit halves a random pair's per-band
     * collision odds) subject to guaranteed recall ≥ R at the
-    * threshold. b = 1, L = dim always satisfies any R < 1 for p > 0,
-    * so the search cannot come up empty. */
+    * threshold. If NO shape within the coordinate budget reaches R
+    * (small dim + low threshold + high R: even b = 1, L = dim only
+    * guarantees 1 − (1−p)^dim, which can fall short), the search
+    * falls back to (1, dim) — the maximum-recall shape the budget
+    * allows — rather than failing; callers that need the guarantee
+    * can check 1 − (1−p)^dim ≥ R themselves. */
   def recallBanding(dim: Int, threshold: Double, targetRecall: Double): (Int, Int) = {
     require(dim >= 1, s"dim $dim must be positive")
     require(targetRecall > 0 && targetRecall < 1,
@@ -862,7 +866,10 @@ object Dedup {
         val l = math.ceil(lnMiss / lnBandMiss).toInt
         if (l >= 1 && l.toLong * b <= dim) Some((b, l)) else None
       }
-    }.next()
+    }.nextOption()
+      // no shape inside the budget reaches R: (1, dim) maximizes
+      // recall (1 − (1−p)^dim) among all L·b ≤ dim configurations
+      .getOrElse((1, dim))
   }
 
   private def resolveBits(

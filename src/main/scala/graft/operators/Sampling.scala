@@ -27,7 +27,7 @@ object Sampling {
     Set(StringType, ByteType, ShortType, IntegerType, LongType)
   }
 
-  private def requireHashableKey(df: DataFrame, key: Column): Unit = {
+  private[graft] def requireHashableKey(df: DataFrame, key: Column): Unit = {
     val dt = df.select(key).schema.head.dataType
     require(hashableKeyTypes.contains(dt),
       s"hash-sample key must be an integer or string column, got $dt — " +
@@ -42,16 +42,19 @@ object Sampling {
     * drawing n rows sequentially with probability proportional to
     * weight. ONE TakeOrderedAndProject (per-partition top-n heaps →
     * driver merge of n·#partitions rows): the corpus never shuffles
-    * and the result is independent of partitioning. Rows with null or
-    * non-positive weight are excluded (polars raises there; a filter
-    * composes better at scale). The score column is internal — output
+    * and the result is independent of partitioning. Rows with a null
+    * key or null/non-positive weight are excluded (polars raises
+    * there; a filter composes better at scale — and md5(null) would
+    * otherwise yield a null E-S key that sorts NULLS FIRST into the
+    * sample ahead of every weighted row, with partitioning-dependent
+    * ties among the nulls). The score column is internal — output
     * columns are the input's, so no float ever reaches a comparison.
     *
     * Bound: TakeOrdered merges the per-partition top-n on the driver,
     * so `n` must fit driver memory (fine up to a few million rows).
-    * For samples beyond that, draw a rate instead: keep rows with
-    * −ln(u)/w below a fixed threshold (scan-side filter, no ordering)
-    * and accept the binomially-distributed sample size. */
+    * For samples beyond that use [[weightedSampleRate]]: keep rows
+    * with −ln(u)/w below a fixed threshold (scan-side filter, no
+    * ordering), accepting a binomially-distributed sample size. */
   /** The Efraimidis–Spirakis key −ln(u)/w with u drawn from the first
     * 52 md5 bits of the key's string rendering (13 hex chars < 2^53:
     * conv's decimal string casts to an exact double; +0.5 centers the
@@ -67,11 +70,34 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {
     require(n > 0, s"sample size $n must be positive")
     requireHashableKey(df, key)
-    df.filter(weight.isNotNull && weight > 0)
+    df.filter(key.isNotNull && weight.isNotNull && weight > 0)
       .withColumn("__es_key", esKey(key, weight))
       .orderBy(col("__es_key"))
       .limit(n)
       .drop("__es_key")
+  }
+
+  /** Rate-based [[weightedSample]] — the form that scales past the
+    * TakeOrdered driver bound: keep every row whose Efraimidis–Spirakis
+    * key −ln(u)/w falls below `threshold`. A pure scan-side filter —
+    * no ordering, no shuffle, no driver merge — so the sample can be
+    * tens of millions of rows. Each row survives independently with
+    * probability P(u > e^{−t·w}) = 1 − e^{−threshold·weight} (the
+    * exponential-race view of E-S keys), so the sample size is
+    * binomial around Σ(1 − e^{−t·wᵢ}) rather than exact; inclusion is
+    * still without-replacement, weight-proportional in the small-rate
+    * limit, and a pure function of (key, weight) — deterministic
+    * across partitionings, reruns, and engines. Boundary contract:
+    * the kept set at threshold t is exactly the rows [[weightedSample]]
+    * would keep for the n whose n-th smallest key is the last below t
+    * (spec-pinned), because both read the SAME key. Null keys and
+    * null/non-positive weights are excluded, as in the exact form. */
+  def weightedSampleRate(
+      df: DataFrame, key: Column, weight: Column, threshold: Double): DataFrame = {
+    require(threshold > 0, s"rate threshold $threshold must be positive")
+    requireHashableKey(df, key)
+    df.filter(key.isNotNull && weight.isNotNull && weight > 0 &&
+      esKey(key, weight) < lit(threshold))
   }
 
   /** Per-stratum [[weightedSample]]: the n best Efraimidis–Spirakis
@@ -93,7 +119,9 @@ object Sampling {
     requireHashableKey(df, key)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(esKey(key, weight).asc, key.asc)
-    df.filter(weight.isNotNull && weight > 0)
+    // key.isNotNull: a null key would draw a null E-S key that sorts
+    // NULLS FIRST into every stratum's sample regardless of weight
+    df.filter(key.isNotNull && weight.isNotNull && weight > 0)
       .withColumn("__es_rn", row_number().over(w))
       .filter(col("__es_rn") <= nPerStratum)
       .drop("__es_rn")

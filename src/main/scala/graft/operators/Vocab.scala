@@ -73,26 +73,39 @@ object Vocab {
     * one token-key equi-join attaches corpus frequencies — one row per
     * distinct (doc, token), never per occurrence, and the vocabulary
     * side is ≪ corpus so AQE broadcasts it when it truly is small
-    * (never forced). T is a single driver-side scalar (one agg job,
-    * same bounded pattern as [[tfidfTopK]]'s corpus count). To score
-    * against a REFERENCE corpus's model (the actual CCNet setup —
-    * e.g. Wikipedia as the target distribution), pass its vocabulary
-    * as `model`; by default the corpus models itself. Zero-token docs
-    * drop out (nothing to score). */
+    * (never forced). T rides IN-PLAN as a 1-row aggregate of the vocab
+    * broadcast-cross-joined onto the vocab side (the q_value_props
+    * idiom) — no eager driver job, so the self-model variant builds
+    * the vocabulary ONCE (the token shuffle is shared via exchange
+    * reuse) instead of paying a second corpus scan for the scalar. To
+    * score against a REFERENCE corpus's model (the actual CCNet setup
+    * — e.g. Wikipedia as the target distribution), pass its vocabulary
+    * as `model`; duplicate token rows in a supplied model (e.g. a
+    * union of shards) are merged by summing their counts, so the join
+    * cannot fan occurrences out. By default the corpus models itself.
+    * Zero-token docs drop out (nothing to score). */
   def lmScore(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       model: Option[DataFrame] = None): DataFrame = {
+    // the explicit isNotNull is a semantic no-op (explode of a split
+    // never yields null tokens) but load-bearing for ONE-SCAN
+    // execution: without it Catalyst infers isnotnull(token) from the
+    // join into only the probe branch, the vocab/total branches
+    // canonicalize differently, and AQE cannot reuse the token
+    // exchange — every branch would re-scan the corpus
     val toks = docs.select(
       col(idCol).as("id"),
       explode(TF.tokens(col(textCol))).as("token"))
-    // vocabulary: (token, tf) — either the supplied reference model or
-    // this corpus's own counts (one partial-agg'd token shuffle)
-    val vocab = model.getOrElse(
-      toks.groupBy(col("token")).agg(count(lit(1)).as("tf")))
-    val total = vocab.agg(sum(col("tf"))).first().getLong(0)
-    require(total > 0, "language model has zero tokens")
+      .filter(col("token").isNotNull)
+    // vocabulary: (token, tf) — either the supplied reference model
+    // (duplicate-key-merged) or this corpus's own counts (one
+    // partial-agg'd token shuffle)
+    val vocab = model
+      .map(_.groupBy(col("token")).agg(sum(col("tf")).as("tf")))
+      .getOrElse(toks.groupBy(col("token")).agg(count(lit(1)).as("tf")))
+    val totalT = vocab.agg(sum(col("tf")).cast("double").as("__T"))
     // FLAT occurrence form: Σ ln(tf/T) over occurrences == the
     // c-weighted sum over per-doc distinct tokens, so the (id, token)
     // dedup shuffle buys nothing — the raw occurrences shuffle once
@@ -101,10 +114,10 @@ object Vocab {
     // average. Inner join: under a reference model, out-of-vocabulary
     // tokens drop out of the average (CCNet scores known tokens; a
     // smoothing variant would left-join + coalesce to a floor logprob)
-    toks.join(vocab, Seq("token"))
+    toks.join(vocab.crossJoin(broadcast(totalT)), Seq("token"))
       .groupBy(col("id"))
       .agg(round(
-        sum(log(col("tf").cast("double") / lit(total.toDouble))) /
+        sum(log(col("tf").cast("double") / col("__T"))) /
           count(lit(1)), 4).as("lm_score"))
   }
 
@@ -128,8 +141,12 @@ object Vocab {
     val pairs = zip_with(
       slice(toks, lit(1), m), slice(toks, lit(2), m),
       (a, b) => struct(a.as("p"), b.as("w")))
+    // explicit not-nulls (semantic no-op) keep every branch's inferred
+    // join filters identical so the bigram exchange canonicalizes
+    // equal across c2/c1/probe and AQE reuses ONE stage — see lmScore
     val bg = docs.select(col(idCol).as("id"), explode(pairs).as("z"))
       .select(col("id"), col("z.p").as("p"), col("z.w").as("w"))
+      .filter(col("p").isNotNull && col("w").isNotNull)
     val c2 = bg.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
     bg.join(c2.join(c1, Seq("p")), Seq("p", "w"))
@@ -154,9 +171,14 @@ object Vocab {
     * Scale shape: triples are built SCAN-SIDE (three aligned slices
     * of the token array zipped into structs — no posexplode + window);
     * shuffles are the (id,u,v,w) partial agg plus four
-    * vocabulary-sized marginal aggs and their equi-joins back. T is
-    * one driver-side scalar (the [[lmScore]] pattern). Docs with < 3
-    * tokens have no transitions and drop out. */
+    * vocabulary-sized marginal aggs and their equi-joins back. T is a
+    * 1-row IN-PLAN aggregate of the trigram table broadcast-cross-
+    * joined onto the model side (the q_value_props idiom) — NOT an
+    * eager driver scalar, so the corpus-triple aggregation runs ONCE
+    * (the trigram shuffle is shared across T and the marginals via
+    * exchange reuse) instead of twice. Docs with < 3 tokens have no
+    * transitions and drop out; a zero-trigram corpus yields an empty
+    * result rather than an error. */
   def lmScoreTrigram(
       docs: DataFrame,
       idCol: String,
@@ -172,22 +194,29 @@ object Vocab {
       (a, b) => struct(a.as("u"), b.as("v")))
     val triples = zip_with(uv, slice(toks, lit(3), m),
       (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
+    // explicit not-nulls (semantic no-op) are load-bearing: the five
+    // marginal/total branches otherwise inherit DIFFERENT inferred
+    // join-key not-null filters (isnotnull(u,v) vs (v,w) vs (v) vs
+    // (w)), the exchange children stop canonicalizing equal, and AQE
+    // rebuilds the corpus-triple aggregation once per branch — with
+    // the uniform filter they all reuse ONE triple stage (plan-pinned)
     val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
     val c3 = tg.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3"))
-    val total = c3.agg(sum(col("c3"))).first().getLong(0)
-    require(total > 0, "trigram model has zero transitions")
+    val totalT = c3.agg(sum(col("c3")).cast("double").as("__T"))
     // FLAT occurrence form (Σ ln(p) over occurrences == the c-weighted
     // sum over per-doc distinct triples): no (id,u,v,w) dedup shuffle —
     // occurrences shuffle once into the trigram join and once,
     // partial-agg'd to a row per doc, into the average. Marginals
     // attach to the DISTINCT-trigram table first, so the big per-doc
     // stream pays ONE (u,v,w) join — the four marginal joins move
-    // model-sized tables only
-    tg.join(enrichTrigrams(c3), Seq("u", "v", "w"))
+    // model-sized tables only, and T rides the model side as a
+    // broadcast 1-row cross join
+    tg.join(enrichTrigrams(c3).crossJoin(broadcast(totalT)), Seq("u", "v", "w"))
       .groupBy(col("id"))
       .agg(
-        round(sum(log(interpP(l3, l2, l1, total))) / count(lit(1)), 4)
+        round(sum(log(interpP(l3, l2, l1, col("__T")))) / count(lit(1)), 4)
           .as("lm3_score"),
         count(lit(1)).as("n_transitions"))
   }
@@ -206,11 +235,13 @@ object Vocab {
   }
 
   // the λ-mix AST is parenthesized exactly like the DuckDB oracle so
-  // the doubles agree bit-for-bit before the 4dp round
-  private def interpP(l3: Double, l2: Double, l1: Double, total: Long) =
+  // the doubles agree bit-for-bit before the 4dp round; `total` is the
+  // broadcast 1-row __T column (sum(c3) cast to double — exact below
+  // 2^53, so identical to the old driver-side literal)
+  private def interpP(l3: Double, l2: Double, l1: Double, total: org.apache.spark.sql.Column) =
     lit(l3) * (col("c3").cast("double") / col("c12")) +
       lit(l2) * (col("c23").cast("double") / col("c2m")) +
-      lit(l1) * (col("cw").cast("double") / lit(total.toDouble))
+      lit(l1) * (col("cw").cast("double") / total)
 
   /** The persistable state of [[lmScoreTrigramWith]]: the corpus
     * trigram table (u, v, w, c3). Every lower-order count the
@@ -260,7 +291,15 @@ object Vocab {
       (p, w) => struct(p.getField("u").as("u"), p.getField("v").as("v"), w.as("w")))
     val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
+    // duplicate trigram rows in a supplied model (e.g. a union of
+    // shard models) merge by summing counts — otherwise the doc-sized
+    // join below would fan occurrences out and inflate every average.
+    // The explicit not-nulls keep the four marginal branches'
+    // inferred join filters identical so AQE reuses one model stage
+    // (the lmScoreTrigram pattern)
     val c3 = model.select(col("u"), col("v"), col("w"), col("c3"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
+      .groupBy(col("u"), col("v"), col("w")).agg(sum(col("c3")).as("c3"))
     val c12 = c3.groupBy(col("u"), col("v")).agg(sum(col("c3")).as("c12"))
     val c23 = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c23"))
     val c2m = c23.groupBy(col("v")).agg(sum(col("c23")).as("c2m"))
@@ -311,7 +350,10 @@ object Vocab {
     val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
     val novel = sum(when(col("c3").isNull, lit(1L)).otherwise(lit(0L)))
-    tg.join(model.select(col("u"), col("v"), col("w"), col("c3")),
+    // membership probe only — dedup the model keys so duplicate rows
+    // in a supplied table can't fan the occurrence stream out
+    tg.join(model.select(col("u"), col("v"), col("w"), col("c3"))
+          .dropDuplicates("u", "v", "w"),
         Seq("u", "v", "w"), "left")
       .groupBy(col("id"))
       .agg(
@@ -340,7 +382,9 @@ object Vocab {
     val toks = docs.select(
       col(idCol).as("id"),
       explode(TF.tokens(col(textCol))).as("token"))
-    val v = vocab.map(_.select(col("token"))).getOrElse(
+    // distinct() so a supplied piece table with duplicate rows can't
+    // fan occurrences out and inflate n_tokens/n_oov
+    val v = vocab.map(_.select(col("token")).distinct()).getOrElse(
       toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("token"))
         .limit(vocabSize)

@@ -1472,24 +1472,36 @@ object Relational {
     * value. Cost: one column-pruned scan, one counts-sized range
     * shuffle, one value-keyed join back; nothing corpus-sized ever
     * funnels through a single task, and per-partition window state is
-    * one running long. The counts frame stays persisted (the pin makes
-    * the partition ids the offsets were computed from provably describe
-    * the layout the join sees — same caveat as GDataset.withRowIndex);
-    * rows with a null value keep a null rank. */
+    * one running long.
+    *
+    * The offsets are computed IN-PLAN (no eager collect, no persist —
+    * nothing is left in the cache after the caller materializes):
+    * per-partition totals aggregate over the same range exchange the
+    * join probe reads, and because both subtrees canonicalize to the
+    * identical Exchange, Spark's exchange reuse makes them literally
+    * ONE shuffle — so the partition ids the offsets describe are
+    * provably the layout the join sees (plan-pinned: PlanAuditSpec
+    * asserts the ReusedExchange and that exactly one range exchange
+    * exists). The partition count is pinned explicitly so AQE cannot
+    * coalesce the two readers differently. The offsets prefix-sum is
+    * a single-partition window over ≤ numShufflePartitions rows —
+    * bounded by cluster config, never by data. Rows with a null value
+    * keep a null rank. */
   def avgRank(df: DataFrame, c: String, out: String): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val counts = df.select(col(c)).na.drop()
       .groupBy(col(c)).agg(count(lit(1)).as("__n"))
-    val ranged = counts.repartitionByRange(col(c))
+    val ranged = counts.repartitionByRange(nPart, col(c))
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offs = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2)).toIndexedSeq
-    val offDf = df.sparkSession.createDataFrame(offs).toDF("__pid", "__off")
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__t"))
+      .select(col("__pid"),
+        coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off"))
     val w = Window.partitionBy(col("__pid")).orderBy(col(c))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // avg rank of a tie group = (count of rows <= v) − (n_eq − 1)/2
-    val ranks = ranged.join(broadcast(offDf), Seq("__pid"))
+    val ranks = ranged.join(broadcast(offs), Seq("__pid"))
       .select(col(c),
         (col("__off") + sum(col("__n")).over(w)
           - (col("__n") - 1) / lit(2.0)).as(out))

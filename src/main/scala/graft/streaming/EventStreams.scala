@@ -311,8 +311,8 @@ object EventStreams {
         })
   }
 
-  final case class WeightedRow(stratum: String, id: Long, esKey: Double)
-  final case class StratumSample(stratum: String, ids: Seq[Long])
+  final case class WeightedRow(stratum: String, id: String, esKey: Double)
+  final case class StratumSample(stratum: String, ids: Seq[String])
 
   /** Streaming per-stratum weighted sampling — the stateful twin of
     * `Sampling.weightedSampleByStratum`: each micro-batch merges its
@@ -322,8 +322,17 @@ object EventStreams {
     * with the batch path), the emitted sample after any prefix of the
     * stream equals the batch draw over exactly the rows seen so far:
     * batch boundaries cannot change the result, and replaying the
-    * stream in any batching reproduces it. State is O(n) doubles+longs
-    * per stratum — a weighted reservoir, not a row buffer. */
+    * stream in any batching reproduces it. State is O(n) doubles +
+    * key strings per stratum — a weighted reservoir, not a row
+    * buffer. Keys follow the batch contract (requireHashableKey:
+    * integer or string) and are carried in their string rendering —
+    * the same rendering the E-S key hashes — so a string-keyed
+    * stream works exactly like the batch path; rows with a null key
+    * or null/non-positive weight are excluded, matching the batch
+    * filter. Exact-E-S-key ties (same md5 prefix AND same weight)
+    * break by the string rendering here vs the native key ordering
+    * in the batch path — reachable only via duplicate (key, weight)
+    * pairs, where the tied rows are indistinguishable anyway. */
   def weightedSampleStream(
       rows: DataFrame,
       key: org.apache.spark.sql.Column,
@@ -331,15 +340,16 @@ object EventStreams {
       stratum: org.apache.spark.sql.Column,
       nPerStratum: Int): Dataset[StratumSample] = {
     require(nPerStratum > 0, s"sample size $nPerStratum must be positive")
+    graft.operators.Sampling.requireHashableKey(rows, key)
     import rows.sparkSession.implicits._
     rows
-      .filter(weight.isNotNull && weight > 0)
-      .select(stratum.cast("string").as("stratum"), key.cast("long").as("id"),
+      .filter(key.isNotNull && weight.isNotNull && weight > 0)
+      .select(stratum.cast("string").as("stratum"), key.cast("string").as("id"),
         graft.operators.Sampling.esKey(key, weight).as("esKey"))
       .as[WeightedRow]
       .groupByKey(_.stratum)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
-        (s: String, it: Iterator[WeightedRow], state: GroupState[Seq[(Double, Long)]]) => {
+        (s: String, it: Iterator[WeightedRow], state: GroupState[Seq[(Double, String)]]) => {
           val merged = (state.getOption.getOrElse(Seq.empty) ++
             it.map(r => (r.esKey, r.id)))
             .sortBy(identity) // (key asc, id asc) — the batch tiebreak

@@ -561,4 +561,55 @@ class PlanAuditSpec extends SparkSpec {
       .filter(_.contains("codes#")).toList
     assert(shuffled.isEmpty, s"corpus codes entered a shuffle: $shuffled")
   }
+
+  /** Execute a DataFrame's own QueryExecution to completion and return
+    * the FINAL adaptive plan (isFinalPlan=true) — runtime stage reuse
+    * (AQE's form of ReuseExchange) is invisible in the static explain,
+    * so reuse contracts can only be pinned on the executed plan. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("avgRank: one range shuffle (offsets subtree reuses it), nothing left persisted") {
+    // the persist-free contract: the in-plan offsets aggregate and the
+    // join probe must share the SAME range exchange — if the reuse
+    // ever breaks, the two exchanges would sample range boundaries
+    // independently and the offsets could describe a different layout
+    // than the join sees. So this is a correctness pin, not a perf pin.
+    val df = Tables.t(spark, Sf, "lineitem")
+      .select(col("l_extendedprice").as("price"))
+    val fin = finalPlanOf(graft.queries.Relational.avgRank(df, "price", "r"))
+    val live = fin.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    val reused = fin.linesIterator.count(l =>
+      l.contains("ReusedExchange") && l.contains("rangepartitioning"))
+    assert(live == 1 && reused == 1,
+      s"avgRank range exchange not shared: live=$live reused=$reused\n$fin")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "avgRank left frames in the cache after materialization")
+  }
+
+  test("q_lm_trigram: corpus triples aggregate ONCE — marginals and total reuse the stage") {
+    // two scans total (triple build + per-doc probe) and five reused
+    // exchanges (c12/c23/c2m/cw marginals + the broadcast 1-row total
+    // all read the one triple stage). The uniform not-null filter on
+    // the triple stream is what keeps the branches canonically equal —
+    // a regression here multiplies corpus scans by the branch count.
+    val fin = finalPlanOf(SparkEntry.queries("q_lm_trigram")(spark, Sf))
+    val scans = fin.linesIterator.count(_.contains("FileScan"))
+    val reused = fin.linesIterator.count(_.contains("ReusedExchange"))
+    assert(scans <= 2, s"q_lm_trigram scans the corpus $scans times:\n$fin")
+    assert(reused >= 5, s"marginals/total rebuilt instead of reused ($reused):\n$fin")
+  }
+
+  test("q_lm_score / q_lm_bigram: model side reuses the probe's n-gram exchange") {
+    for (q <- Seq("q_lm_score", "q_lm_bigram")) {
+      val fin = finalPlanOf(SparkEntry.queries(q)(spark, Sf))
+      val scans = fin.linesIterator.count(_.contains("FileScan"))
+      assert(scans <= 2, s"$q scans the corpus $scans times:\n$fin")
+      assert(fin.contains("ReusedExchange"),
+        s"$q model branch rebuilt instead of reused:\n$fin")
+    }
+  }
 }

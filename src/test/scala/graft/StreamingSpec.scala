@@ -167,14 +167,14 @@ class StreamingSpec extends SparkSpec {
     val rows = (1 to 400).map { i =>
       (i.toLong, if (i % 2 == 0) "a" else "b", if (i <= 40) 50.0 else 1.0)
     }
-    def batchDraw(rs: Seq[(Long, String, Double)]): Map[String, Set[Long]] =
+    def batchDraw(rs: Seq[(Long, String, Double)]): Map[String, Set[String]] =
       graft.operators.Sampling.weightedSampleByStratum(
           rs.toDF("id", "s", "w"), col("id"), col("w"), col("s"), nPerStratum = 15)
         .select("s", "id").collect()
-        .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    def run(splits: Seq[Seq[(Long, String, Double)]]): Seq[Map[String, Set[Long]]] = {
-      var latest = Map.empty[String, Set[Long]]
-      val snapshots = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[Long]]]
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1).toString).toSet).toMap
+    def run(splits: Seq[Seq[(Long, String, Double)]]): Seq[Map[String, Set[String]]] = {
+      var latest = Map.empty[String, Set[String]]
+      val snapshots = scala.collection.mutable.ArrayBuffer.empty[Map[String, Set[String]]]
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Double)](spark)
       val q = EventStreams.weightedSampleStream(
