@@ -306,6 +306,54 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
   def sampleWeighted(key: Column, weight: Column, n: Int): GDataset =
     transform(graft.operators.Sampling.weightedSample(_, key, weight, n))
 
+  /** Per-stratum weighted draw on the wrapper: the n best E-S keys
+    * within each stratum (Sampling.weightedSampleByStratum — one
+    * stratum shuffle, WindowGroupLimit heaps, deterministic). */
+  def sampleWeightedByStratum(
+      key: Column, weight: Column, stratum: Column, nPerStratum: Int): GDataset =
+    transform(graft.operators.Sampling
+      .weightedSampleByStratum(_, key, weight, stratum, nPerStratum))
+
+  /** Rate-form weighted draw on the wrapper (Sampling.
+    * weightedSampleRate): scan-side E-S-key threshold filter — no
+    * ordering, no driver merge — for samples past the TakeOrdered
+    * bound; size is binomial around Σ(1 − e^{−t·w}). */
+  def sampleWeightedRate(key: Column, weight: Column, threshold: Double): GDataset =
+    transform(graft.operators.Sampling
+      .weightedSampleRate(_, key, weight, threshold))
+
+  /** Cumulative-budget cut per stratum on the wrapper
+    * (Sampling.budgetPerStratum): keep rows in `order` until the
+    * stratum's running `weightCol` total passes `budget` — the
+    * "at most N tokens per language" balancer. Appends the running
+    * total as `cum_<weightCol>` (a new value_var). */
+  def budgetPerStratum(
+      stratum: Column, order: Seq[Column], weightCol: String, budget: Long): GDataset =
+    transform(graft.operators.Sampling
+      .budgetPerStratum(_, stratum, order, weightCol, budget))
+
+  /** polars fill_null(strategy="mean"/"median") on the wrapper,
+    * optionally per group (Relational.fillNullStrategy — grouped mean
+    * is one window; global statistics broadcast; median reuses the
+    * distributed exact-quantile machinery). */
+  def fillNullStrategy(c: String, strategy: String,
+      groupCols: Seq[String] = Nil): GDataset =
+    transform(graft.queries.Relational.fillNullStrategy(_, c, strategy, groupCols))
+
+  /** polars list.eval on the wrapper: element-wise expression over a
+    * list column via the scan-local `transform` HOF; `f` receives the
+    * `pl.element()` stand-in. Companions [[listEvalFilter]] /
+    * [[listEvalReduce]] cover the predicate and fold shapes. */
+  def listEval(listCol: String, out: String)(f: Column => Column): GDataset =
+    transform(graft.queries.Relational.listEval(_, listCol, out)(f))
+
+  def listEvalFilter(listCol: String, out: String)(p: Column => Column): GDataset =
+    transform(graft.queries.Relational.listEvalFilter(_, listCol, out)(p))
+
+  def listEvalReduce(listCol: String, out: String, zero: Column)(
+      merge: (Column, Column) => Column): GDataset =
+    transform(graft.queries.Relational.listEvalReduce(_, listCol, out, zero)(merge))
+
   /** head/tail/slice over an explicit total order (polars slice is
     * positional; a distributed engine needs the order spelled out). */
   def slice(sortCols: Seq[Column], offset: Int, n: Int): GDataset =

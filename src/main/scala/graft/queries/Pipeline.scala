@@ -284,6 +284,29 @@ object Pipeline {
         "vec_id", "embedding", k = 5)
     }),
 
+    // IVF at FULL probe (nProbe = nLists): every query scans every
+    // cell, so the result is exactly brute force regardless of how the
+    // k-means training went — the deterministic parameterization that
+    // makes the whole IVF path (build, assign, probe, score, rank)
+    // oracle-checkable, not just rows-only. The scale-shaped nProbe<
+    // nLists variant stays q_ann_ivf.
+    "q_ann_ivf_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nLists = 8, nProbe = 8)
+    }),
+
+    // PQ/ADC with exact rerank over the ENTIRE candidate set: with
+    // rerank >= corpus size no candidate is pruned, so the exact-cosine
+    // rerank stage reproduces brute force exactly whatever the trained
+    // codebooks look like — the oracle checks the full encode → ADC →
+    // rerank pipeline end to end. The pruning variant stays q_ann_pq.
+    "q_ann_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Pq.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 8, ksub = 16, rerank = 1000000)
+    }),
+
     // product quantization + ADC with exact rerank: ~32× vector
     // compression for the recall stage (codes shuffle, floats never
     // do). Rows-only: the trained sub-codebooks aren't expressible in
@@ -538,6 +561,16 @@ object Pipeline {
       graft.operators.Sampling.weightedSampleByStratum(
         t(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"),
         col("o_orderpriority"), nPerStratum = 20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))),
+
+    // rate-based weighted sampling — the scan-side form with no
+    // ordering and no driver merge, for samples past the TakeOrdered
+    // bound. Same engine-exact E-S key as q_sample_weighted, so the
+    // kept set is a pure function of (key, weight, threshold)
+    "q_sample_weighted_rate" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSampleRate(
+        t(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"),
+        threshold = 2e-7)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))),
 
     // Gopher repetition signals: repeated-token fraction + share of the
@@ -968,6 +1001,29 @@ object Pipeline {
                                                  CAST(c.embedding AS DOUBLE[])), 6) AS sim
              FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
          WHERE rank <= 5""",
+    // full-probe IVF == brute force, whatever the trained centroids are
+    "q_ann_ivf_exact" ->
+      """SELECT qid, cid, sim, rank FROM (
+           SELECT qid, cid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS cid,
+                    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim
+             FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
+         WHERE rank <= 5""",
+    // exact rerank over the full ADC candidate set == brute force,
+    // whatever the trained codebooks are
+    "q_ann_pq_rerank" ->
+      """SELECT qid, cid, sim, rank FROM (
+           SELECT qid, cid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS cid,
+                    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim
+             FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
+         WHERE rank <= 5""",
     "q_multimodal" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
          FROM documents""",
@@ -1356,6 +1412,11 @@ object Pipeline {
          ORDER BY -ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
                       / 4503599627370496.0) / o_totalprice
          LIMIT 100""",
+    "q_sample_weighted_rate" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+         WHERE o_totalprice > 0
+           AND -ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+                   / 4503599627370496.0) / o_totalprice < 2e-7""",
     "q_sample_weighted_strat" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM (
            SELECT o_orderkey, o_custkey, o_orderpriority,

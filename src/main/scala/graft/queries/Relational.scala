@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -201,6 +201,53 @@ object Relational {
         .groupBy(col("c_custkey"))
         .agg(coalesce(round(sum(col("o_totalprice")), 2), lit(0.0)).as("total"),
           count(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // fill_null(strategy="mean") per group (polars fill_null): a
+    // deterministic null mask, then the group mean coalesced in. The
+    // mask keeps the oracle exact — l_quantity is integer-valued, so
+    // group means carry no float merge-order drift
+    "q_fill_mean" -> ((s, dir) => {
+      val masked = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        when(col("l_discount") > 0.05, lit(null))
+          .otherwise(col("l_quantity")).as("qty"))
+      fillNullStrategy(masked, "qty", "mean", Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("qty"), 4).as("qty_filled"))
+    }),
+
+    // fill_null(strategy="median") per group: the exact interpolated
+    // median via the distributed quantile machinery, joined back and
+    // coalesced — bit-identical to the oracle's q_quantile formula
+    "q_fill_median" -> ((s, dir) => {
+      val masked = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        when(col("l_discount") > 0.05, lit(null))
+          .otherwise(col("l_quantity")).as("qty"))
+      fillNullStrategy(masked, "qty", "median", Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("qty"), 4).as("qty_filled"))
+    }),
+
+    // list.eval (polars generic element-wise list expression): map,
+    // filter, and fold lambdas over the embedding list — all scan-local
+    // HOFs. The map is raw double arithmetic (float→double cast exact,
+    // *2+1 the same IEEE ops on both engines) and the fold is a left
+    // fold in element order on both engines, so the pre-round sums are
+    // bit-identical; rounding happens ONCE on the outputs (a per-
+    // element round would let the engines' decimal-rounding ulps
+    // accumulate through the fold)
+    "q_list_eval" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+      val tx = listEval(base, "embedding", "tx")(
+        x => x.cast("double") * 2 + 1)
+      val fl = listEvalFilter(tx, "embedding", "pos")(x => x > 0)
+      listEvalReduce(fl, "tx", "tot", lit(0.0))((a, x) => a + x)
+        .select(col("vec_id"),
+          round(element_at(col("tx"), 1), 6).as("e1"),
+          size(col("pos")).as("n_pos"),
+          round(col("tot"), 4).as("tot"))
     }),
 
     // value_counts.
@@ -1508,6 +1555,69 @@ object Relational {
     df.join(ranks, Seq(c), "left")
   }
 
+  /** polars fill_null(strategy="mean"/"median"), optionally per group —
+    * the statistical fill strategies (forward/backward/literal live on
+    * the query surface already). `mean` fills nulls with the group's
+    * average of the non-null values; `median` with the linear-
+    * interpolated exact median (the [[graft.operators.Quantiles]]
+    * machinery — distributed range partitioning, never a per-group
+    * sort funnel, and bit-identical across engines).
+    *
+    * Scale shape: grouped mean is one window over one group exchange;
+    * GLOBAL mean is a broadcast 1-row aggregate cross-joined in (the
+    * q_value_props idiom — an unpartitioned window would funnel the
+    * data through one task). Median joins one row per group back by
+    * group key. A group whose values are ALL null has no statistic —
+    * its nulls stay null (polars semantics: fill value is NaN-free
+    * only where defined). */
+  def fillNullStrategy(
+      df: DataFrame, c: String, strategy: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val filled = strategy match {
+      case "mean" if groupCols.isEmpty =>
+        df.crossJoin(broadcast(df.agg(avg(col(c)).as("__fill"))))
+      case "mean" =>
+        df.withColumn("__fill",
+          avg(col(c)).over(Window.partitionBy(groupCols.map(col): _*)))
+      case "median" =>
+        val med = graft.operators.Quantiles
+          .exactQuantiles(df, groupCols, c, Seq(("__fill", 0.5)))
+        if (groupCols.isEmpty) df.crossJoin(broadcast(med))
+        else df.join(med, groupCols, "left")
+      case other => throw new IllegalArgumentException(
+        s"unknown fill_null strategy '$other' (mean/median)")
+    }
+    filled.withColumn(c, coalesce(col(c), col("__fill"))).drop("__fill")
+  }
+
+  /** polars list.eval(expr): apply an arbitrary element-wise expression
+    * to every element of a list column — the generic surface behind
+    * the specific list ops (q_list_ops/sort/sets/slice/unique). Wraps
+    * Spark's `transform` HOF, so `f` runs scan-local inside codegen:
+    * zero shuffles, and the lambda composes any Column expression
+    * (`x => round(x * 2 + 1, 4)` is polars
+    * `pl.element().mul(2).add(1).round(4)`). */
+  def listEval(df: DataFrame, listCol: String, out: String)(
+      f: Column => Column): DataFrame =
+    df.withColumn(out, transform(col(listCol), f))
+
+  /** polars list.eval with a boolean expression + drop of non-matching
+    * elements (`.list.eval(...).list.drop_nulls()` shape): keep the
+    * elements where `p` holds. Spark's `filter` HOF — scan-local. */
+  def listEvalFilter(df: DataFrame, listCol: String, out: String)(
+      p: Column => Column): DataFrame =
+    df.withColumn(out, filter(col(listCol), p))
+
+  /** Fold a list column to a scalar with an arbitrary combine
+    * expression (polars list.eval over an aggregating expression) —
+    * Spark's `aggregate` HOF. Left fold in element order, scan-local:
+    * deterministic on any engine that folds left (the DuckDB
+    * list_reduce contract the oracle uses). */
+  def listEvalReduce(
+      df: DataFrame, listCol: String, out: String, zero: Column)(
+      merge: (Column, Column) => Column): DataFrame =
+    df.withColumn(out, aggregate(col(listCol), zero, merge))
+
   /** Pairwise correlation matrix in ONE scan: all n·(n−1)/2 corr()
     * co-moments live in the same Aggregate, so the input is read once
     * and partial-merged once however many pairs there are; the long
@@ -1683,6 +1793,39 @@ object Relational {
          count(o_orderkey) AS n_orders
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY c_custkey""",
+    "q_fill_mean" ->
+      """WITH m AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+             CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END AS qty
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           round(coalesce(qty, avg(qty) OVER (PARTITION BY l_returnflag)), 4) AS qty_filled
+         FROM m""",
+    "q_fill_median" ->
+      """WITH m AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+             CASE WHEN l_discount > 0.05 THEN NULL ELSE l_quantity END AS qty
+           FROM lineitem),
+         b AS (
+           SELECT l_returnflag, qty AS v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY qty) AS DOUBLE) - 1 AS rn,
+             CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+           FROM m WHERE qty IS NOT NULL),
+         med AS (
+           SELECT l_returnflag,
+             sum(CASE WHEN rn = floor((n-1)*0.5) OR rn = ceil((n-1)*0.5)
+                      THEN v * (1.0 - abs(rn - (n-1)*0.5)) ELSE 0.0 END) AS p50
+           FROM b GROUP BY l_returnflag)
+         SELECT m.l_orderkey, m.l_linenumber,
+           round(coalesce(m.qty, med.p50), 4) AS qty_filled
+         FROM m JOIN med USING (l_returnflag)""",
+    "q_list_eval" ->
+      """SELECT vec_id,
+         round(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2 + 1)[1], 6) AS e1,
+         len(list_filter(embedding, x -> x > 0)) AS n_pos,
+         round(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2 + 1),
+                           (a, b) -> a + b), 4) AS tot
+         FROM embeddings""",
     "q_value_counts" ->
       """SELECT o_orderpriority AS value, count(*) AS count
          FROM orders GROUP BY o_orderpriority""",

@@ -197,6 +197,39 @@ class GDatasetSpec extends SparkSpec {
     assert(wrapperIds.count(_ <= 50L) >= 20, "weights must bias the draw")
   }
 
+  test("stratum/rate samplers, budget, fill and list.eval wrappers delegate, metadata kept") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 7 + 1).toDouble)).toDF("i", "s", "w")
+    val ds = GDataset(df, "i")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("i").collect().map(_.getLong(0)).toSet
+    val strat = ds.sampleWeightedByStratum(col("i"), col("w"), col("s"), 10)
+    assert(strat.index == "i", "metadata must survive the transform")
+    assert(ids(strat.df) == ids(graft.operators.Sampling
+      .weightedSampleByStratum(df, col("i"), col("w"), col("s"), 10)))
+    val rate = ds.sampleWeightedRate(col("i"), col("w"), 0.05)
+    assert(ids(rate.df) == ids(graft.operators.Sampling
+      .weightedSampleRate(df, col("i"), col("w"), 0.05)))
+    val bud = ds.budgetPerStratum(col("s"), Seq(col("i")), "w", 20L)
+    assert(bud.valueVars.contains("cum_w"), "running total must land as a value_var")
+    assert(ids(bud.df) == ids(graft.operators.Sampling
+      .budgetPerStratum(df, col("s"), Seq(col("i")), "w", 20L)))
+    // fill + list.eval ergonomics on the wrapper
+    val withNulls = GDataset(Seq((1L, Some(2.0)), (2L, None), (3L, Some(4.0)))
+      .toDF("i", "v"), "i")
+    val filled = withNulls.fillNullStrategy("v", "mean")
+    assert(filled.df.orderBy("i").collect().map(_.getDouble(1)).toSeq == Seq(2.0, 3.0, 4.0))
+    val lists = GDataset(Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("i", "xs"), "i")
+    val ev = lists.listEval("xs", "tx")(x => x * 10)
+      .listEvalFilter("tx", "big")(x => x > 15)
+      .listEvalReduce("big", "tot", lit(0.0))((a, x) => a + x)
+    val row = ev.df.collect().head
+    assert(row.getSeq[Double](2) == Seq(10.0, 20.0, 30.0))
+    assert(row.getSeq[Double](3) == Seq(20.0, 30.0) && row.getDouble(4) == 50.0)
+    assert(ev.valueVars.toSet == Set("xs", "tx", "big", "tot"))
+  }
+
   test("unique keep variants pick the documented winners") {
     import spark.implicits._
     // key a: 3 rows, key b: 1 row, key c: 2 rows

@@ -221,6 +221,49 @@ class SamplingSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("weightedSampleRate: boundary-equals-TakeOrdered, scan-side, null keys excluded") {
+    import spark.implicits._
+    val df = (1 to 500).map(i =>
+      (i.toLong, if (i <= 50) 40.0 else 1.0)).toDF("id", "w")
+    // the boundary contract: a threshold placed between the n-th and
+    // (n+1)-th smallest E-S key keeps EXACTLY the weightedSample(n)
+    // set — both paths read the same pure key
+    val keys = df.select(Sampling.esKey(col("id"), col("w")).as("k"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = 30
+    val t = (keys(n - 1) + keys(n)) / 2
+    val exact = Sampling.weightedSample(df, col("id"), col("w"), n)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rate = Sampling.weightedSampleRate(df, col("id"), col("w"), t)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rate == exact, s"rate sample at the boundary diverged: ${rate.size} vs $n")
+    // deterministic + partitioning-independent, like the exact form
+    assert(Sampling.weightedSampleRate(df.repartition(7), col("id"), col("w"), t)
+      .select("id").collect().map(_.getLong(0)).toSet == rate)
+    // scan-side: no exchange, no sort — a pure filter over the scan
+    val plan = Sampling.weightedSampleRate(df, col("id"), col("w"), t)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Sort"),
+      s"rate sampling must not shuffle or sort:\n$plan")
+    // expected size tracks sum(1 - e^{-t*w}) (binomial mean)
+    val mu = df.collect().map(r => 1.0 - math.exp(-t * r.getDouble(1))).sum
+    assert(math.abs(rate.size - mu) < 5 * math.sqrt(mu) + 1,
+      s"sample size ${rate.size} far from binomial mean $mu")
+    // null keys excluded in every weighted sampler (md5(null) would
+    // otherwise sort NULLS FIRST into the sample)
+    val withNulls = Seq((Some(1L), 1.0), (None, 1e9), (None, 1e9))
+      .toDF("id", "w")
+    assert(Sampling.weightedSampleRate(withNulls, col("id"), col("w"), 100.0)
+      .collect().forall(!_.isNullAt(0)))
+    assert(Sampling.weightedSample(withNulls, col("id"), col("w"), 2)
+      .collect().forall(!_.isNullAt(0)),
+      "weightedSample let a null key into the draw")
+    assert(Sampling.weightedSampleByStratum(
+        withNulls.withColumn("s", lit("x")), col("id"), col("w"), col("s"), 2)
+      .collect().forall(!_.isNullAt(0)),
+      "weightedSampleByStratum let a null key into the draw")
+  }
+
   test("weightedSample with equal weights matches top-n by the uniform md5 draw") {
     import spark.implicits._
     // with all weights equal the E-S key −ln(u)/w is monotone

@@ -153,4 +153,52 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got(("a", "c")) == expect.getDouble(1))
     assert(got(("b", "c")) == expect.getDouble(2))
   }
+
+  test("fillNullStrategy: mean/median, grouped and global, all-null group stays null") {
+    import spark.implicits._
+    import graft.queries.Relational.fillNullStrategy
+    val df = Seq(
+      ("a", Some(2.0)), ("a", Some(4.0)), ("a", None),
+      ("b", Some(10.0)), ("b", Some(20.0)), ("b", Some(90.0)), ("b", None),
+      ("c", None), ("c", None) // all-null group: nothing to fill from
+    ).toDF("g", "v")
+    def vals(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g", "v").collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // grouped mean: a's null -> 3.0, b's -> 40.0, c stays null
+    assert(vals(fillNullStrategy(df, "v", "mean", Seq("g"))).toSeq ==
+      Seq("a" -> Some(2.0), "a" -> Some(3.0), "a" -> Some(4.0),
+        "b" -> Some(10.0), "b" -> Some(20.0), "b" -> Some(40.0), "b" -> Some(90.0),
+        "c" -> None, "c" -> None).map { case (g, v) => (g, v) })
+    // grouped median: b's null -> 20.0 (middle of 10/20/90, not mean)
+    val med = vals(fillNullStrategy(df, "v", "median", Seq("g")))
+    assert(med.count { case (g, v) => g == "b" && v.contains(20.0) } == 2)
+    assert(med.filter(_._1 == "c").forall(_._2.isEmpty), "all-null group must stay null")
+    // global mean fills all four nulls with the one overall average (25.2)
+    val glob = vals(fillNullStrategy(df, "v", "mean"))
+    assert(glob.count(_._2.contains(25.2)) == 4)
+    // global median (5 values 2,4,10,20,90 -> 10.0): four fills + the
+    // original 10.0
+    assert(vals(fillNullStrategy(df, "v", "median")).count(_._2.contains(10.0)) == 5)
+    intercept[IllegalArgumentException](fillNullStrategy(df, "v", "mode"))
+  }
+
+  test("listEval family: map/filter/fold HOFs, scan-local") {
+    import spark.implicits._
+    import graft.queries.Relational.{listEval, listEvalFilter, listEvalReduce}
+    val df = Seq((1L, Seq(1.0, -2.0, 3.0)), (2L, Seq.empty[Double])).toDF("id", "xs")
+    val out = listEvalReduce(
+        listEvalFilter(
+          listEval(df, "xs", "tx")(x => x * 2 + 1),
+          "xs", "pos")(x => x > 0),
+        "tx", "tot", lit(0.0))((a, x) => a + x)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](2), r.getSeq[Double](3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((Seq(3.0, -3.0, 7.0), Seq(1.0, 3.0), 7.0)))
+    assert(out(2L) == ((Seq.empty, Seq.empty, 0.0)), "empty list folds to the zero")
+    // scan-local contract: HOFs never shuffle
+    val plan = listEval(df, "xs", "tx")(x => x + 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"listEval shuffled:\n$plan")
+  }
 }
