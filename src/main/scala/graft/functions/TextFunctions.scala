@@ -329,6 +329,55 @@ object TextFunctions {
     when(n > 0, round(markup.cast("double") / n, 4)).otherwise(0.0)
   }
 
+  /** The `scheme://host` part of a URL lowercased with any default
+    * port stripped (`:80` under http, `:443` under https — a
+    * NON-default port survives). Anchored regexes only, so both
+    * engines rip the URL apart byte-identically. */
+  private def canonicalOrigin(url: Column): Column = {
+    val origin = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1))
+    regexp_replace(regexp_replace(origin, "^(http://[^/?#:]+):80$", "$1"),
+      "^(https://[^/?#:]+):443$", "$1")
+  }
+
+  /** Canonical URL form — the normalization that makes URL-keyed exact
+    * dedup actually collide: the same page crawled as
+    * `HTTPS://Example.COM:443/a/?utm_source=x&b=2#frag` and
+    * `https://example.com/a?b=2` must canonicalize identically, or a
+    * URL-level dedup pass silently keeps both copies. Rules, in order:
+    * scheme+host lowercased; default port stripped; fragment dropped;
+    * empty path → `/` and a deeper path's single trailing `/` removed;
+    * tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`) and empty
+    * pairs dropped from the query; surviving parameters SORTED so
+    * parameter order cannot split a duplicate; `?` dropped when
+    * nothing survives. Everything is anchored-regex + array-HOF
+    * arithmetic — codegen'd, scan-local, zero shuffles — and each
+    * rule is byte-reproducible in any engine with list/regex
+    * primitives (the DuckDB oracle runs the same rules). Case inside
+    * path and query is PRESERVED (semantically significant on most
+    * servers). Null-safe: null in, null out. */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val path0 = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "^(/.*[^/])/$", "$1"))
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => !(p === "" || p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))))
+    val qs = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    concat(canonicalOrigin(u), path, qs)
+  }
+
+  /** Hostname of a URL, lowercased, port dropped. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1))
+
+  /** Registrable domain: the last two labels of the host (the
+    * practical blocklist key — a real public-suffix list is a data
+    * table, not a regex, and plugs in as the blocklist itself). */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
   /** Word n-gram shingles (n consecutive tokens, space-joined). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)

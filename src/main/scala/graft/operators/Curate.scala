@@ -58,6 +58,29 @@ object Curate {
       deduped, col(langCol), Seq(col(idCol)), "n_tok", budgetPerLang)
   }
 
+  /** Domain-blocklist filter — the C4/RefinedWeb URL-level curation
+    * step: drop every document whose URL's registrable domain (or
+    * exact host, for entries carrying a subdomain) appears in the
+    * blocklist. The blocklist is a TABLE, not a regex — real
+    * blocklists are hundreds of thousands of entries and live as
+    * data, so membership must be a broadcast hash join, never a
+    * pattern scan. Matching: an entry `example.com` blocks the whole
+    * registrable domain (any subdomain); an entry `ads.example.com`
+    * blocks that exact host only. Both keys are derived scan-side
+    * ([[TF.urlHost]]/[[TF.registeredDomain]] — codegen'd anchored
+    * regexes), the blocklist side is explicitly broadcast, and the
+    * corpus never shuffles: two broadcast anti-joins, zero exchanges
+    * of the data. */
+  def blocklistFilter(
+      docs: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
+    // distinct: duplicate blocklist rows must not fan the anti-join's
+    // build side (harmless for anti semantics, wasteful at 100k rows)
+    val b = broadcast(blocklist.select(col("domain")).distinct())
+    docs
+      .join(b, TF.registeredDomain(col(urlCol)) === b("domain"), "left_anti")
+      .join(b, TF.urlHost(col(urlCol)) === b("domain"), "left_anti")
+  }
+
   /** Per-stage survivor counts — the audit trail a curation run ships
     * with (how many docs each stage removed). Exactly two jobs over the
     * corpus: one aggregate computes input / gate / dedup counts as

@@ -67,4 +67,44 @@ object Pack {
       }
     }(enc)
   }
+
+  /** Length-bucketed batching report — the inference/training-batching
+    * planner's view of a corpus: assign each document to the smallest
+    * bucket boundary that fits its token count and report, per bucket,
+    * how much context a bucket-padded batch run would waste. A batcher
+    * that pads every sequence in a batch to the bucket top pays
+    * `n_docs · bucket` tokens of context for `sum_tokens` of real
+    * content; `padding_frac` is the wasted share, and a bucket list
+    * that yields high waste in its fat buckets needs finer boundaries
+    * there. Documents longer than the largest boundary land in an
+    * overflow bucket of -1 (they need chunking, not padding — counted,
+    * never silently dropped; their padding_frac is 0 by convention).
+    *
+    * Scale shape: the bucket id folds to a codegen'd integer
+    * when-chain over the boundary list (boundaries are a config-sized
+    * Seq, not data), so assignment is scan-local; the only exchange is
+    * the partial-agg'd groupBy over ≤ |buckets|+1 keys. Exact integer
+    * compares — no float log2 whose ulp at an exact power of two
+    * could flip an engine's bucket choice. */
+  def paddingStats(
+      docs: DataFrame,
+      tokenCountCol: String,
+      buckets: Seq[Int]): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted && buckets.head > 0,
+      s"buckets $buckets must be a non-empty ascending list of positive boundaries")
+    val n = coalesce(col(tokenCountCol).cast("long"), lit(0L))
+    val bucket = buckets.foldRight(lit(-1L)) { (b, rest) =>
+      when(n <= b, lit(b.toLong)).otherwise(rest)
+    }
+    docs.select(bucket.as("bucket"), n.as("__n"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("sum_tokens"))
+      .withColumn("capacity",
+        when(col("bucket") > 0, col("bucket") * col("n_docs")).otherwise(col("sum_tokens")))
+      .withColumn("padding_frac",
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          greatest(col("capacity"), lit(1L)), 4))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diffing — the audit step between two ingest runs.
+  *
+  * A recrawl (Common-Crawl snapshot N vs N+1, or two curation runs over
+  * the same raw corpus) needs to answer: which documents appeared,
+  * which vanished, and which changed content under the same id — both
+  * to bound reprocessing (only `added`/`changed` docs need re-scoring,
+  * re-embedding, re-deduping) and to flag pipeline regressions (a
+  * `removed` spike usually means an upstream filter got stricter, not
+  * that the web shrank).
+  *
+  * Scale shape: the text is hashed SCAN-SIDE (md5, codegen'd) on each
+  * snapshot, so only (id, 16-byte hash) rows ever enter the full-outer
+  * join's exchange — the join cost is two id-keyed constant-width
+  * shuffles regardless of document size, and when both snapshots are
+  * stored bucketed by id it is map-side entirely. Unchanged rows are
+  * dropped before the result leaves the join, so the output is sized
+  * by the churn, not the corpus.
+  */
+object Snapshot {
+
+  /** Rows of (id, status, content_hash) where status ∈
+    * added / removed / changed; unchanged ids are absent. For
+    * `removed` rows the hash is the OLD content's (the new side has
+    * none); otherwise the new content's.
+    */
+  def diff(old: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val oh = old.select(col(idCol).as("id"), md5(col(textCol)).as("__h_old"))
+    val nh = cur.select(col(idCol).as("id"), md5(col(textCol)).as("__h_new"))
+    oh.join(nh, Seq("id"), "full")
+      .withColumn("status",
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_new").isNull, lit("removed"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("id"), col("status"),
+        coalesce(col("__h_new"), col("__h_old")).as("content_hash"))
+  }
+
+  /** One-row churn summary of [[diff]]: counts per status plus the
+    * fraction of the NEW snapshot that carried over unchanged — the
+    * number an ingest dashboard alerts on. Computed from the same
+    * hash-join plan plus one count of the new snapshot, folded in as
+    * a broadcast 1-row aggregate (no eager driver job).
+    */
+  def churnStats(old: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val d = diff(old, cur, idCol, textCol)
+      .groupBy()
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"))
+    val total = cur.groupBy().agg(count(lit(1)).as("__n_cur"))
+    d.crossJoin(broadcast(total))
+      .select(
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_changed"), lit(0L)).as("n_changed"),
+        round((col("__n_cur") - coalesce(col("n_added"), lit(0L)) -
+          coalesce(col("n_changed"), lit(0L))).cast("double") /
+          greatest(col("__n_cur"), lit(1L)), 4).as("unchanged_frac"))
+  }
+}

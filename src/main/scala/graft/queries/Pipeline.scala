@@ -706,7 +706,79 @@ object Pipeline {
     // deterministic and oracle-checked end to end
     "q_curate" -> ((s, dir) =>
       graft.operators.Curate.corpus(
-        t(s, dir, "documents"), "doc_id", "text", "lang", budgetPerLang = 2000))
+        t(s, dir, "documents"), "doc_id", "text", "lang", budgetPerLang = 2000)),
+
+    // snapshot diff: recrawl N vs N+1 — which ids appeared / vanished /
+    // changed content. Both snapshots derive deterministically from the
+    // one documents table (drop every 3rd vs every 5th id; "recrawled"
+    // content for ids divisible by 7), so the oracle reconstructs them
+    // exactly; text hashes scan-side, only (id, hash) joins
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val cur = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.Snapshot.diff(old, cur, "doc_id", "text")
+    }),
+
+    // churn summary of the same two snapshots: one dashboard row —
+    // added/removed/changed counts + the unchanged carry-over fraction
+    "q_snapshot_churn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val cur = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.Snapshot.churnStats(old, cur, "doc_id", "text")
+    }),
+
+    // URL canonicalization: the normalization that makes URL-keyed
+    // dedup collide — mixed-case scheme/host, default ports, fragments,
+    // tracking params, unsorted queries and trailing slashes all
+    // constructed deterministically per doc, then reduced to one
+    // canonical form by scan-local regex+HOF arithmetic in both engines
+    "q_url_canonical" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = when(pmod(id, lit(4)) === 0,
+        concat(lit("HTTPS://"), col("source"), lit(".Example.COM:443/Docs/"),
+          id.cast("string"), lit("/?utm_source=x&b=2&a=1&fbclid=z#frag")))
+        .when(pmod(id, lit(4)) === 1,
+          concat(lit("http://"), col("source"), lit(".example.com:80/a/b?z=1&a=2&ref=foo")))
+        .when(pmod(id, lit(4)) === 2,
+          concat(lit("https://"), col("source"), lit(".EXAMPLE.com")))
+        .otherwise(
+          concat(lit("http://"), col("source"), lit(".example.com:8080/path/?")))
+      t(s, dir, "documents").select(
+        id,
+        TF.canonicalUrl(url).as("canonical"),
+        TF.urlHost(url).as("host"),
+        TF.registeredDomain(url).as("registered_domain"))
+    }),
+
+    // domain-blocklist curation: drop docs whose registrable domain (or
+    // exact host, for subdomain entries) is block-listed — broadcast
+    // anti-joins on scan-side keys, the corpus never shuffles
+    "q_url_blocklist" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"), lit(".example"),
+        pmod(col("doc_id"), lit(2)).cast("string"), lit(".com/p"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+      val blocklist = s.createDataFrame(Seq(
+        Tuple1("example0.com"), Tuple1("src3.example1.com"))).toDF("domain")
+      graft.operators.Curate.blocklistFilter(docs, "url", blocklist)
+    }),
+
+    // length-bucketed batching report: per power-of-two bucket, how
+    // much context a bucket-padded batch run wastes on padding —
+    // scan-local integer when-chain assignment, one partial-agg'd
+    // groupBy over ≤ 7 keys
+    "q_padding_stats" -> ((s, dir) =>
+      graft.operators.Pack.paddingStats(
+        t(s, dir, "documents").select(
+          col("doc_id"), TF.tokenCount(col("text")).as("n_tok")),
+        "n_tok", Seq(16, 32, 64))) // max count ~100 ⇒ overflow bucket exercised
   )
 
   // shared with Relational's list-namespace oracle
@@ -1586,7 +1658,115 @@ object Pipeline {
          SELECT doc_id AS id, s // 32 AS chunk_idx,
            array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text,
            len(tk[s + 1 : s + 64]) AS n_tok
-         FROM st"""
+         FROM st""",
+    "q_snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+         n AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                CASE WHEN o.h IS NULL THEN 'added'
+                     WHEN n.h IS NULL THEN 'removed'
+                     ELSE 'changed' END AS status,
+                coalesce(n.h, o.h) AS content_hash
+         FROM o FULL JOIN n ON o.doc_id = n.doc_id
+         WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h""",
+    "q_snapshot_churn" ->
+      """WITH o AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+         n AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id % 5 <> 0),
+         d AS (
+           SELECT CASE WHEN o.h IS NULL THEN 'added'
+                       WHEN n.h IS NULL THEN 'removed'
+                       WHEN o.h <> n.h THEN 'changed'
+                       ELSE 'unchanged' END AS status
+           FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+         SELECT
+           CAST(count(*) FILTER (WHERE status = 'added') AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (WHERE status = 'removed') AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE status = 'changed') AS BIGINT) AS n_changed,
+           round(((SELECT count(*) FROM n)
+                  - count(*) FILTER (WHERE status = 'added')
+                  - count(*) FILTER (WHERE status = 'changed')) * 1.0
+             / greatest((SELECT count(*) FROM n), 1), 4) AS unchanged_frac
+         FROM d""",
+    // the same canonicalization rules, RE2 + list-HOF arithmetic:
+    // lowercased origin, default port stripped, fragment dropped,
+    // empty path -> '/', deeper trailing slash cut, tracking/empty
+    // params dropped, survivors sorted
+    "q_url_canonical" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTPS://' || source || '.Example.COM:443/Docs/'
+                 || doc_id || '/?utm_source=x&b=2&a=1&fbclid=z#frag'
+               WHEN 1 THEN 'http://' || source || '.example.com:80/a/b?z=1&a=2&ref=foo'
+               WHEN 2 THEN 'https://' || source || '.EXAMPLE.com'
+               ELSE 'http://' || source || '.example.com:8080/path/?'
+             END AS url FROM documents),
+         parts AS (
+           SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)),
+                 '^(http://[^/?#:]+):80$', '\1'),
+               '^(https://[^/?#:]+):443$', '\1') AS origin,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\?([^#]*)', 1) AS q,
+             lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+           FROM u),
+         canon AS (
+           SELECT doc_id, origin, host,
+             CASE WHEN path0 = '' THEN '/'
+                  ELSE regexp_replace(path0, '^(/.*[^/])/$', '\1') END AS path,
+             list_sort(list_filter(string_split(q, '&'),
+               p -> NOT (p = '' OR regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')))) AS kept
+           FROM parts)
+         SELECT doc_id,
+           origin || path ||
+             CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+             AS canonical,
+           host,
+           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain
+         FROM canon""",
+    "q_url_blocklist" ->
+      """WITH u AS (
+           SELECT doc_id,
+             'https://' || source || '.example' || (doc_id % 2) || '.com/p' AS url
+           FROM documents),
+         k AS (
+           SELECT doc_id, url,
+             lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+           FROM u)
+         SELECT doc_id, url FROM k
+         WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                 NOT IN ('example0.com', 'src3.example1.com')
+           AND host NOT IN ('example0.com', 'src3.example1.com')""",
+    "q_padding_stats" ->
+      s"""WITH n AS (
+           SELECT len($TokSql) AS n FROM documents),
+         b AS (
+           SELECT CAST(CASE WHEN n <= 16 THEN 16
+                            WHEN n <= 32 THEN 32
+                            WHEN n <= 64 THEN 64
+                            ELSE -1 END AS BIGINT) AS bucket, n FROM n),
+         g AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n) AS BIGINT) AS sum_tokens
+           FROM b GROUP BY bucket),
+         c AS (
+           SELECT bucket, n_docs, sum_tokens,
+                  CAST(CASE WHEN bucket > 0 THEN bucket * n_docs
+                            ELSE sum_tokens END AS BIGINT) AS capacity
+           FROM g)
+         SELECT bucket, n_docs, sum_tokens, capacity,
+                round(1.0 - sum_tokens * 1.0 / greatest(capacity, 1), 4) AS padding_frac
+         FROM c"""
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
     // q_ann_ivf_pq / q_mixture_cluster: hash/quantizer/k-means
     // approximations not expressible in DuckDB — rows-only + recall

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Curate, Pack, Snapshot}
+
+/** Snapshot diffing, URL canonicalization / blocklisting, and
+  * length-bucket padding stats — hand-computed expectations. */
+class CurationSpec extends SparkSpec {
+
+  test("snapshot diff classifies added / removed / changed and drops unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")
+    val got = Snapshot.diff(old, cur, "doc_id", "text")
+      .select("id", "status").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshot diff carries the old hash for removed rows, the new hash otherwise") {
+    import spark.implicits._
+    val old = Seq((1L, "gone")).toDF("doc_id", "text")
+    val cur = Seq((2L, "here")).toDF("doc_id", "text")
+    val hashes = Snapshot.diff(old, cur, "doc_id", "text")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hashes == Map("removed" -> md5("gone"), "added" -> md5("here")))
+  }
+
+  test("churnStats: counts plus the unchanged carry-over fraction of the NEW snapshot") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "cX"), (4L, "d")).toDF("doc_id", "text")
+    val r = Snapshot.churnStats(old, cur, "doc_id", "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)))
+    assert(r.getDouble(3) == 0.3333) // 1 of 3 new rows carried over
+  }
+
+  test("churnStats of identical snapshots: zero churn, full carry-over") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val r = Snapshot.churnStats(a, a, "doc_id", "text").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) == ((0L, 0L, 0L, 1.0)))
+  }
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(TF.canonicalUrl(col("u"))).collect().head.getString(0)
+  }
+
+  test("canonicalUrl: case, default port, fragment, tracking params, param order, trailing slash") {
+    assert(canon("HTTPS://Ex.COM:443/A/b/?utm_source=1&b=2&a=1&fbclid=x#f")
+      == "https://ex.com/A/b?a=1&b=2")
+    assert(canon("http://ex.com:80/") == "http://ex.com/")
+    assert(canon("https://ex.com") == "https://ex.com/")
+    assert(canon("http://ex.com:8080/p/?") == "http://ex.com:8080/p")
+    // the point of the exercise: same page, different crawl artifacts
+    assert(canon("https://ex.com/a?b=2&a=1") == canon("HTTPS://EX.com:443/a/?a=1&b=2#x"))
+    // non-default port and path/query case survive
+    assert(canon("https://ex.com:8443/Q?X=1") == "https://ex.com:8443/Q?X=1")
+  }
+
+  test("canonicalUrl is null-safe and host helpers strip ports") {
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("u")
+      .select(TF.canonicalUrl(col("u"))).collect().head
+    assert(r.isNullAt(0))
+    val h = Seq("https://A.B.Ex.COM:8443/p").toDF("u")
+      .select(TF.urlHost(col("u")), TF.registeredDomain(col("u"))).collect().head
+    assert(h.getString(0) == "a.b.ex.com" && h.getString(1) == "ex.com")
+  }
+
+  test("blocklistFilter: domain entries block every subdomain, host entries block exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.bad.com/x"),    // blocked: registered domain bad.com
+      (2L, "https://bad.com/x"),      // blocked: registered domain bad.com
+      (3L, "https://ads.ok.com/x"),   // blocked: exact host entry
+      (4L, "https://www.ok.com/x"),   // kept: ok.com not listed, host not listed
+      (5L, "https://fine.org/x")      // kept
+    ).toDF("doc_id", "url")
+    val bl = Seq("bad.com", "ads.ok.com").toDF("domain")
+    val kept = Curate.blocklistFilter(docs, "url", bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 5L))
+  }
+
+  test("paddingStats: per-bucket capacity and padding fraction, overflow isolated") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 20L), (3L, 40L), (4L, 100L)).toDF("id", "n_tok")
+    val got = Pack.paddingStats(docs, "n_tok", Seq(16, 32, 64))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(16L) == ((1L, 5L, 16L, 0.6875)))
+    assert(got(32L) == ((1L, 20L, 32L, 0.375)))
+    assert(got(64L) == ((1L, 40L, 64L, 0.375)))
+    assert(got(-1L) == ((1L, 100L, 100L, 0.0))) // overflow: needs chunking, zero padding
+  }
+
+  test("paddingStats rejects unsorted or empty boundary lists") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L)).toDF("id", "n_tok")
+    intercept[IllegalArgumentException](Pack.paddingStats(docs, "n_tok", Seq(32, 16)))
+    intercept[IllegalArgumentException](Pack.paddingStats(docs, "n_tok", Seq.empty))
+  }
+}
