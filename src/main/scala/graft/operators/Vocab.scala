@@ -425,4 +425,72 @@ object Vocab {
         round(col("top_c").cast("double") / col("n_words").cast("double"), 4)
           .as("top_frac"))
   }
+
+  /** The joined (token, c_old, c_new) count table of two corpora plus
+    * the broadcast 1-row totals (__v = union vocab size, __no/__nn =
+    * old/new token totals) — shared spine of [[tokenDrift]] and
+    * [[driftSummary]]. Counts are vocab-sized (≪ corpus), the join is
+    * token-keyed on the counts' own grouping exchanges (reused, not
+    * rebuilt), and the totals ride the q_value_props broadcast idiom —
+    * no eager driver job anywhere. */
+  private def driftCounts(
+      old: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
+    def counts(docs: DataFrame, as: String) = docs
+      .select(explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val j = counts(old, "c_old").join(counts(cur, "c_new"), Seq("token"), "full")
+      .select(col("token"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val tot = j.agg(
+      count(lit(1)).as("__v"),
+      sum(col("c_old")).as("__no"),
+      sum(col("c_new")).as("__nn"))
+    j.crossJoin(broadcast(tot))
+  }
+
+  private def pCol(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c + lit(1.0)) / (n + v) // Laplace: every union token has finite mass
+
+  /** Per-token distribution drift between two corpora — the ingest
+    * monitor that says WHAT changed when a recrawl or a new source
+    * shifts the token distribution: each union-vocabulary token's
+    * contribution p_new·ln(p_new/p_old) to KL(new ‖ old), with
+    * Laplace-smoothed probabilities so tokens present in only one
+    * corpus contribute finite mass instead of ±∞. Positive terms are
+    * tokens the new corpus over-represents; the magnitude ranks the
+    * drivers of the drift. Rounded at 8 decimals — term magnitudes
+    * are O(1/vocab), so this keeps 4-5 significant digits while
+    * absorbing engine ulp differences in ln (the [[lmScore]]
+    * convention scaled to the term size).
+    *
+    * Scale shape: one partial-agg'd token shuffle per corpus, a
+    * token-keyed full join that REUSES those grouping exchanges, and
+    * totals folded in as a broadcast 1-row aggregate. Nothing is
+    * per-occurrence past the first groupBy; nothing touches the
+    * driver. */
+  def tokenDrift(old: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
+    val j = driftCounts(old, cur, textCol)
+    val pNew = pCol(col("c_new"), col("__nn"), col("__v"))
+    val pOld = pCol(col("c_old"), col("__no"), col("__v"))
+    j.select(col("token"), col("c_old"), col("c_new"),
+      round(pNew * log(pNew / pOld), 8).as("kl_term"))
+  }
+
+  /** One-row drift dashboard: both KL directions plus the bounded,
+    * symmetric Jensen–Shannon divergence (nats) over the same smoothed
+    * distributions — the alert threshold number, where [[tokenDrift]]
+    * is the drill-down. Same plan spine; the three sums fold in ONE
+    * aggregate pass over the vocab-sized count table. */
+  def driftSummary(old: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
+    val j = driftCounts(old, cur, textCol)
+    val pNew = pCol(col("c_new"), col("__nn"), col("__v"))
+    val pOld = pCol(col("c_old"), col("__no"), col("__v"))
+    val m = (pNew + pOld) / 2
+    j.agg(
+      round(sum(pNew * log(pNew / pOld)), 6).as("kl_new_vs_old"),
+      round(sum(pOld * log(pOld / pNew)), 6).as("kl_old_vs_new"),
+      round(sum(pNew * log(pNew / m) / 2 + pOld * log(pOld / m) / 2), 6).as("jsd"))
+  }
 }

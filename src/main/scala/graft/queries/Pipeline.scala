@@ -778,7 +778,26 @@ object Pipeline {
       graft.operators.Pack.paddingStats(
         t(s, dir, "documents").select(
           col("doc_id"), TF.tokenCount(col("text")).as("n_tok")),
-        "n_tok", Seq(16, 32, 64))) // max count ~100 ⇒ overflow bucket exercised
+        "n_tok", Seq(16, 32, 64))), // max count ~100 ⇒ overflow bucket exercised
+
+    // token-distribution drift: the ingest monitor for "did the new
+    // snapshot's language change" — here old = whole corpus, new = its
+    // English slice, so the drift drivers are exactly the non-English
+    // stopwords falling out. Top-50 cut ranks the ROUNDED term
+    // (engine-independent), ties by token; TakeOrdered, no global sort
+    "q_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Vocab.tokenDrift(docs, docs.filter(col("lang") === "en"), "text")
+        .orderBy(col("kl_term").desc, col("token"))
+        .limit(50)
+    }),
+
+    // one-row drift dashboard: both KL directions + bounded symmetric
+    // JSD in nats — the alert number, q_token_drift is the drill-down
+    "q_drift_summary" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Vocab.driftSummary(docs, docs.filter(col("lang") === "en"), "text")
+    })
   )
 
   // shared with Relational's list-namespace oracle
@@ -1766,7 +1785,52 @@ object Pipeline {
            FROM g)
          SELECT bucket, n_docs, sum_tokens, capacity,
                 round(1.0 - sum_tokens * 1.0 / greatest(capacity, 1), 4) AS padding_frac
-         FROM c"""
+         FROM c""",
+    // Laplace-smoothed KL terms over the union vocabulary — identical
+    // per-row arithmetic to the Spark expression (integer-derived
+    // doubles, one ln); the top-50 cut ranks the ROUNDED term
+    "q_token_drift" ->
+      s"""WITH ot AS (SELECT unnest($TokSql) AS token FROM documents),
+         nt AS (SELECT unnest($TokSql) AS token FROM documents WHERE lang = 'en'),
+         oc AS (SELECT token, count(*) AS c_old FROM ot GROUP BY token),
+         ncc AS (SELECT token, count(*) AS c_new FROM nt GROUP BY token),
+         j AS (
+           SELECT coalesce(oc.token, ncc.token) AS token,
+                  CAST(coalesce(c_old, 0) AS BIGINT) AS c_old,
+                  CAST(coalesce(c_new, 0) AS BIGINT) AS c_new
+           FROM oc FULL JOIN ncc ON oc.token = ncc.token),
+         tot AS (SELECT count(*) AS v, CAST(sum(c_old) AS BIGINT) AS no,
+                        CAST(sum(c_new) AS BIGINT) AS nn FROM j),
+         terms AS (
+           SELECT token, c_old, c_new,
+             round(((c_new + 1.0) / (nn + v))
+               * ln(((c_new + 1.0) / (nn + v)) / ((c_old + 1.0) / (no + v))), 8)
+               AS kl_term
+           FROM j, tot)
+         SELECT token, c_old, c_new, kl_term FROM (
+           SELECT *, row_number() OVER (ORDER BY kl_term DESC, token) AS rn
+           FROM terms)
+         WHERE rn <= 50""",
+    "q_drift_summary" ->
+      s"""WITH ot AS (SELECT unnest($TokSql) AS token FROM documents),
+         nt AS (SELECT unnest($TokSql) AS token FROM documents WHERE lang = 'en'),
+         oc AS (SELECT token, count(*) AS c_old FROM ot GROUP BY token),
+         ncc AS (SELECT token, count(*) AS c_new FROM nt GROUP BY token),
+         j AS (
+           SELECT coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+           FROM oc FULL JOIN ncc ON oc.token = ncc.token),
+         tot AS (SELECT count(*) AS v, CAST(sum(c_old) AS BIGINT) AS no,
+                        CAST(sum(c_new) AS BIGINT) AS nn FROM j),
+         p AS (
+           SELECT ((c_new + 1.0) / (nn + v)) AS pn,
+                  ((c_old + 1.0) / (no + v)) AS po
+           FROM j, tot)
+         SELECT
+           round(sum(pn * ln(pn / po)), 6) AS kl_new_vs_old,
+           round(sum(po * ln(po / pn)), 6) AS kl_old_vs_new,
+           round(sum(pn * ln(pn / ((pn + po) / 2)) / 2
+                   + po * ln(po / ((pn + po) / 2)) / 2), 6) AS jsd
+         FROM p"""
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
     // q_ann_ivf_pq / q_mixture_cluster: hash/quantizer/k-means
     // approximations not expressible in DuckDB — rows-only + recall

@@ -98,6 +98,40 @@ class CurationSpec extends SparkSpec {
     assert(got(-1L) == ((1L, 100L, 100L, 0.0))) // overflow: needs chunking, zero padding
   }
 
+  test("tokenDrift: hand-computed Laplace-smoothed KL terms") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val old = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val cur = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val got = Vocab.tokenDrift(old, cur, "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // V=2, N_old=N_new=3: p(a): old 3/5, new 2/5; p(b): old 2/5, new 3/5
+    def t8(pn: Double, po: Double) =
+      BigDecimal(pn * math.log(pn / po)).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((2L, 1L, t8(0.4, 0.6))))
+    assert(got("b") == ((1L, 2L, t8(0.6, 0.4))))
+  }
+
+  test("driftSummary: zero on identical corpora, symmetric JSD on the hand case") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val a = Seq((1L, "x y z x")).toDF("doc_id", "text")
+    val same = Vocab.driftSummary(a, a, "text").collect().head
+    assert((same.getDouble(0), same.getDouble(1), same.getDouble(2)) == ((0.0, 0.0, 0.0)))
+
+    val old = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val cur = Seq((1L, "a b b")).toDF("doc_id", "text")
+    val r = Vocab.driftSummary(old, cur, "text").collect().head
+    def term(pn: Double, po: Double) = pn * math.log(pn / po)
+    val kl = term(0.4, 0.6) + term(0.6, 0.4)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(0) == r6(kl))
+    assert(r.getDouble(1) == r6(kl)) // the mirrored distributions make KL symmetric here
+    val jsd = (term(0.4, 0.5) / 2 + term(0.6, 0.5) / 2) * 2
+    assert(r.getDouble(2) == r6(jsd))
+    assert(r.getDouble(2) < r.getDouble(0)) // JSD is the bounded one
+  }
+
   test("paddingStats rejects unsorted or empty boundary lists") {
     import spark.implicits._
     val docs = Seq((1L, 5L)).toDF("id", "n_tok")

@@ -612,4 +612,38 @@ class PlanAuditSpec extends SparkSpec {
         s"$q model branch rebuilt instead of reused:\n$fin")
     }
   }
+
+  test("q_url_blocklist: both anti-joins broadcast the blocklist, corpus never shuffles") {
+    val fin = finalPlanOf(SparkEntry.queries("q_url_blocklist")(spark, Sf))
+    val anti = fin.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(anti == 2, s"expected 2 broadcast anti-joins, plan:\n$fin")
+    // the only admissible shuffle is the blocklist's own distinct()
+    // (config-sized, keyed on domain) — any exchange touching the
+    // corpus side (url/doc_id) is the scale regression this pins
+    val badEx = fin.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("url#") || l.contains("doc_id#"))).mkString
+    assert(!fin.contains("SortMergeJoin") && badEx.isEmpty,
+      s"blocklist filter shuffled the corpus: $badEx\n$fin")
+  }
+
+  test("q_snapshot_diff: the full-outer join's exchanges carry (id, hash), never text") {
+    val p = planOf("q_snapshot_diff")
+    val exLines = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(exLines.contains("id#"), s"snapshot join not keyed on id: $exLines")
+    assert(!exLines.contains("text#"), s"snapshot diff shuffles document text: $exLines")
+    // hashes are projected scan-side: the join input columns are the
+    // hash aliases, so text must not survive past the scan nodes
+    val joinLines = p.linesIterator.filter(_.contains("SortMergeJoin")).mkString
+    assert(!joinLines.contains("text#"), s"join carries raw text: $joinLines")
+  }
+
+  test("q_padding_stats: scan-local bucket assignment, one partial-agg'd exchange") {
+    val p = planOf("q_padding_stats")
+    val exchanges = p.linesIterator.count(_.contains("hashpartitioning("))
+    assert(exchanges == 1, s"padding stats should shuffle once (got $exchanges):\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"bucket counts not partially aggregated map-side:\n$p")
+  }
 }
