@@ -758,6 +758,25 @@ object Pipeline {
         TF.registeredDomain(url).as("registered_domain"))
     }),
 
+    // URL-keyed exact dedup THROUGH canonicalization: four crawl
+    // variants of the same page (tracking params, case, trailing
+    // slash, fragment) collapse to one canonical URL, then the
+    // standard keep-min-id dedup groups on it — the constant-width
+    // canonical string is the only thing that shuffles
+    "q_dedup_url" -> ((s, dir) => {
+      val id = col("doc_id")
+      val page = pmod(id, lit(100)).cast("string")
+      val url = when(pmod(id, lit(4)) === 0,
+        concat(lit("HTTPS://Site.COM:443/p/"), page, lit("/?utm_source=x")))
+        .when(pmod(id, lit(4)) === 1, concat(lit("https://site.com/p/"), page, lit("?")))
+        .when(pmod(id, lit(4)) === 2, concat(lit("https://SITE.com/p/"), page))
+        .otherwise(concat(lit("https://site.com/p/"), page, lit("/#frag")))
+      t(s, dir, "documents")
+        .select(id, TF.canonicalUrl(url).as("curl"))
+        .groupBy(col("curl"))
+        .agg(min(id).as("doc_id"), count(lit(1)).as("n_copies"))
+    }),
+
     // domain-blocklist curation: drop docs whose registrable domain (or
     // exact host, for subdomain entries) is block-listed — broadcast
     // anti-joins on scan-side keys, the corpus never shuffles
@@ -799,6 +818,37 @@ object Pipeline {
       Vocab.driftSummary(docs, docs.filter(col("lang") === "en"), "text")
     })
   )
+
+  // TextFunctions.canonicalUrl replica as appendable CTEs: expects a
+  // prior CTE `u(doc_id, url)`, exposes `canon(doc_id, url, host,
+  // registered_domain, canonical)`. Plain (non-interpolated) string so
+  // the regex backslashes survive; callers splice it with `s"..."`.
+  private val UrlCanonCtes =
+    """parts AS (
+           SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)),
+                 '^(http://[^/?#:]+):80$', '\1'),
+               '^(https://[^/?#:]+):443$', '\1') AS origin,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\?([^#]*)', 1) AS q,
+             lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
+           FROM u),
+         canon0 AS (
+           SELECT doc_id, url, origin, host,
+             CASE WHEN path0 = '' THEN '/'
+                  ELSE regexp_replace(path0, '^(/.*[^/])/$', '\1') END AS path,
+             list_sort(list_filter(string_split(q, '&'),
+               p -> NOT (p = '' OR regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')))) AS kept
+           FROM parts),
+         canon AS (
+           SELECT doc_id, url, host,
+             regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain,
+             origin || path ||
+               CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+               AS canonical
+           FROM canon0)"""
 
   // shared with Relational's list-namespace oracle
   private[queries] val TokSql =
@@ -1717,9 +1767,10 @@ object Pipeline {
     // the same canonicalization rules, RE2 + list-HOF arithmetic:
     // lowercased origin, default port stripped, fragment dropped,
     // empty path -> '/', deeper trailing slash cut, tracking/empty
-    // params dropped, survivors sorted
+    // params dropped, survivors sorted (UrlCanonCtes, shared with
+    // q_dedup_url)
     "q_url_canonical" ->
-      """WITH u AS (
+      s"""WITH u AS (
            SELECT doc_id,
              CASE doc_id % 4
                WHEN 0 THEN 'HTTPS://' || source || '.Example.COM:443/Docs/'
@@ -1728,31 +1779,20 @@ object Pipeline {
                WHEN 2 THEN 'https://' || source || '.EXAMPLE.com'
                ELSE 'http://' || source || '.example.com:8080/path/?'
              END AS url FROM documents),
-         parts AS (
-           SELECT doc_id, url,
-             regexp_replace(
-               regexp_replace(
-                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1)),
-                 '^(http://[^/?#:]+):80$', '\1'),
-               '^(https://[^/?#:]+):443$', '\1') AS origin,
-             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
-             regexp_extract(url, '\?([^#]*)', 1) AS q,
-             lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
-           FROM u),
-         canon AS (
-           SELECT doc_id, origin, host,
-             CASE WHEN path0 = '' THEN '/'
-                  ELSE regexp_replace(path0, '^(/.*[^/])/$', '\1') END AS path,
-             list_sort(list_filter(string_split(q, '&'),
-               p -> NOT (p = '' OR regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')))) AS kept
-           FROM parts)
-         SELECT doc_id,
-           origin || path ||
-             CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
-             AS canonical,
-           host,
-           regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS registered_domain
-         FROM canon""",
+         $UrlCanonCtes
+         SELECT doc_id, canonical, host, registered_domain FROM canon""",
+    "q_dedup_url" ->
+      s"""WITH u AS (
+           SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'HTTPS://Site.COM:443/p/' || (doc_id % 100) || '/?utm_source=x'
+               WHEN 1 THEN 'https://site.com/p/' || (doc_id % 100) || '?'
+               WHEN 2 THEN 'https://SITE.com/p/' || (doc_id % 100)
+               ELSE 'https://site.com/p/' || (doc_id % 100) || '/#frag'
+             END AS url FROM documents),
+         $UrlCanonCtes
+         SELECT canonical AS curl, min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM canon GROUP BY canonical""",
     "q_url_blocklist" ->
       """WITH u AS (
            SELECT doc_id,

@@ -521,4 +521,30 @@ class StreamingSpec extends SparkSpec {
       assert(sc == batchCodes, "streamed PQ codes == batch encode")
     } finally { assignQ.stop(); encodeQ.stop() }
   }
+
+  test("URL canonicalization and the domain blocklist filter run unchanged on a stream") {
+    // canonicalUrl is a stateless Column kernel; blocklistFilter is a
+    // stream-static broadcast ANTI-join — both legal in streaming, so
+    // the URL curation stage needs no batch/stream fork
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    docs.addData(
+      (1L, "HTTPS://Ads.Tracker.COM:443/x/?utm_source=a&q=1"),
+      (2L, "https://good.org/page/"),
+      (3L, "http://sub.tracker.com:80/y"))
+    val blocklist = Seq("tracker.com").toDF("domain")
+    val q = graft.operators.Curate.blocklistFilter(
+        docs.toDF().toDF("doc_id", "url")
+          .withColumn("curl", TF.canonicalUrl(col("url"))),
+        "url", blocklist)
+      .writeStream.outputMode("append").format("memory").queryName("urlcur").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("urlcur").select("doc_id", "curl")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kept == Map(2L -> "https://good.org/page"),
+        s"stream blocklist must keep exactly the batch-kept docs: $kept")
+    } finally q.stop()
+  }
 }
