@@ -426,19 +426,37 @@ object Vocab {
           .as("top_frac"))
   }
 
+  /** Raw corpus token counts (token, c) — the persistable input to the
+    * drift family: freeze a reference snapshot's counts to parquet
+    * ONCE, then monitor every later snapshot or micro-batch against
+    * them without rescanning the reference corpus (the
+    * [[trigramModel]] freeze pattern at unigram granularity). One
+    * partial-agg'd token shuffle; never per-occurrence past it. */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+
+  /** Fold two (token, c) count tables into one — the incremental-update
+    * step of a maintained running count (full join + summed overlap). */
+  def mergeTokenCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("token"), col("c").as("__ca"))
+      .join(b.select(col("token"), col("c").as("__cb")), Seq("token"), "full")
+      .select(col("token"),
+        (coalesce(col("__ca"), lit(0L)) + coalesce(col("__cb"), lit(0L))).as("c"))
+
   /** The joined (token, c_old, c_new) count table of two corpora plus
     * the broadcast 1-row totals (__v = union vocab size, __no/__nn =
-    * old/new token totals) — shared spine of [[tokenDrift]] and
-    * [[driftSummary]]. Counts are vocab-sized (≪ corpus), the join is
-    * token-keyed on the counts' own grouping exchanges (reused, not
-    * rebuilt), and the totals ride the q_value_props broadcast idiom —
-    * no eager driver job anywhere. */
-  private def driftCounts(
-      old: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
-    def counts(docs: DataFrame, as: String) = docs
-      .select(explode(TF.tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as(as))
-    val j = counts(old, "c_old").join(counts(cur, "c_new"), Seq("token"), "full")
+    * old/new token totals) — shared spine of the drift family. Counts
+    * are vocab-sized (≪ corpus), the join is token-keyed on the
+    * counts' own grouping exchanges (reused, not rebuilt), and the
+    * totals ride the q_value_props broadcast idiom — no eager driver
+    * job anywhere. Supplied count tables with duplicate token rows
+    * (e.g. a union of shards) merge by summing, so they cannot skew
+    * the probabilities. */
+  private def driftSpine(oldCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    def merged(counts: DataFrame, as: String) = counts
+      .groupBy(col("token")).agg(sum(col("c")).as(as))
+    val j = merged(oldCounts, "c_old").join(merged(curCounts, "c_new"), Seq("token"), "full")
       .select(col("token"),
         coalesce(col("c_old"), lit(0L)).as("c_old"),
         coalesce(col("c_new"), lit(0L)).as("c_new"))
@@ -470,8 +488,14 @@ object Vocab {
     * totals folded in as a broadcast 1-row aggregate. Nothing is
     * per-occurrence past the first groupBy; nothing touches the
     * driver. */
-  def tokenDrift(old: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
-    val j = driftCounts(old, cur, textCol)
+  def tokenDrift(old: DataFrame, cur: DataFrame, textCol: String): DataFrame =
+    tokenDriftCounts(tokenCounts(old, textCol), tokenCounts(cur, textCol))
+
+  /** [[tokenDrift]] from pre-built (token, c) count tables — the form
+    * a standing monitor uses against a FROZEN reference snapshot's
+    * persisted counts. */
+  def tokenDriftCounts(oldCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val j = driftSpine(oldCounts, curCounts)
     val pNew = pCol(col("c_new"), col("__nn"), col("__v"))
     val pOld = pCol(col("c_old"), col("__no"), col("__v"))
     j.select(col("token"), col("c_old"), col("c_new"),
@@ -483,8 +507,12 @@ object Vocab {
     * distributions — the alert threshold number, where [[tokenDrift]]
     * is the drill-down. Same plan spine; the three sums fold in ONE
     * aggregate pass over the vocab-sized count table. */
-  def driftSummary(old: DataFrame, cur: DataFrame, textCol: String): DataFrame = {
-    val j = driftCounts(old, cur, textCol)
+  def driftSummary(old: DataFrame, cur: DataFrame, textCol: String): DataFrame =
+    driftSummaryCounts(tokenCounts(old, textCol), tokenCounts(cur, textCol))
+
+  /** [[driftSummary]] from pre-built (token, c) count tables. */
+  def driftSummaryCounts(oldCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    val j = driftSpine(oldCounts, curCounts)
     val pNew = pCol(col("c_new"), col("__nn"), col("__v"))
     val pOld = pCol(col("c_old"), col("__no"), col("__v"))
     val m = (pNew + pOld) / 2

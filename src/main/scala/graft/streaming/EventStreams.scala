@@ -201,6 +201,35 @@ object EventStreams {
     }.start()
   }
 
+  /** Streaming distribution-drift monitor vs a FROZEN reference: each
+    * micro-batch's token counts ([[graft.operators.Vocab.tokenCounts]],
+    * scan-side) fold into the maintained running counts (one
+    * vocab-sized merge join — [[graft.operators.Vocab.mergeTokenCounts]]),
+    * and the CUMULATIVE drift summary vs `refCounts` emits per batch —
+    * the ingest alarm that fires while a bad source is still arriving,
+    * not after the snapshot closes. State lives wherever `loadCounts`/
+    * `saveCounts` put it (a parquet table in production; checkpointed
+    * foreachBatch gives effectively-once folds). The emitted summary
+    * after any prefix of the stream equals the batch
+    * [[graft.operators.Vocab.driftSummaryCounts]] over exactly the
+    * rows seen so far, under any batching — counts are associative,
+    * spec-pinned. Reference corpus is never rescanned: its counts
+    * froze once. */
+  def driftMonitoringSink(
+      docs: DataFrame,
+      textCol: String,
+      refCounts: DataFrame,
+      loadCounts: () => DataFrame,
+      saveCounts: DataFrame => Unit,
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Vocab
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val merged = Vocab.mergeTokenCounts(loadCounts(), Vocab.tokenCounts(batch, textCol))
+      saveCounts(merged)
+      emit(Vocab.driftSummaryCounts(refCounts, merged))
+    }.start()
+  }
+
   /** Stream-static enrichment: a broadcast left join against a batch
     * dimension table — stateless (no watermark needed), the dimension
     * ships to every task and each micro-batch joins map-side. The

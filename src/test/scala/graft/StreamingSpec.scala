@@ -522,6 +522,42 @@ class StreamingSpec extends SparkSpec {
     } finally { assignQ.stop(); encodeQ.stop() }
   }
 
+  test("streaming drift monitor: cumulative summary equals the batch drift at every prefix") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val docs = Tables.t(spark, Sf, "documents")
+    val ref = Vocab.tokenCounts(docs.filter(col("lang") === "en"), "text").localCheckpoint()
+    var counts = Vocab.tokenCounts(docs.limit(0), "text").localCheckpoint()
+    var emitted = Seq.empty[(Double, Double, Double)]
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = EventStreams.driftMonitoringSink(
+      stream.toDS().toDF("doc_id", "text"), "text", ref,
+      loadCounts = () => counts,
+      saveCounts = c => counts = c.localCheckpoint(),
+      emit = d => emitted = emitted :+ {
+        val r = d.collect().head
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      })
+    try {
+      def feed(part: org.apache.spark.sql.DataFrame): Unit = {
+        stream.addData(part.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(docs.filter(col("doc_id") < 100))
+      feed(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+      def batchAt(pred: org.apache.spark.sql.Column) = {
+        val r = Vocab.driftSummaryCounts(ref,
+          Vocab.tokenCounts(docs.filter(pred), "text")).collect().head
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      }
+      assert(emitted == Seq(
+        batchAt(col("doc_id") < 100),
+        batchAt(col("doc_id") < 200)),
+        "every prefix's streamed summary must equal the batch computation")
+    } finally q.stop()
+  }
+
   test("URL canonicalization and the domain blocklist filter run unchanged on a stream") {
     // canonicalUrl is a stateless Column kernel; blocklistFilter is a
     // stream-static broadcast ANTI-join — both legal in streaming, so
