@@ -268,6 +268,54 @@ object Sampling {
     tokenMixture(df, domain.cast("string"), order, tokenCol, weights, totalTokens)
   }
 
+  /** Mixture EPOCH planner — the table a training run is scheduled
+    * from: per domain, how many tokens exist, how many the target
+    * mixture wants (floor(share × total), the [[tokenMixture]]
+    * budget), and the implied epoch count target/available — the
+    * "how many times do we repeat Wikipedia" number. Domains whose
+    * target exceeds `maxEpochs` passes get a capped budget
+    * (`capped_tokens`, flagged) — repeating a small domain ad
+    * infinitum degrades models, so the planner surfaces the conflict
+    * instead of silently honoring the share. Unlisted domains drop
+    * (the [[tokenMixture]] convention).
+    *
+    * Scale shape: ONE partial-agg'd domain aggregation; targets are a
+    * broadcast when-chain literal; everything else is per-row
+    * arithmetic on the domain-count table (config-sized). Nothing
+    * driver-side, fully oracle-checkable (integer floors, exact
+    * double ratios rounded). */
+  def mixturePlan(
+      df: DataFrame,
+      domain: Column,
+      tokenCol: String,
+      weights: Map[String, Double],
+      totalTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(weights.nonEmpty, "weights must name at least one domain")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative and not all zero")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val norm = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val target = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L): Column) { case (acc, (d, wt)) =>
+        when(col("domain") === d,
+          lit(math.floor(wt / norm * totalTokens).toLong)).otherwise(acc)
+      }
+    df.filter(domain.isNotNull)
+      .groupBy(domain.cast("string").as("domain"))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("available_tokens"))
+      .withColumn("target_tokens", target)
+      .filter(col("target_tokens") > 0)
+      .withColumn("epochs",
+        round(col("target_tokens").cast("double") /
+          greatest(col("available_tokens"), lit(1L)), 4))
+      .withColumn("capped_tokens",
+        least(col("target_tokens"),
+          floor(col("available_tokens") * lit(maxEpochs)).cast("long")))
+      .withColumn("capped", col("target_tokens") > col("capped_tokens"))
+  }
+
   def tokenMixture(
       df: DataFrame,
       domain: Column,

@@ -646,6 +646,18 @@ object Pipeline {
         weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         totalTokens = 2000)),
 
+    // mixture EPOCH planner: per language, available vs target tokens
+    // and the implied repeat count, capped at 2 passes (the "how many
+    // times do we repeat Wikipedia" planning table; at small sf the
+    // 50k-token targets exceed the cap and the flag fires)
+    "q_mixture_epochs" -> ((s, dir) =>
+      graft.operators.Sampling.mixturePlan(
+        t(s, dir, "documents")
+          .select(col("lang"), TF.tokenCount(col("text")).as("n_tok")),
+        col("lang"), "n_tok",
+        weights = Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2),
+        totalTokens = 50000, maxEpochs = 2.0)),
+
     // temperature-scaled mixture (XLM-R α-sampling): per-domain budgets
     // ∝ sqrt(observed tokens) — α=0.5 flattens toward uniform and keeps
     // the weights IEEE-exact sqrt on both engines
@@ -1641,6 +1653,27 @@ object Pipeline {
                                         WHEN 'src1' THEN 600
                                         WHEN 'src2' THEN 400
                                         ELSE 0 END""",
+    // epoch-planner replica: targets are the same floor(share × 50000)
+    // literals the when-chain bakes in; epochs/caps are exact integer
+    // ratios and floors
+    "q_mixture_epochs" ->
+      s"""WITH c AS (
+           SELECT lang AS domain, CAST(sum(len($TokSql)) AS BIGINT) AS available_tokens
+           FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+         t AS (
+           SELECT domain, available_tokens,
+             CASE domain WHEN 'en' THEN 25000
+                         WHEN 'zh' THEN 15000
+                         WHEN 'de' THEN 10000
+                         ELSE 0 END AS target_tokens
+           FROM c)
+         SELECT domain, available_tokens, target_tokens,
+           round(target_tokens * 1.0 / greatest(available_tokens, 1), 4) AS epochs,
+           least(target_tokens,
+                 CAST(floor(available_tokens * 2.0) AS BIGINT)) AS capped_tokens,
+           target_tokens > least(target_tokens,
+                 CAST(floor(available_tokens * 2.0) AS BIGINT)) AS capped
+         FROM t WHERE target_tokens > 0""",
     // temperature-mixture replica: sqrt-of-counts weights normalized in
     // SQL, floor budgets, same per-domain cumulative cut
     "q_mixture_temp" ->

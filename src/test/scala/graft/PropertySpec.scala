@@ -197,4 +197,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("canonicalUrl on random URLs: idempotent, and crawl artifacts never split a page") {
+    import spark.implicits._
+    // URLs assembled from independently drawn artifact dimensions; the
+    // SAME logical page renders under every artifact combination
+    val genScheme = Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    val genHost = Gen.oneOf("ex.com", "Ex.COM", "a.Ex.com", "WWW.ex.com")
+    val genSegs = Gen.listOfN(2, Gen.oneOf("a", "B", "p9", "x-y")).map(_.mkString("/"))
+    val genTrail = Gen.oneOf("", "/")
+    val genParams = Gen.someOf("b=2", "a=1", "utm_source=x", "fbclid=z", "ref=r", "")
+      .map(_.toList)
+    val genFrag = Gen.oneOf("", "#f", "#sec2")
+    val gen = for {
+      s <- genScheme; h <- genHost; p <- genSegs
+      t <- genTrail; q <- genParams; f <- genFrag
+    } yield s"$s://$h/$p$t" +
+      (if (q.nonEmpty) "?" + q.mkString("&") else "") + f
+    val urls = draw(Gen.listOfN(300, gen), 17L).zipWithIndex.map(_.swap)
+    val df = urls.toDF("i", "url")
+    val once = df.select(col("i"), TF.canonicalUrl(col("url")).as("c"))
+    val rows = once.withColumn("c2", TF.canonicalUrl(col("c")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    rows.foreach { case (i, c, c2) =>
+      assert(c == c2, s"not idempotent on ${urls(i)._2}: $c -> $c2") }
+    // pages that differ only in artifacts (scheme/host case, tracking
+    // params, param order, trailing slash, fragment) must collide: the
+    // canonical form is a function of (lower host, path, kept params)
+    val byKey = rows.groupBy { case (i, _, _) =>
+      val u = urls(i)._2
+      val scheme = u.split("://")(0).toLowerCase
+      val host = scheme + "|" + u.split("://")(1).split("[/?#]")(0).toLowerCase
+      val path = ("/" + u.split("://")(1).split("[?#]")(0).split("/", 2)
+        .lift(1).getOrElse("")).stripSuffix("/")
+      val kept = u.split("[?]", 2).lift(1).getOrElse("").split("#", 2)(0)
+        .split("&").filter(p => p.nonEmpty &&
+          !p.matches("^(utm_[^=]*|fbclid|gclid|ref)=.*")).sorted.toList
+      (host, path, kept)
+    }
+    byKey.foreach { case (k, grp) =>
+      assert(grp.map(_._2).distinct.size == 1,
+        s"artifact variants split page $k: ${grp.map(g => urls(g._1)._2 -> g._2).take(4)}")
+    }
+  }
 }

@@ -442,4 +442,22 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       s2.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("mixturePlan: targets, epochs and the repeat cap, hand-computed") {
+    import spark.implicits._
+    // wiki has 1000 tokens, web 100000; a 50/50 split of 20000 wants
+    // 10 epochs of wiki (over the 4.0 cap → capped at 4000) and a
+    // 0.1-epoch skim of web; 'junk' is unlisted and must drop
+    val df = Seq(
+      ("wiki", 600L), ("wiki", 400L),
+      ("web", 100000L), ("junk", 5L)
+    ).toDF("domain", "n_tok")
+    val got = Sampling.mixturePlan(df, col("domain"), "n_tok",
+        weights = Map("wiki" -> 0.5, "web" -> 0.5), totalTokens = 20000)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == Set("wiki", "web"))
+    assert(got("wiki") == ((1000L, 10000L, 10.0, 4000L, true)))
+    assert(got("web") == ((100000L, 10000L, 0.1, 10000L, false)))
+  }
 }
