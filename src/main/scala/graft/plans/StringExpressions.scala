@@ -121,6 +121,34 @@ final class TrieReplacer(patterns: Array[String], replacements: Array[String])
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[AnyRef](out.size())))
   }
+
+  /** Boolean membership probe under the same automaton: does ANY
+    * pattern occur? EARLY-EXITS on the first hit — a blocklist scan
+    * over clean documents walks the whole text, but a hit near the
+    * head costs only the prefix, unlike counting every match. A
+    * "first match at position i" here is exactly "extractAll
+    * non-empty" (any match implies a first one), so the two kernels
+    * cannot disagree. */
+  def containsAny(input: UTF8String): Boolean = {
+    val s = input.toString
+    var i = 0
+    while (i < s.length) {
+      var node = 0
+      var j = i
+      var walking = true
+      while (walking && j < s.length) {
+        val next = children.get(node).get(Character.valueOf(s.charAt(j)))
+        if (next == null) walking = false
+        else {
+          node = next.intValue()
+          j += 1
+          if (outs.get(node).intValue() >= 0) return true
+        }
+      }
+      i += 1
+    }
+    false
+  }
 }
 
 /** Catalyst face of [[TrieReplacer]]: the automaton is built once and
@@ -178,6 +206,33 @@ case class ExtractMany(
     copy(child = newChild)
 }
 
+/** Boolean trie probe (polars `str.contains_any`): one automaton walk
+  * with early exit on the first hit — a 10k-phrase blocklist costs
+  * what 3 phrases do, and a match near the document head costs only
+  * the prefix. */
+case class ContainsAny(
+    child: Expression,
+    patterns: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val replacer =
+    new TrieReplacer(patterns.toArray, patterns.toArray)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    replacer.containsAny(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("trieProber", replacer,
+      classOf[TrieReplacer].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.containsAny($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StringColumns {
   /** Ordered (pattern → replacement) pairs — a Seq, not a Map, so
     * duplicate-pattern priority is explicit and deterministic. */
@@ -190,4 +245,10 @@ object StringColumns {
     * walk). */
   def extractMany(c: Column, patterns: Seq[String]): Column =
     GraftShim.column(ExtractMany(GraftShim.expression(c), patterns))
+
+  /** Does the text contain ANY of the literals? (polars
+    * `str.contains_any`) — early-exit boolean dual of
+    * [[extractMany]]. */
+  def containsAny(c: Column, patterns: Seq[String]): Column =
+    GraftShim.column(ContainsAny(GraftShim.expression(c), patterns))
 }

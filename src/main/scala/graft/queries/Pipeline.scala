@@ -465,6 +465,15 @@ object Pipeline {
         array_join(m, "|").as("matches"))
     }),
 
+    // polars str.contains_any: boolean trie probe, early-exit on the
+    // first hit — membership of ANY literal is walk-order-independent,
+    // so a plain contains-OR oracle is exact
+    "q_str_contains_any" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.plans.StringColumns.containsAny(col("text"),
+          Seq("customer", "spark", "zzzz-never")).as("hit"))),
+
     // batch sessionization: gaps-and-islands per user at a 1-hour gap
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts",
@@ -1378,6 +1387,11 @@ object Pipeline {
            coalesce(array_to_string(
              regexp_extract_all(text, 'customer query|customer|spark|slow'), '|'), '')
              AS matches
+         FROM documents""",
+    "q_str_contains_any" ->
+      """SELECT doc_id,
+           (contains(text, 'customer') OR contains(text, 'spark')
+             OR contains(text, 'zzzz-never')) AS hit
          FROM documents""",
     // gaps-and-islands replica: µs epochs are integers in both engines
     // (ns ts truncated to µs), so the gap test and the running break

@@ -284,6 +284,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad == 0, "replaceMany and extractMany disagree on matched spans")
   }
 
+  test("containsAny: early-exit boolean equals extractMany non-emptiness everywhere") {
+    import spark.implicits._
+    import graft.plans.StringColumns
+    val pats = Seq("customer query", "customer", "spark", "zzzz-never")
+    // hand edges: hit at head, hit at tail, miss, empty, null
+    def probe(t: String): Any = {
+      val r = Seq(Tuple1(t)).toDF("t")
+        .select(StringColumns.containsAny(col("t"), pats)).collect()(0)
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    assert(probe("customer first") == true)
+    assert(probe("ends with spark") == true)
+    assert(probe("nothing of note") == false)
+    assert(probe("") == false)
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(StringColumns.containsAny(col("t"), pats)).collect()(0).isNullAt(0))
+    // the boolean and the extractor share the automaton — they cannot
+    // disagree on real docs
+    val docs = graft.Tables.t(spark, Sf, "documents").limit(200)
+    val bad = docs.select(
+        StringColumns.containsAny(col("text"), pats).as("b"),
+        (size(StringColumns.extractMany(col("text"), pats)) > 0).as("e"))
+      .filter(col("b") =!= col("e")).count()
+    assert(bad == 0, "containsAny and extractMany disagree")
+  }
+
   test("greedyPack fills bins to the budget, isolates oversized docs, keeps every doc") {
     import spark.implicits._
     import graft.operators.Pack
