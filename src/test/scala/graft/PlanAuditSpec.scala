@@ -639,6 +639,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!joinLines.contains("text#"), s"join carries raw text: $joinLines")
   }
 
+  test("drift family: the totals branch reuses the count exchanges, never a corpus rescan") {
+    // driftSpine folds totals in as a broadcast 1-row aggregate over
+    // the same joined count table the terms read — if exchange reuse
+    // breaks, every corpus (old + new) scans twice and the monitor
+    // pays double at 100 TB
+    for (q <- Seq("q_token_drift", "q_drift_summary")) {
+      val fin = finalPlanOf(SparkEntry.queries(q)(spark, Sf))
+      val scans = fin.linesIterator.count(_.contains("FileScan"))
+      assert(scans <= 2, s"$q scans the corpus $scans times:\n$fin")
+      assert(fin.contains("ReusedExchange"),
+        s"$q totals branch rebuilt instead of reused:\n$fin")
+    }
+  }
+
   test("q_padding_stats: scan-local bucket assignment, one partial-agg'd exchange") {
     val p = planOf("q_padding_stats")
     val exchanges = p.linesIterator.count(_.contains("hashpartitioning("))
