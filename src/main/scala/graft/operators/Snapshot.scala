@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** Persistable (id, content_hash) index of a snapshot — hash the
+    * corpus ONCE, freeze to parquet, and every later [[diff]] via
+    * [[diffAgainstIndex]] never rescans the old snapshot's text (the
+    * [[Dedup.exactIndex]] pattern keyed by id instead of hash). */
+  def hashIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+
+  /** [[diff]] where the OLD side is a frozen [[hashIndex]] — the
+    * standing-monitor form: cost scales with the NEW snapshot plus an
+    * index-sized join; the historical corpus is read as 48 bytes/row,
+    * not documents. Equals `diff(old, cur, …)` exactly (spec-pinned). */
+  def diffAgainstIndex(
+      index: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame =
+    diffHashes(
+      index.select(col("id"), col("content_hash").as("__h_old")),
+      cur.select(col(idCol).as("id"), md5(col(textCol)).as("__h_new")))
+
   /** Rows of (id, status, content_hash) where status ∈
     * added / removed / changed; unchanged ids are absent. For
     * `removed` rows the hash is the OLD content's (the new side has
@@ -31,6 +48,10 @@ object Snapshot {
   def diff(old: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame = {
     val oh = old.select(col(idCol).as("id"), md5(col(textCol)).as("__h_old"))
     val nh = cur.select(col(idCol).as("id"), md5(col(textCol)).as("__h_new"))
+    diffHashes(oh, nh)
+  }
+
+  private def diffHashes(oh: DataFrame, nh: DataFrame): DataFrame = {
     oh.join(nh, Seq("id"), "full")
       .withColumn("status",
         when(col("__h_old").isNull, lit("added"))

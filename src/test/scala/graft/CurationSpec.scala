@@ -28,6 +28,22 @@ class CurationSpec extends SparkSpec {
     assert(hashes == Map("removed" -> md5("gone"), "added" -> md5("here")))
   }
 
+  test("diffAgainstIndex equals diff, with the index frozen through parquet") {
+    import spark.implicits._
+    val docs = Tables.t(spark, Sf, "documents")
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val cur = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("snapidx").toString
+    Snapshot.hashIndex(old, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val viaIndex = Snapshot.diffAgainstIndex(spark.read.parquet(dir), cur, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val direct = Snapshot.diff(old, cur, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
   test("churnStats: counts plus the unchanged carry-over fraction of the NEW snapshot") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

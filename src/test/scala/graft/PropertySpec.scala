@@ -198,6 +198,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenCounts is a homomorphism under mergeTokenCounts on random corpus splits") {
+    // the streaming drift monitor's correctness rests on this:
+    // counts(A ∪ B) == merge(counts(A), counts(B)) and merge is
+    // associative, so ANY batching of the stream folds to the same
+    // running counts
+    import spark.implicits._
+    import graft.operators.Vocab
+    val genDoc = Gen.listOfN(8,
+      Gen.oneOf("a", "b", "cc", "dd", "the", "x1")).map(_.mkString(" "))
+    val docs = draw(Gen.listOfN(60, genDoc), 23L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    def m(c: org.apache.spark.sql.DataFrame) =
+      c.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (cut <- Seq(0, 17, 30, 60)) {
+      val a = df.filter(col("doc_id") < cut)
+      val b = df.filter(col("doc_id") >= cut)
+      val merged = m(Vocab.mergeTokenCounts(
+        Vocab.tokenCounts(a, "text"), Vocab.tokenCounts(b, "text")))
+      assert(merged == m(Vocab.tokenCounts(df, "text")), s"cut=$cut not a homomorphism")
+    }
+    // associativity across a 3-way split
+    val (x, y, z) = (df.filter(col("doc_id") < 20),
+      df.filter(col("doc_id") >= 20 && col("doc_id") < 40),
+      df.filter(col("doc_id") >= 40))
+    val left = m(Vocab.mergeTokenCounts(
+      Vocab.mergeTokenCounts(Vocab.tokenCounts(x, "text"), Vocab.tokenCounts(y, "text")),
+      Vocab.tokenCounts(z, "text")))
+    val right = m(Vocab.mergeTokenCounts(Vocab.tokenCounts(x, "text"),
+      Vocab.mergeTokenCounts(Vocab.tokenCounts(y, "text"), Vocab.tokenCounts(z, "text"))))
+    assert(left == right, "merge must be associative")
+  }
+
   test("canonicalUrl on random URLs: idempotent, and crawl artifacts never split a page") {
     import spark.implicits._
     // URLs assembled from independently drawn artifact dimensions; the
