@@ -40,6 +40,27 @@ object Snapshot {
       index.select(col("id"), col("content_hash").as("__h_old")),
       cur.select(col(idCol).as("id"), md5(col(textCol)).as("__h_new")))
 
+  /** The streaming-legal slice of [[diffAgainstIndex]]: `added` and
+    * `changed` rows of a recrawl vs the frozen index, via a LEFT join
+    * from the new side — usable unchanged on a micro-batched stream
+    * (stream-static left joins are legal where the full-outer
+    * [[diff]] is not), so re-ingest work can start while the recrawl
+    * is still arriving. `removed` is structurally absent: a stream
+    * cannot prove an id will never arrive — close the snapshot and
+    * run [[diffAgainstIndex]] batch-side for the final removed sweep.
+    * Equals the diff minus its `removed` rows (spec-pinned, batch and
+    * stream). */
+  def newOrChanged(
+      cur: DataFrame, index: DataFrame, idCol: String, textCol: String): DataFrame =
+    cur.select(col(idCol).as("id"), md5(col(textCol)).as("__h_new"))
+      .join(index.select(col("id"), col("content_hash").as("__h_old")), Seq("id"), "left")
+      .withColumn("status",
+        when(col("__h_old").isNull, lit("added"))
+          .when(col("__h_old") =!= col("__h_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .select(col("id"), col("status"), col("__h_new").as("content_hash"))
+
   /** Rows of (id, status, content_hash) where status ∈
     * added / removed / changed; unchanged ids are absent. For
     * `removed` rows the hash is the OLD content's (the new side has

@@ -522,6 +522,32 @@ class StreamingSpec extends SparkSpec {
     } finally { assignQ.stop(); encodeQ.stop() }
   }
 
+  test("streaming recrawl monitor: newOrChanged on a stream equals the batch diff minus removed") {
+    import spark.implicits._
+    import graft.operators.Snapshot
+    val docs = Tables.t(spark, Sf, "documents")
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val cur = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    val index = Snapshot.hashIndex(old, "doc_id", "text").localCheckpoint()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    stream.addData(cur.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val q = Snapshot.newOrChanged(stream.toDS().toDF("doc_id", "text"), index, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("recrawl").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("recrawl")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val batch = Snapshot.diff(old, cur, "doc_id", "text")
+        .filter(col("status") =!= "removed")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed == batch && batch.nonEmpty,
+        "streamed added/changed must equal the batch diff minus removed")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: cumulative summary equals the batch drift at every prefix") {
     import spark.implicits._
     import graft.operators.Vocab
