@@ -116,6 +116,34 @@ object GraftFunctions {
       new ExpressionInfo(classOf[FixMojibake].getName, "graft_fix_mojibake"),
       (args: Seq[Expression]) =>
         FixMojibake(arity("graft_fix_mojibake", 1)(args).head)),
+    ("graft_canonical_url",
+      new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
+        "graft_canonical_url"),
+      (args: Seq[Expression]) => GraftShim.resolvedExpression(
+        graft.functions.TextFunctions.canonicalUrl(
+          GraftShim.column(arity("graft_canonical_url", 1)(args).head)))),
+    ("graft_markup_ratio",
+      new ExpressionInfo(graft.functions.TextFunctions.getClass.getName,
+        "graft_markup_ratio"),
+      (args: Seq[Expression]) => GraftShim.resolvedExpression(
+        graft.functions.TextFunctions.markupRatio(
+          GraftShim.column(arity("graft_markup_ratio", 1)(args).head)))),
+    // variadic: graft_contains_any(text, 'p1', 'p2', ...) — patterns
+    // must be string literals (the trie builds once, driver-side)
+    ("graft_contains_any",
+      new ExpressionInfo(classOf[ContainsAny].getName, "graft_contains_any"),
+      (args: Seq[Expression]) => {
+        if (args.length < 2)
+          throw new IllegalArgumentException(
+            "graft_contains_any(text, pattern, ...) needs at least one pattern")
+        val pats = args.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) if s != null =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_contains_any patterns must be string literals, got $other")
+        }
+        ContainsAny(args.head, pats)
+      }),
     ("graft_compress_ratio",
       new ExpressionInfo(classOf[DeflateRatio].getName, "graft_compress_ratio"),
       (args: Seq[Expression]) => {

@@ -56,6 +56,21 @@ class SqlFunctionsSpec extends SparkSpec {
     val bpe = spark.sql("SELECT graft_bpe_count('the thing') AS n")
       .head().getLong(0)
     assert(bpe == 3L)
+    val curl = spark.sql(
+      "SELECT graft_canonical_url('HTTPS://Ex.COM:443/a/?b=2&utm_source=x&a=1#f') AS c")
+      .head().getString(0)
+    assert(curl == "https://ex.com/a?a=1&b=2")
+    val markup = spark.sql(
+      "SELECT graft_markup_ratio('<p>hi</p>') AS m").head().getDouble(0)
+    assert(markup == 0.7778) // 7 of 9 chars inside tags
+    val hits = spark.sql(
+      "SELECT graft_contains_any('ask the customer', 'customer', 'spark') AS h, " +
+        "graft_contains_any('nothing here', 'customer', 'spark') AS m")
+      .head()
+    assert(hits.getBoolean(0) && !hits.getBoolean(1))
+    // non-literal pattern fails loudly, not silently wrong
+    intercept[Exception](spark.sql(
+      "SELECT graft_contains_any('t', upper('x'))").collect())
   }
 
   test("graft_compress_ratio via SQL equals the Column API") {
