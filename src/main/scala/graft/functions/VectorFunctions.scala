@@ -75,4 +75,27 @@ object VectorFunctions {
       transform(vd, x => floor(x * (lit(127.0) / ma) + 0.5).cast("long")))
       .otherwise(transform(vd, _ => lit(0L)))
   }
+
+  /** Per-vector QA verdict — the admission gate in front of every ANN
+    * / dedup / PCA consumer: an embedding batch with NaN/Inf entries
+    * poisons cosine scores silently (NaN propagates through dot
+    * products into every comparison), a zero vector has no direction
+    * (cosine undefined), and a wrong-length vector breaks subspace
+    * encoders (PQ slices) at runtime. First failing rule in fixed
+    * order: `null_vec` → `wrong_dim` → `non_finite` → `zero` → `ok` —
+    * all scan-local HOF/aggregate arithmetic over the array, zero
+    * shuffles; filter on `= "ok"` before indexing, aggregate the
+    * reasons for the batch report. NaN needs the explicit `isnan`
+    * probe — Spark SQL (like DuckDB) defines NaN = NaN as TRUE, so
+    * the classic `x != x` test silently never fires; ±Inf is caught
+    * by `abs(x) > 1e308`. */
+  def vectorQaReason(v: Column, expectedDim: Int): Column = {
+    val vd = asDouble(v)
+    val nonFinite = exists(vd, x => isnan(x) || abs(x) > lit(1e308))
+    when(v.isNull, lit("null_vec"))
+      .when(size(v) =!= expectedDim, lit("wrong_dim"))
+      .when(nonFinite, lit("non_finite"))
+      .when(!exists(vd, x => x =!= lit(0.0)), lit("zero"))
+      .otherwise(lit("ok"))
+  }
 }

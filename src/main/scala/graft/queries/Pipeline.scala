@@ -636,6 +636,25 @@ object Pipeline {
         array_max(q).as("q_max"))
     }),
 
+    // embedding admission QA: the gate in front of ANN/PCA ingest —
+    // NaN poisons every cosine silently (and NaN = NaN is TRUE in both
+    // engines, so the probe must be isnan, not x != x), zero vectors
+    // have no direction, wrong-length vectors break PQ subspace
+    // slicing. Defects planted deterministically; first-fail reason
+    // per vector, scan-local
+    "q_embed_qa" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val id = col("vec_id")
+      val v = col("embedding")
+      val planted = when(pmod(id, lit(13)) === 0, transform(v, _ => lit(0.0f)))
+        .when(pmod(id, lit(17)) === 0, slice(v, 1, 3))
+        .when(pmod(id, lit(19)) === 0,
+          concat(array(lit(Float.NaN)), slice(v, 2, 63)))
+        .otherwise(v)
+      t(s, dir, "embeddings").select(
+        id, VF.vectorQaReason(planted, expectedDim = 64).as("reason"))
+    }),
+
     // per-language token budget: keep docs in doc_id order until each
     // language hits 2000 tokens
     "q_lang_budget" -> ((s, dir) =>
@@ -1667,6 +1686,23 @@ object Pipeline {
                                         WHEN 'src1' THEN 600
                                         WHEN 'src2' THEN 400
                                         ELSE 0 END""",
+    "q_embed_qa" ->
+      """WITH p AS (
+           SELECT vec_id,
+             CASE WHEN vec_id % 13 = 0 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                  WHEN vec_id % 17 = 0 THEN embedding[1:3]
+                  WHEN vec_id % 19 = 0 THEN
+                    list_concat([CAST('NaN' AS FLOAT)], embedding[2:64])
+                  ELSE embedding END AS v
+           FROM embeddings)
+         SELECT vec_id,
+           CASE WHEN v IS NULL THEN 'null_vec'
+                WHEN len(v) <> 64 THEN 'wrong_dim'
+                WHEN len(list_filter(v, x -> isnan(CAST(x AS DOUBLE))
+                       OR abs(CAST(x AS DOUBLE)) > 1e308)) > 0 THEN 'non_finite'
+                WHEN len(list_filter(v, x -> CAST(x AS DOUBLE) <> 0.0)) = 0 THEN 'zero'
+                ELSE 'ok' END AS reason
+         FROM p""",
     // epoch-planner replica: targets are the same floor(share × 50000)
     // literals the when-chain bakes in; epochs/caps are exact integer
     // ratios and floors

@@ -148,6 +148,27 @@ class CurationSpec extends SparkSpec {
     assert(r.getDouble(2) < r.getDouble(0)) // JSD is the bounded one
   }
 
+  test("vectorQaReason: first-fail order over null / dim / NaN / Inf / zero / ok") {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => VF}
+    val rows = Seq(
+      (1L, null.asInstanceOf[Array[Float]]),       // null_vec
+      (2L, Array(1.0f, 2.0f)),                     // wrong_dim (expected 3)
+      (3L, Array(1.0f, Float.NaN, 2.0f)),          // non_finite
+      (4L, Array(1.0f, Float.PositiveInfinity, 0f)), // non_finite
+      (5L, Array(0.0f, 0.0f, 0.0f)),               // zero
+      (6L, Array(0.0f, 0.5f, -0.5f))               // ok
+    ).toDF("id", "v")
+    val got = rows.select(col("id"), VF.vectorQaReason(col("v"), 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "null_vec", 2L -> "wrong_dim", 3L -> "non_finite",
+      4L -> "non_finite", 5L -> "zero", 6L -> "ok"))
+    // priority: a wrong-dim vector full of NaN reports wrong_dim
+    val pri = Seq((1L, Array(Float.NaN))).toDF("id", "v")
+      .select(VF.vectorQaReason(col("v"), 3)).collect().head.getString(0)
+    assert(pri == "wrong_dim")
+  }
+
   test("paddingStats rejects unsorted or empty boundary lists") {
     import spark.implicits._
     val docs = Seq((1L, 5L)).toDF("id", "n_tok")
