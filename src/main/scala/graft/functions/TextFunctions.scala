@@ -295,6 +295,23 @@ object TextFunctions {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** How much PII a [[redactPii]] pass WOULD mask, per category — the
+    * triage signal that decides redact vs drop (a doc that is mostly
+    * PII is a contact-list scrape, not prose; masking it leaves
+    * `<EMAIL> <EMAIL> <EMAIL>`). Counts are measured on the same
+    * progressively-redacted text the redaction chain walks (IPs after
+    * emails are masked, phones after both), so the three counts sum
+    * to exactly the spans [[redactPii]] replaces — the two kernels
+    * cannot disagree. Scan-local codegen'd regexp arithmetic. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).as("n_phones"))
+  }
+
   /** Repair UTF-8-decoded-as-Windows-1252 mojibake ("cafÃ©" → "café");
     * lossless-and-shrinking reverse transform only, clean text passes
     * through bit-identically — see [[graft.plans.Mojibake]]. */

@@ -421,6 +421,24 @@ object Pipeline {
       t(s, dir, "documents").select(
         col("doc_id"), TF.redactPii(col("text")).as("clean_text"))),
 
+    // PII density triage: per-category counts of what redaction WOULD
+    // mask (planted deterministically — the corpus itself is clean);
+    // a mostly-PII doc is a scrape to drop, not prose to mask
+    "q_pii_stats" -> ((s, dir) => {
+      val planted = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"),
+          lit(" contact a.b@c.org or x@y.io from 10.0.0.1 call 555-123-4567")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("from 192.168.0.1: "), col("text")))
+        .otherwise(col("text"))
+      val c = TF.piiCounts(planted)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        c.getField("n_emails").as("n_emails"),
+        c.getField("n_ips").as("n_ips"),
+        c.getField("n_phones").as("n_phones"))
+    }),
+
     // mojibake repair: a UTF-8-as-CP1252 garbage suffix (computed at
     // plan time by actually mis-decoding the clean string) planted on
     // every ASCII doc; the kernel must recover the clean text exactly
@@ -1364,6 +1382,25 @@ object Pipeline {
             '${TF.Ipv4Re}', '<IP>', 'g'),
             '${TF.PhoneRe}', '<PHONE>', 'g') AS clean_text
           FROM documents""",
+    "q_pii_stats" ->
+      s"""WITH p AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+                    text || ' contact a.b@c.org or x@y.io from 10.0.0.1 call 555-123-4567'
+                  WHEN doc_id % 3 = 1 THEN 'from 192.168.0.1: ' || text
+                  ELSE text END AS t
+           FROM documents),
+         r AS (
+           SELECT doc_id, t,
+             regexp_replace(t, '${TF.EmailRe}', '<EMAIL>', 'g') AS after_email
+           FROM p)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '${TF.EmailRe}')) AS n_emails,
+           len(regexp_extract_all(after_email, '${TF.Ipv4Re}')) AS n_ips,
+           len(regexp_extract_all(
+             regexp_replace(after_email, '${TF.Ipv4Re}', '<IP>', 'g'),
+             '${TF.PhoneRe}')) AS n_phones
+         FROM r""",
     // shard replica: identical nibble arithmetic over the md5 hex of
     // the key's string rendering — no engine-specific hash anywhere
     "q_shard" ->

@@ -169,6 +169,27 @@ class CurationSpec extends SparkSpec {
     assert(pri == "wrong_dim")
   }
 
+  test("piiCounts agrees with redactPii span for span") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b@c.org and x@y.io from 10.0.0.1 call 555-123-4567"),
+      (2L, "clean prose with numbers 123 and dots..."),
+      (3L, "ips 1.2.3.4 5.6.7.8 and phone 555-000-1111")
+    ).toDF("id", "text")
+    val c = TF.piiCounts(col("text"))
+    val got = docs.select(col("id"),
+        c.getField("n_emails"), c.getField("n_ips"), c.getField("n_phones"),
+        // masks the redaction chain actually wrote
+        (size(split(TF.redactPii(col("text")), "<EMAIL>|<IP>|<PHONE>")) - 1).as("masked"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == ((2, 1, 1, 4)))
+    assert(got(2L) == ((0, 0, 0, 0)))
+    assert(got(3L) == ((0, 2, 1, 3)))
+    // the counts are defined as "what redactPii masks" — assert the sum
+    got.values.foreach { case (e, i, p, masked) => assert(e + i + p == masked) }
+  }
+
   test("paddingStats rejects unsorted or empty boundary lists") {
     import spark.implicits._
     val docs = Seq((1L, 5L)).toDF("id", "n_tok")
