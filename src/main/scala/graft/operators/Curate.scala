@@ -81,6 +81,24 @@ object Curate {
       .join(b, TF.urlHost(col(urlCol)) === b("domain"), "left_anti")
   }
 
+  /** One-scan corpus health dashboard — the row a daily ingest
+    * publishes: gate pass rate, mean quality/markup/token-count, all
+    * as conditional aggregates of scan-local codegen'd kernels in ONE
+    * pass over the corpus (no per-signal rescans, no shuffle beyond
+    * the final 1-row aggregate; plan-pinned). Per-doc signals round
+    * exactly like their standalone queries, so the report is
+    * bit-consistent with the drill-down queries it summarizes. */
+  def healthReport(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(when(TF.filterReason(t) === "ok", 1.0).otherwise(0.0)) /
+        count(lit(1)), 4).as("gate_pass_frac"),
+      round(avg(TF.qualityScore(t)), 4).as("mean_quality"),
+      round(avg(TF.markupRatio(t)), 4).as("mean_markup"),
+      round(avg(TF.tokenCount(t).cast("double")), 4).as("mean_tokens"))
+  }
+
   /** Per-stage survivor counts — the audit trail a curation run ships
     * with (how many docs each stage removed). Exactly two jobs over the
     * corpus: one aggregate computes input / gate / dedup counts as

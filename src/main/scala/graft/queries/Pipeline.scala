@@ -816,6 +816,13 @@ object Pipeline {
         TF.registeredDomain(url).as("registered_domain"))
     }),
 
+    // one-scan corpus health dashboard: gate pass rate + mean
+    // quality/markup/tokens as conditional aggregates of scan-local
+    // kernels — the daily ingest row; each mean averages the same
+    // per-doc rounded signal its drill-down query emits
+    "q_corpus_health" -> ((s, dir) =>
+      graft.operators.Curate.healthReport(t(s, dir, "documents"), "text")),
+
     // URL-keyed exact dedup THROUGH canonicalization: four crawl
     // variants of the same page (tracking params, case, trailing
     // slash, fragment) collapse to one canonical URL, then the
@@ -1382,6 +1389,37 @@ object Pipeline {
             '${TF.Ipv4Re}', '<IP>', 'g'),
             '${TF.PhoneRe}', '<PHONE>', 'g') AS clean_text
           FROM documents""",
+    // health replica: reason from the gate CTE, quality/markup/tokens
+    // recomputed per doc with the SAME rounding the drill-down oracles
+    // use, then averaged
+    "q_corpus_health" ->
+      s"""WITH r AS ($ReasonedDocsSql),
+         p AS (
+           SELECT doc_id, reason, text,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct
+           FROM r),
+         s AS (
+           SELECT reason,
+             round((least(CAST(len($TokSql) AS DOUBLE) / 200.0, 1.0)
+                    + (CASE WHEN punct > 0.2 THEN 0.0 ELSE 1.0 - punct * 2.5 END)
+                    + least((CAST(${hitsSql(TF.Stopwords.flatMap(_._2))} AS DOUBLE)
+                             / CAST(greatest(len($TokSql), 1) AS DOUBLE)) * 4.0, 1.0))
+                   / 3.0, 4) AS quality,
+             CASE WHEN length(text) > 0
+               THEN round(CAST(length(text)
+                      - length(regexp_replace(text, '<[^<>]*>', '', 'g')) AS DOUBLE)
+                    / length(text), 4)
+               ELSE 0.0 END AS markup,
+             len($TokSql) AS n_tok
+           FROM p)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN reason = 'ok' THEN 1.0 ELSE 0.0 END) / count(*), 4)
+             AS gate_pass_frac,
+           round(avg(quality), 4) AS mean_quality,
+           round(avg(markup), 4) AS mean_markup,
+           round(avg(CAST(n_tok AS DOUBLE)), 4) AS mean_tokens
+         FROM s""",
     "q_pii_stats" ->
       s"""WITH p AS (
            SELECT doc_id,

@@ -653,6 +653,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_corpus_health: every signal aggregates in ONE scan, partial map-side") {
+    val fin = finalPlanOf(SparkEntry.queries("q_corpus_health")(spark, Sf))
+    val scans = fin.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"health report rescans the corpus ($scans scans):\n$fin")
+    // the only exchange is the 1-row final-aggregate funnel; partial
+    // aggregation must run map-side so the funnel carries one row per
+    // task, not the corpus
+    assert(fin.contains("HashAggregate") || fin.contains("SortAggregate"),
+      s"no partial aggregation:\n$fin")
+    assert(!fin.contains("Exchange hashpartitioning"),
+      s"health report shuffled the corpus:\n$fin")
+  }
+
   test("q_padding_stats: scan-local bucket assignment, one partial-agg'd exchange") {
     val p = planOf("q_padding_stats")
     val exchanges = p.linesIterator.count(_.contains("hashpartitioning("))
