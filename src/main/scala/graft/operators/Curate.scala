@@ -88,16 +88,43 @@ object Curate {
     * the final 1-row aggregate; plan-pinned). Per-doc signals round
     * exactly like their standalone queries, so the report is
     * bit-consistent with the drill-down queries it summarizes. */
-  def healthReport(docs: DataFrame, textCol: String): DataFrame = {
+  def healthReport(docs: DataFrame, textCol: String): DataFrame =
+    finalizeHealth(healthSums(docs, textCol))
+
+  /** The additive state under [[healthReport]]: one row of raw sums of
+    * the per-doc (rounded) signals. Sums are associative, so a
+    * streaming monitor folds each micro-batch's sums into running
+    * state ([[mergeHealthSums]]) and the finalized report over any
+    * prefix equals the batch computation — the same freeze/fold
+    * contract as the drift monitor's token counts. */
+  def healthSums(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     docs.agg(
       count(lit(1)).as("n_docs"),
-      round(sum(when(TF.filterReason(t) === "ok", 1.0).otherwise(0.0)) /
-        count(lit(1)), 4).as("gate_pass_frac"),
-      round(avg(TF.qualityScore(t)), 4).as("mean_quality"),
-      round(avg(TF.markupRatio(t)), 4).as("mean_markup"),
-      round(avg(TF.tokenCount(t).cast("double")), 4).as("mean_tokens"))
+      sum(when(TF.filterReason(t) === "ok", 1L).otherwise(0L)).as("n_ok"),
+      sum(TF.qualityScore(t)).as("sum_quality"),
+      sum(TF.markupRatio(t)).as("sum_markup"),
+      sum(TF.tokenCount(t).cast("double")).as("sum_tokens"))
   }
+
+  /** Element-wise sum of two [[healthSums]] rows (empty-batch-safe). */
+  def mergeHealthSums(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_ok")).as("n_ok"),
+      sum(col("sum_quality")).as("sum_quality"),
+      sum(col("sum_markup")).as("sum_markup"),
+      sum(col("sum_tokens")).as("sum_tokens"))
+
+  /** Rates/means from a [[healthSums]] row. */
+  def finalizeHealth(sums: DataFrame): DataFrame =
+    sums.select(
+      col("n_docs"),
+      round(col("n_ok").cast("double") / greatest(col("n_docs"), lit(1L)), 4)
+        .as("gate_pass_frac"),
+      round(col("sum_quality") / greatest(col("n_docs"), lit(1L)), 4).as("mean_quality"),
+      round(col("sum_markup") / greatest(col("n_docs"), lit(1L)), 4).as("mean_markup"),
+      round(col("sum_tokens") / greatest(col("n_docs"), lit(1L)), 4).as("mean_tokens"))
 
   /** Per-stage survivor counts — the audit trail a curation run ships
     * with (how many docs each stage removed). Exactly two jobs over the

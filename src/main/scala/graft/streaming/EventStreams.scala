@@ -230,6 +230,29 @@ object EventStreams {
     }.start()
   }
 
+  /** Streaming corpus-health monitor — the live twin of
+    * [[graft.operators.Curate.healthReport]]: each micro-batch's
+    * one-row signal sums fold into maintained running sums (additive,
+    * so any batching yields the same state) and the finalized
+    * dashboard row emits per batch. The ingest-health alarm fires
+    * while a bad source is still arriving; the emitted report after
+    * any prefix equals the batch report over exactly the rows seen so
+    * far (spec-pinned). State is ONE row — wherever `loadSums`/
+    * `saveSums` put it. */
+  def healthMonitoringSink(
+      docs: DataFrame,
+      textCol: String,
+      loadSums: () => DataFrame,
+      saveSums: DataFrame => Unit,
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Curate
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val merged = Curate.mergeHealthSums(loadSums(), Curate.healthSums(batch, textCol))
+      saveSums(merged)
+      emit(Curate.finalizeHealth(merged))
+    }.start()
+  }
+
   /** Stream-static enrichment: a broadcast left join against a batch
     * dimension table — stateless (no watermark needed), the dimension
     * ships to every task and each micro-batch joins map-side. The

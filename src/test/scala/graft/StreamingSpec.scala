@@ -548,6 +548,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming health monitor: cumulative dashboard equals the batch report at every prefix") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val docs = Tables.t(spark, Sf, "documents")
+    var sums = Curate.healthSums(docs.limit(0), "text").localCheckpoint()
+    var emitted = Seq.empty[Seq[Any]]
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    val q = EventStreams.healthMonitoringSink(
+      stream.toDS().toDF("doc_id", "text"), "text",
+      loadSums = () => sums,
+      saveSums = s => sums = s.localCheckpoint(),
+      emit = d => emitted = emitted :+ d.collect().head.toSeq)
+    try {
+      def feed(part: org.apache.spark.sql.DataFrame): Unit = {
+        stream.addData(part.select("doc_id", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(docs.filter(col("doc_id") < 100))
+      feed(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+      def batchAt(pred: org.apache.spark.sql.Column) =
+        Curate.healthReport(docs.filter(pred), "text").collect().head.toSeq
+      assert(emitted == Seq(
+        batchAt(col("doc_id") < 100),
+        batchAt(col("doc_id") < 200)),
+        "every prefix's streamed dashboard must equal the batch report")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: cumulative summary equals the batch drift at every prefix") {
     import spark.implicits._
     import graft.operators.Vocab
