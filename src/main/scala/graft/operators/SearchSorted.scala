@@ -15,13 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object SearchSorted {
 
+  /** @param side "left" (polars default: count of strictly smaller
+    *        values — insert before any ties) or "right" (count of
+    *        values ≤ probe — insert after the tie run). Same one-scan
+    *        plan either way; only the comparison flips. */
   def insertionIndexes(
       df: DataFrame,
       valueCol: String,
-      probes: Seq[Double]): DataFrame = {
+      probes: Seq[Double],
+      side: String = "left"): DataFrame = {
     require(probes.nonEmpty, "probes must be non-empty")
+    require(side == "left" || side == "right", s"side must be left|right, got $side")
     val aggs = probes.zipWithIndex.map { case (p, i) =>
-      sum(when(col(valueCol) < p, 1L).otherwise(0L)).as(s"__c$i")
+      val hit = if (side == "left") col(valueCol) < p else col(valueCol) <= p
+      sum(when(hit, 1L).otherwise(0L)).as(s"__c$i")
     }
     val counted = df.agg(aggs.head, aggs.tail: _*)
     val pairs = probes.zipWithIndex.map { case (p, i) =>

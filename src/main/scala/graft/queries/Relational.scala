@@ -1138,6 +1138,14 @@ object Relational {
         t(s, dir, "lineitem"), "l_extendedprice",
         Seq(1000.0, 10000.0, 30000.0, 60000.0))),
 
+    // side="right" (polars search_sorted(side='right')): insert after
+    // the tie run — count of <= values; probes chosen to HIT real
+    // prices so the two sides genuinely differ
+    "q_search_sorted_right" -> ((s, dir) =>
+      graft.operators.SearchSorted.insertionIndexes(
+        t(s, dir, "lineitem"), "l_quantity",
+        Seq(1.0, 25.0, 50.0), side = "right")),
+
     // Shannon entropy of the per-key categorical distribution (polars
     // entropy): counts → window total → -Σ p·ln p; the window reuses
     // the groupBy's hash clustering, so the key shuffles once
@@ -2446,6 +2454,11 @@ object Relational {
       """SELECT p.probe, count(l.l_extendedprice) AS insert_idx
          FROM (VALUES (1000.0), (10000.0), (30000.0), (60000.0)) p(probe)
          LEFT JOIN lineitem l ON l.l_extendedprice < p.probe
+         GROUP BY p.probe""",
+    "q_search_sorted_right" ->
+      """SELECT p.probe, count(l.l_quantity) AS insert_idx
+         FROM (VALUES (1.0), (25.0), (50.0)) p(probe)
+         LEFT JOIN lineitem l ON l.l_quantity <= p.probe
          GROUP BY p.probe""",
     "q_entropy" ->
       """SELECT user_id, round(-sum(p * ln(p)), 4) + 0.0 AS entropy

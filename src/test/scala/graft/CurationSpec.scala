@@ -190,6 +190,18 @@ class CurationSpec extends SparkSpec {
     got.values.foreach { case (e, i, p, masked) => assert(e + i + p == masked) }
   }
 
+  test("search_sorted sides: left inserts before ties, right after") {
+    import spark.implicits._
+    import graft.operators.SearchSorted
+    val df = Seq(1.0, 2.0, 2.0, 2.0, 3.0).toDF("v")
+    def run(side: String) = SearchSorted.insertionIndexes(df, "v", Seq(2.0), side)
+      .collect().head.getLong(1)
+    assert(run("left") == 1L)   // before the tie run of 2.0s
+    assert(run("right") == 4L)  // after it
+    intercept[IllegalArgumentException](
+      SearchSorted.insertionIndexes(df, "v", Seq(2.0), "middle"))
+  }
+
   test("paddingStats rejects unsorted or empty boundary lists") {
     import spark.implicits._
     val docs = Seq((1L, 5L)).toDF("id", "n_tok")
