@@ -373,37 +373,46 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * a sort (range-partitioned output preserves global order across
     * partitions). */
   def withRowIndex(name: String = "row_index", deterministicSource: Boolean = false): GDataset = transform { d =>
-    import graft.plans.PartitionIds
-    // By default the id'd input is persisted so the upstream plan is
-    // scanned ONCE: the counts pass materializes the cache, the offset
-    // join reads it back, and — the correctness half — the pin makes
-    // the nondeterministic ids provably describe the same row layout
-    // the join sees. The cache entry lives until
-    // spark.catalog.clearCache() (CacheManager entries are not
-    // LRU-dropped from disk) — callers looping over withRowIndex should
-    // clearCache between iterations or accept one pinned copy per call.
+    // zipWithIndex at the RDD layer — the one place the engine drops
+    // below DataFrames, because the operator NEEDS a fixed partition
+    // lineage: `queryExecution.toRdd` finalizes the physical plan
+    // (AQE included) ONCE, so the count job and the offset-map job
+    // provably see the same layout. The previous formulation ran two
+    // DataFrame actions (an eager per-partition count, then the
+    // offset join) and trusted the layouts to match; the r10
+    // sf1-equivalent stress caught AQE coalescing the two actions'
+    // shuffle reads differently at scale — the pid-keyed inner join
+    // then silently DROPPED every row of an unmatched partition
+    // (459716 of 1.5M rows survived). An RDD's partitions are
+    // computed once and cached on the object, and its shuffle stages
+    // are reused across the two jobs, so the mismatch is impossible
+    // by construction — the same guarantee RDD.zipWithIndex has
+    // always documented.
     //
-    // `deterministicSource = true` is the caller's assertion that the
-    // plan re-executes identically (a parquet/orc scan, or scan +
-    // deterministic narrow ops): then two scans replace the cache —
-    // at 100 TB re-reading the input twice is far cheaper than
-    // materializing a full-corpus cached copy, and the ids land
-    // identically on both passes by the assertion.
-    val idsOnly = d.withColumn("__mid", monotonically_increasing_id())
-    val withIds =
-      if (deterministicSource) idsOnly
-      else idsOnly.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pid = PartitionIds.pid(col("__mid"))
-    val perPartition = withIds
-      .groupBy(pid.as("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets = perPartition.map(_._1)
-      .zip(perPartition.scanLeft(0L)(_ + _._2))
-    val offDf = d.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
-    withIds
-      .join(broadcast(offDf), pid === col("__pid"))
-      .select((col("__off") + PartitionIds.localPos(col("__mid"))).as(name)
-        +: d.columns.toIndexedSeq.map(col): _*)
+    // By default the input is persisted first so a NONDETERMINISTIC
+    // upstream (sampling, in-batch ids) yields the same rows to both
+    // jobs; the cache entry lives until spark.catalog.clearCache().
+    // `deterministicSource = true` is the caller's assertion that
+    // recomputing the plan yields identical rows (parquet scan +
+    // deterministic narrow ops / sort): then no full-input copy is
+    // materialized — at 100 TB re-reading beats caching — and
+    // post-shuffle stages still reuse their shuffle files.
+    val src =
+      if (deterministicSource) d
+      else d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val types = d.schema.fields.map(_.dataType)
+    val indexed = src.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, idx) =>
+        val r = row.copy() // unsafe rows are reused per input batch
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          (idx.asInstanceOf[Any] +: types.indices.map(i => r.get(i, types(i)))).toArray)
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(name,
+        org.apache.spark.sql.types.LongType, nullable = false) +: d.schema.fields)
+    org.apache.spark.sql.GraftShim.internalCreateDataFrame(d.sparkSession, indexed, schema)
   }
 
   /** Horizontal concat. polars hstack aligns by row position — at scale

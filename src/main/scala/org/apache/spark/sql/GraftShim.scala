@@ -26,4 +26,13 @@ object GraftShim {
     * jobs via a SparkListener observe a deterministic event count. */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** private[sql] InternalRow-RDD → DataFrame (no Row re-encoding) —
+    * the return path for operators that must drop to the RDD layer for
+    * a fixed partition lineage (withRowIndex's zipWithIndex). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

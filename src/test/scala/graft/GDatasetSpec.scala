@@ -275,18 +275,21 @@ class GDatasetSpec extends SparkSpec {
     val ds = GDataset(
       Tables.t(spark, Sf, "orders").select(col("o_orderkey"), col("o_totalprice")),
       "o_orderkey")
+    spark.catalog.clearCache()
     val fast = ds.sort().withRowIndex("idx", deterministicSource = true).df
-    assert(!fast.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
-      "fast path must not cache the input")
     val rows = fast.select(col("idx"), col("o_orderkey")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "fast path must not cache the input")
     assert(rows.map(_._1).sorted.toSeq == (0L until rows.length).toSeq,
       "indices not contiguous")
     assert(rows.sortBy(_._1).map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
       "index order does not follow the sort order")
-    // the default path still pins the input
-    val pinned = ds.sort().withRowIndex("idx").df
-    assert(pinned.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    // the default path still pins the input (against nondeterministic
+    // upstreams yielding different rows to the two zipWithIndex jobs)
+    ds.sort().withRowIndex("idx").df.collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "default path must pin the input")
     spark.catalog.clearCache()
   }
 

@@ -216,13 +216,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"expected exactly the query-side broadcast hint, saw $n")
   }
 
-  test("q_row_index stays DataFrame-native — no RDD round-trip") {
-    // the old zipWithIndex form left columnar execution and
-    // deserialized every row; the plan must show no RDD scan and keep
-    // the offsets side a local relation feeding a broadcast join
-    val p = planOf("q_row_index")
-    assert(!p.contains("ExistingRDD"), "row index re-enters through an RDD scan")
-    assert(p.contains("BroadcastHashJoin"), "offset attach is not a broadcast join")
+  test("q_row_index: no rows lost across many partitions under AQE") {
+    // withRowIndex deliberately drops to RDD zipWithIndex: the two
+    // DataFrame-action formulation lost rows at the sf1 stress when
+    // AQE coalesced its two jobs' shuffle reads differently and the
+    // pid-keyed inner join dropped unmatched partitions. The invariant
+    // that matters is row preservation + contiguity on a multi-way
+    // partitioned, sorted input — exactly the layout the bug hit.
+    val df = SparkEntry.queries("q_row_index")(spark, Sf)
+    val n = Tables.t(spark, Sf, "orders").count()
+    val idx = df.select(col("row_idx")).collect().map(_.getLong(0)).sorted
+    assert(idx.length == n, s"row index lost rows: ${idx.length} of $n")
+    assert(idx.toSeq == (0L until n).toSeq, "indices not contiguous from 0")
   }
 
   test("q_vocab top-k is TakeOrderedAndProject, not a global sort") {
