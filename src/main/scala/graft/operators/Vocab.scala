@@ -510,6 +510,42 @@ object Vocab {
   def driftSummary(old: DataFrame, cur: DataFrame, textCol: String): DataFrame =
     driftSummaryCounts(tokenCounts(old, textCol), tokenCounts(cur, textCol))
 
+  /** Per-stratum drift — WHICH language/source drifted: one KL(new ‖
+    * old) + JSD row per stratum, each computed over that stratum's own
+    * union vocabulary with the same Laplace smoothing as the global
+    * [[driftSummary]]. A stratum present in only one corpus still
+    * reports (its other side is all-smoothing-mass). Scale shape: one
+    * (stratum, token)-keyed partial-agg'd shuffle per corpus, a
+    * same-key full join on the reused count exchanges, per-stratum
+    * totals attached via a broadcast join of the stratum-count table
+    * (rows = #strata — config-sized), and one final per-stratum
+    * aggregation. Nothing driver-side. */
+  def driftByStratum(
+      old: DataFrame, cur: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    def counts(docs: DataFrame, as: String) = docs
+      .filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy(col("stratum"), col("token")).agg(count(lit(1)).as(as))
+    val j = counts(old, "c_old")
+      .join(counts(cur, "c_new"), Seq("stratum", "token"), "full")
+      .select(col("stratum"), col("token"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val tot = j.groupBy(col("stratum")).agg(
+      count(lit(1)).as("__v"),
+      sum(col("c_old")).as("__no"),
+      sum(col("c_new")).as("__nn"))
+    val withT = j.join(broadcast(tot), Seq("stratum"))
+    val pNew = pCol(col("c_new"), col("__nn"), col("__v"))
+    val pOld = pCol(col("c_old"), col("__no"), col("__v"))
+    val m = (pNew + pOld) / 2
+    withT.groupBy(col("stratum")).agg(
+      round(sum(pNew * log(pNew / pOld)), 6).as("kl_new_vs_old"),
+      round(sum(pOld * log(pOld / pNew)), 6).as("kl_old_vs_new"),
+      round(sum(pNew * log(pNew / m) / 2 + pOld * log(pOld / m) / 2), 6).as("jsd"))
+  }
+
   /** [[driftSummary]] from pre-built (token, c) count tables. */
   def driftSummaryCounts(oldCounts: DataFrame, curCounts: DataFrame): DataFrame = {
     val j = driftSpine(oldCounts, curCounts)

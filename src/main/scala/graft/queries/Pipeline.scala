@@ -781,6 +781,20 @@ object Pipeline {
       graft.operators.Snapshot.diff(old, cur, "doc_id", "text")
     }),
 
+    // the streaming-legal recrawl slice as a batch query: added/changed
+    // vs a frozen (id, hash) index — LEFT join, no full-outer; the form
+    // that runs unchanged on a micro-batched stream
+    "q_snapshot_new" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = graft.operators.Snapshot.hashIndex(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text")
+      val cur = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.Snapshot.newOrChanged(cur, index, "doc_id", "text")
+    }),
+
     // churn summary of the same two snapshots: one dashboard row —
     // added/removed/changed counts + the unchanged carry-over fraction
     "q_snapshot_churn" -> ((s, dir) => {
@@ -881,6 +895,18 @@ object Pipeline {
     "q_drift_summary" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Vocab.driftSummary(docs, docs.filter(col("lang") === "en"), "text")
+    }),
+
+    // per-language drift: WHICH stratum drifted — German gets planted
+    // new tokens in the "recrawl", so de's KL/JSD must dominate while
+    // the other languages show only half-sampling drift
+    "q_drift_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumn("text",
+          when(col("lang") === "de", concat(col("text"), lit(" neu wort")))
+            .otherwise(col("text")))
+      Vocab.driftByStratum(docs, cur, "lang", "text")
     })
   )
 
@@ -1778,6 +1804,37 @@ object Pipeline {
                 WHEN len(list_filter(v, x -> CAST(x AS DOUBLE) <> 0.0)) = 0 THEN 'zero'
                 ELSE 'ok' END AS reason
          FROM p""",
+    "q_drift_by_lang" ->
+      s"""WITH o AS (
+           SELECT lang AS stratum, unnest($TokSql) AS token
+           FROM documents WHERE lang IS NOT NULL),
+         n0 AS (
+           SELECT lang AS stratum,
+             CASE WHEN lang = 'de' THEN text || ' neu wort' ELSE text END AS text
+           FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL),
+         nt AS (SELECT stratum, unnest($TokSql) AS token FROM n0),
+         oc AS (SELECT stratum, token, count(*) AS c_old FROM o GROUP BY 1, 2),
+         ncc AS (SELECT stratum, token, count(*) AS c_new FROM nt GROUP BY 1, 2),
+         j AS (
+           SELECT coalesce(oc.stratum, ncc.stratum) AS stratum,
+                  coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+           FROM oc FULL JOIN ncc
+             ON oc.stratum = ncc.stratum AND oc.token = ncc.token),
+         tot AS (
+           SELECT stratum, count(*) AS v, CAST(sum(c_old) AS BIGINT) AS no,
+                  CAST(sum(c_new) AS BIGINT) AS nn
+           FROM j GROUP BY stratum),
+         p AS (
+           SELECT j.stratum,
+             ((c_new + 1.0) / (nn + v)) AS pn,
+             ((c_old + 1.0) / (no + v)) AS po
+           FROM j JOIN tot ON j.stratum = tot.stratum)
+         SELECT stratum,
+           round(sum(pn * ln(pn / po)), 6) AS kl_new_vs_old,
+           round(sum(po * ln(po / pn)), 6) AS kl_old_vs_new,
+           round(sum(pn * ln(pn / ((pn + po) / 2)) / 2
+                   + po * ln(po / ((pn + po) / 2)) / 2), 6) AS jsd
+         FROM p GROUP BY stratum""",
     // epoch-planner replica: targets are the same floor(share × 50000)
     // literals the when-chain bakes in; epochs/caps are exact integer
     // ratios and floors
@@ -1900,6 +1957,18 @@ object Pipeline {
                 coalesce(n.h, o.h) AS content_hash
          FROM o FULL JOIN n ON o.doc_id = n.doc_id
          WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h""",
+    "q_snapshot_new" ->
+      """WITH o AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+         n AS (
+           SELECT doc_id,
+                  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT n.doc_id AS id,
+                CASE WHEN o.h IS NULL THEN 'added' ELSE 'changed' END AS status,
+                n.h AS content_hash
+         FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+         WHERE o.h IS NULL OR o.h <> n.h""",
     "q_snapshot_churn" ->
       """WITH o AS (
            SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),

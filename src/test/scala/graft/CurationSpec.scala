@@ -202,6 +202,17 @@ class CurationSpec extends SparkSpec {
       SearchSorted.insertionIndexes(df, "v", Seq(2.0), "middle"))
   }
 
+  test("driftByStratum isolates the drifted stratum") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val old = Seq(("de", "ein zwei drei"), ("en", "one two three")).toDF("lang", "text")
+    val cur = Seq(("de", "ein zwei drei neu wort"), ("en", "one two three")).toDF("lang", "text")
+    val got = Vocab.driftByStratum(old, cur, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("de") > got("en"), s"planted de drift must dominate: $got")
+    assert(got("en") == 0.0, "identical en snapshots must show zero JSD")
+  }
+
   test("paddingStats rejects unsorted or empty boundary lists") {
     import spark.implicits._
     val docs = Seq((1L, 5L)).toDF("id", "n_tok")
