@@ -649,7 +649,7 @@ class PlanAuditSpec extends SparkSpec {
     // the same joined count table the terms read — if exchange reuse
     // breaks, every corpus (old + new) scans twice and the monitor
     // pays double at 100 TB
-    for (q <- Seq("q_token_drift", "q_drift_summary")) {
+    for (q <- Seq("q_token_drift", "q_drift_summary", "q_drift_by_lang")) {
       val fin = finalPlanOf(SparkEntry.queries(q)(spark, Sf))
       val scans = fin.linesIterator.count(_.contains("FileScan"))
       assert(scans <= 2, s"$q scans the corpus $scans times:\n$fin")
