@@ -521,14 +521,37 @@ object Vocab {
     * (rows = #strata — config-sized), and one final per-stratum
     * aggregation. Nothing driver-side. */
   def driftByStratum(
-      old: DataFrame, cur: DataFrame, stratumCol: String, textCol: String): DataFrame = {
-    def counts(docs: DataFrame, as: String) = docs
-      .filter(col(stratumCol).isNotNull)
+      old: DataFrame, cur: DataFrame, stratumCol: String, textCol: String): DataFrame =
+    driftByStratumCounts(
+      stratumTokenCounts(old, stratumCol, textCol),
+      stratumTokenCounts(cur, stratumCol, textCol))
+
+  /** (stratum, token, c) counts — the persistable/foldable input of
+    * the per-stratum drift family (the [[tokenCounts]] shape with the
+    * stratum riding the key). */
+  def stratumTokenCounts(
+      docs: DataFrame, stratumCol: String, textCol: String): DataFrame =
+    docs.filter(col(stratumCol).isNotNull)
       .select(col(stratumCol).as("stratum"),
         explode(TF.tokens(col(textCol))).as("token"))
-      .groupBy(col("stratum"), col("token")).agg(count(lit(1)).as(as))
-    val j = counts(old, "c_old")
-      .join(counts(cur, "c_new"), Seq("stratum", "token"), "full")
+      .groupBy(col("stratum"), col("token")).agg(count(lit(1)).as("c"))
+
+  /** Fold two (stratum, token, c) tables — the incremental-update step
+    * of a maintained per-stratum running count. */
+  def mergeStratumTokenCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("stratum"), col("token"), col("c").as("__ca"))
+      .join(b.select(col("stratum"), col("token"), col("c").as("__cb")),
+        Seq("stratum", "token"), "full")
+      .select(col("stratum"), col("token"),
+        (coalesce(col("__ca"), lit(0L)) + coalesce(col("__cb"), lit(0L))).as("c"))
+
+  /** [[driftByStratum]] from pre-built (stratum, token, c) tables —
+    * the standing-monitor form; duplicate key rows merge by summing. */
+  def driftByStratumCounts(oldCounts: DataFrame, curCounts: DataFrame): DataFrame = {
+    def merged(counts: DataFrame, as: String) = counts
+      .groupBy(col("stratum"), col("token")).agg(sum(col("c")).as(as))
+    val j = merged(oldCounts, "c_old")
+      .join(merged(curCounts, "c_new"), Seq("stratum", "token"), "full")
       .select(col("stratum"), col("token"),
         coalesce(col("c_old"), lit(0L)).as("c_old"),
         coalesce(col("c_new"), lit(0L)).as("c_new"))

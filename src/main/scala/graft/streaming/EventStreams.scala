@@ -230,6 +230,30 @@ object EventStreams {
     }.start()
   }
 
+  /** Per-stratum twin of [[driftMonitoringSink]]: running
+    * (stratum, token) counts fold per micro-batch and the cumulative
+    * per-stratum KL/JSD table emits — WHICH language/source is
+    * drifting, live. Same associative-fold contract: the emitted table
+    * after any prefix equals the batch
+    * [[graft.operators.Vocab.driftByStratumCounts]] over the rows
+    * seen so far (spec-pinned). */
+  def stratumDriftMonitoringSink(
+      docs: DataFrame,
+      stratumCol: String,
+      textCol: String,
+      refCounts: DataFrame,
+      loadCounts: () => DataFrame,
+      saveCounts: DataFrame => Unit,
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Vocab
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val merged = Vocab.mergeStratumTokenCounts(
+        loadCounts(), Vocab.stratumTokenCounts(batch, stratumCol, textCol))
+      saveCounts(merged)
+      emit(Vocab.driftByStratumCounts(refCounts, merged))
+    }.start()
+  }
+
   /** Streaming corpus-health monitor — the live twin of
     * [[graft.operators.Curate.healthReport]]: each micro-batch's
     * one-row signal sums fold into maintained running sums (additive,

@@ -548,6 +548,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-stratum drift: cumulative table equals the batch drift at every prefix") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val docs = Tables.t(spark, Sf, "documents")
+    val ref = Vocab.stratumTokenCounts(docs, "lang", "text").localCheckpoint()
+    var counts = Vocab.stratumTokenCounts(docs.limit(0), "lang", "text").localCheckpoint()
+    var emitted = Seq.empty[Map[String, (Double, Double, Double)]]
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val q = EventStreams.stratumDriftMonitoringSink(
+      stream.toDS().toDF("doc_id", "lang", "text"), "lang", "text", ref,
+      loadCounts = () => counts,
+      saveCounts = c => counts = c.localCheckpoint(),
+      emit = d => emitted = emitted :+ toMap(d))
+    try {
+      def feed(part: org.apache.spark.sql.DataFrame): Unit = {
+        stream.addData(part.select("doc_id", "lang", "text").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(docs.filter(col("doc_id") < 100))
+      feed(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+      def batchAt(pred: org.apache.spark.sql.Column) = toMap(
+        Vocab.driftByStratumCounts(ref,
+          Vocab.stratumTokenCounts(docs.filter(pred), "lang", "text")))
+      assert(emitted == Seq(
+        batchAt(col("doc_id") < 100),
+        batchAt(col("doc_id") < 200)),
+        "every prefix's streamed per-stratum drift must equal the batch table")
+    } finally q.stop()
+  }
+
   test("streaming health monitor: cumulative dashboard equals the batch report at every prefix") {
     import spark.implicits._
     import graft.operators.Curate
