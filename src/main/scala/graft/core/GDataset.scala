@@ -332,6 +332,22 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     transform(graft.operators.Sampling
       .budgetPerStratum(_, stratum, order, weightCol, budget))
 
+  /** polars cut(breaks, labels=, left_closed=) on the wrapper
+    * (Binning.cut): fixed-break binning as a scan-local codegen'd
+    * when-chain; the label column is a new value_var. */
+  def cut(c: String, breaks: Seq[Double], labels: Seq[String] = Nil,
+      leftClosed: Boolean = false, out: String = "bin"): GDataset =
+    transform(graft.operators.Binning.cut(_, c, breaks, labels, leftClosed, out))
+
+  /** polars qcut(quantiles, labels=, left_closed=) on the wrapper
+    * (Binning.qcut): exact-quantile breaks — distributed range
+    * partitioning, one broadcast join back — then the same scan-local
+    * when-chain; optionally per group. */
+  def qcut(c: String, quantiles: Seq[Double], labels: Seq[String] = Nil,
+      leftClosed: Boolean = false, groupCols: Seq[String] = Nil,
+      out: String = "bin"): GDataset =
+    transform(graft.operators.Binning.qcut(_, c, quantiles, labels, leftClosed, groupCols, out))
+
   /** polars fill_null(strategy="mean"/"median") on the wrapper,
     * optionally per group (Relational.fillNullStrategy — grouped mean
     * is one window; global statistics broadcast; median reuses the
@@ -399,7 +415,16 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     // post-shuffle stages still reuse their shuffle files.
     val src =
       if (deterministicSource) d
-      else d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        // persist, then rebuild a fresh Dataset over the SAME plan: if a
+        // prior action already forced d.queryExecution before this call,
+        // that QueryExecution was planned without cache substitution and
+        // persisting d would silently no-op for toRdd below. A fresh
+        // Dataset re-runs withCachedData at planning time, so both
+        // zipWithIndex jobs provably read through the cache.
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.select(col("*"))
+      }
     val types = d.schema.fields.map(_.dataType)
     val indexed = src.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
       it.map { case (row, idx) =>

@@ -373,7 +373,9 @@ object TextFunctions {
     * path and query is PRESERVED (semantically significant on most
     * servers). Null-safe: null in, null out. */
   def canonicalUrl(url: Column): Column = {
-    val u = trim(url)
+    // fragment stripped FIRST: a '?' appearing only inside the fragment
+    // (https://ex.com/p#sec?x=1) must not be parsed as a query string
+    val u = regexp_replace(trim(url), "#.*", "")
     val path0 = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     val path = when(path0 === "", lit("/"))
       .otherwise(regexp_replace(path0, "^(/.*[^/])/$", "$1"))
@@ -412,6 +414,35 @@ object TextFunctions {
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(sh, s => xxhash64(s, seed))))
+  }
+
+  /** SimHash with md5-derived bits, as a 64-char '0'/'1' string — the
+    * ORACLE-CHECKABLE twin of [[simhash]]: the operator shape is
+    * identical (per bit, sign of the Σ±1 over token-hash bits; equal
+    * signatures ⇔ hamming distance 0) but each bit comes from an md5
+    * hex digit instead of XXH64, so any engine with md5 + string ops
+    * reproduces the signature byte-for-byte (DuckDB lacks XXH64; its
+    * 64-bit multiply-rotate chain is not SQL-replicable, md5 is). Bit b
+    * is bit (b mod 4) of hex digit b/4. Scan-local codegen'd HOFs,
+    * zero shuffles; an empty token list yields the all-zeros signature
+    * (callers pair-generating should filter empty docs — two empty
+    * docs ARE hamming-0 duplicates, but usually filtered upstream). */
+  def simhashMd5(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0).cast("long"), 64),
+      (acc, t) => {
+        val h = md5(t)
+        val bits = array((0 until 64).map { b =>
+          val digit = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("long")
+          when(shiftright(digit, b % 4).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))
+        }: _*)
+        zip_with(acc, bits, (a, v) => a + v)
+      })
+    array_join(
+      transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of

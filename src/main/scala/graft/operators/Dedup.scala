@@ -212,6 +212,30 @@ object Dedup {
       docs.select(col(idCol).as("id"), TextHashColumns.simhash(col(textCol)).as("sig")),
       maxHamming, maxBucketSize)
 
+  /** SimHash duplicate pairs at hamming radius ZERO — the exact
+    * parameterization of [[simhashPairs]] (the q_ann_ivf_exact trick):
+    * at radius 0 the pigeonhole banding degenerates to one chunk = the
+    * whole signature, so the pair set is EXACTLY the equal-signature
+    * self-join — no verification filter, no recall question. The
+    * signature is the md5-bit variant
+    * ([[graft.functions.TextFunctions.simhashMd5]]) so a SQL oracle
+    * reproduces every bit (DuckDB lacks XXH64). Plan shape matches the
+    * radius-N family: signatures computed scan-side, ids + a 64-char
+    * key through the one bucket shuffle, bucket caps bound the
+    * quadratic corner. Empty docs (no tokens) are excluded — the
+    * all-zeros signature would pair every empty doc with every other. */
+  def simhashExactPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.simhashMd5(col(textCol)).as("key"))
+    candidatePairs(sigs, Seq("key"), maxBucketSize)
+  }
+
   /** Image near-dup pairs via a 64-bit perceptual hash (dHash of the
     * REAL decoded pixels, [[Multimodal.dHash64]]): the multimodal face
     * of the hamming family — the first thing a multimodal corpus

@@ -304,12 +304,17 @@ object Vocab {
     val c23 = c3.groupBy(col("v"), col("w")).agg(sum(col("c3")).as("c23"))
     val c2m = c23.groupBy(col("v")).agg(sum(col("c23")).as("c2m"))
     val cw = c23.groupBy(col("w")).agg(sum(col("c23")).as("cw"))
-    val total = c3.agg(sum(col("c3"))).first().getLong(0)
-    require(total > 0, "trigram model has zero transitions")
+    // model total rides IN-PLAN as a broadcast 1-row aggregate (the
+    // lmScoreTrigram idiom) — no eager job, so the frozen-model scorer
+    // composes into one fully lazy plan. It attaches to the model-sized
+    // cw table, never in a doc-sized join. An EMPTY model yields a NULL
+    // total, every backoff term coalesces to zero, and the result is
+    // empty — the zero-trigram convention, not an error.
+    val totalT = c3.agg(sum(col("c3")).cast("double").as("__T"))
     val p =
       coalesce(lit(l3) * (col("c3").cast("double") / col("c12")), lit(0.0)) +
       coalesce(lit(l2) * (col("c23").cast("double") / col("c2m")), lit(0.0)) +
-      coalesce(lit(l1) * (col("cw").cast("double") / lit(total.toDouble)), lit(0.0))
+      coalesce(lit(l1) * (col("cw").cast("double") / col("__T")), lit(0.0))
     // FLAT occurrence stream through three LEFT joins, one per backoff
     // level — the minimum that preserves backoff (a lower order can be
     // known when the higher one isn't). Denominators ride their
@@ -319,7 +324,7 @@ object Vocab {
     tg
       .join(c3.join(c12, Seq("u", "v")), Seq("u", "v", "w"), "left")
       .join(c23.join(c2m, Seq("v")), Seq("v", "w"), "left")
-      .join(cw, Seq("w"), "left")
+      .join(cw.crossJoin(broadcast(totalT)), Seq("w"), "left")
       .withColumn("__p", p)
       .filter(col("__p") > 0)
       .groupBy(col("id"))

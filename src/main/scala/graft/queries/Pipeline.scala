@@ -201,6 +201,12 @@ object Pipeline {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
 
+    // the hamming-0 EXACT parameterization: equal md5-bit signatures,
+    // oracle-checked bit-for-bit in DuckDB (the radius-N xxhash64
+    // variant above stays rows-only — XXH64 isn't SQL-replicable)
+    "q_dedup_simhash_exact" -> ((s, dir) =>
+      Dedup.simhashExactPairs(t(s, dir, "documents"), "doc_id", "text")),
+
     // image near-dup: deterministic synthetic PNG corpus (real encode →
     // real ImageIO decode → real dHash) banded into hamming candidates.
     // Rows-only: pixel hashes aren't expressible in DuckDB; pairing
@@ -923,7 +929,7 @@ object Pipeline {
                  '^(http://[^/?#:]+):80$', '\1'),
                '^(https://[^/?#:]+):443$', '\1') AS origin,
              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
-             regexp_extract(url, '\?([^#]*)', 1) AS q,
+             regexp_extract(regexp_replace(url, '#.*', ''), '\?([^#]*)', 1) AS q,
              lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host
            FROM u),
          canon0 AS (
@@ -1023,6 +1029,24 @@ object Pipeline {
               / greatest(length(text), 1) AS sym,
             ${hitsSql(TF.Stopwords.flatMap(_._2))} AS stop_hits
           FROM documents)"""
+
+  // TextFunctions.simhashMd5 replica: per (doc, token), 64 sign bits
+  // from md5 hex digits (bit b = bit b%4 of digit b/4); per doc, the
+  // 64 summed signs concatenate into the '0'/'1' signature string.
+  // Generated programmatically — 64 CASE expressions per stage.
+  private val SimhashMd5Ctes: String = {
+    val bits = (0 until 64).map { b =>
+      val pos = b / 4 + 1
+      val k = b % 4
+      s"CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), $pos, 1)) - 1) >> $k) & 1) = 1 THEN 1 ELSE -1 END AS b$b"
+    }.mkString(", ")
+    val sig = (0 until 64)
+      .map(b => s"CASE WHEN sum(b$b) > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""toks AS (
+           SELECT doc_id, unnest($TokSql) AS tok FROM documents),
+         bits AS (SELECT doc_id, $bits FROM toks),
+         sigs AS (SELECT doc_id, $sig AS key FROM bits GROUP BY doc_id)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -2097,7 +2121,11 @@ object Pipeline {
            round(sum(po * ln(po / pn)), 6) AS kl_old_vs_new,
            round(sum(pn * ln(pn / ((pn + po) / 2)) / 2
                    + po * ln(po / ((pn + po) / 2)) / 2), 6) AS jsd
-         FROM p"""
+         FROM p""",
+    "q_dedup_simhash_exact" ->
+      s"""WITH $SimhashMd5Ctes
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sigs a JOIN sigs b ON a.key = b.key AND a.doc_id < b.doc_id""",
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
     // q_ann_ivf_pq / q_mixture_cluster: hash/quantizer/k-means
     // approximations not expressible in DuckDB — rows-only + recall

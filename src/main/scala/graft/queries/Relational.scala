@@ -558,32 +558,30 @@ object Relational {
         count(lit(1)).over(w).as("ccnt"))
     }),
 
-    // cut: fixed-break binning (polars cut) — a codegen'd when-chain,
-    // boundaries on exact integral values so both engines compare alike
-    "q_cut" -> ((s, dir) => {
-      val q = col("l_quantity")
-      t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        when(q <= 10, "q00_10").when(q <= 25, "q10_25")
-          .when(q <= 40, "q25_40").otherwise("q40_up").as("qty_bin"))
-    }),
+    // cut: fixed-break binning (polars cut(breaks, labels=,
+    // left_closed=)) through the parameterized Binning.cut API — a
+    // codegen'd when-chain, boundaries on exact integral values so
+    // both engines compare alike
+    "q_cut" -> ((s, dir) =>
+      graft.operators.Binning.cut(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        "l_quantity", Seq(10, 25, 40),
+        Seq("q00_10", "q10_25", "q25_40", "q40_up"), out = "qty_bin")
+        .drop("l_quantity")),
 
-    // qcut: quantile binning via the DISTRIBUTED exact quantiles (a
-    // global ntile would put the whole table in one window task);
-    // breaks join back as a 3-row broadcast
-    "q_qcut" -> ((s, dir) => {
-      val breaks = graft.operators.Quantiles.exactQuantiles(
-        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")),
-        Seq("l_returnflag"), "l_extendedprice",
-        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-      val v = col("l_extendedprice")
-      t(s, dir, "lineitem")
-        .join(broadcast(breaks), Seq("l_returnflag"))
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          when(v <= col("p25"), "q1").when(v <= col("p50"), "q2")
-            .when(v <= col("p75"), "q3").otherwise("q4").as("price_quartile"))
-    }),
+    // qcut: quantile binning (polars qcut) through Binning.qcut — the
+    // DISTRIBUTED exact quantiles (a global ntile would put the whole
+    // table in one window task); per-group breaks join back as a
+    // 3-row-per-group broadcast
+    "q_qcut" -> ((s, dir) =>
+      graft.operators.Binning.qcut(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75),
+        Seq("q1", "q2", "q3", "q4"), groupCols = Seq("l_returnflag"),
+        out = "price_quartile")
+        .drop("l_returnflag", "l_extendedprice")),
 
     // to_dummies: one-hot over the fixed TPC-H category set
     "q_dummies" -> ((s, dir) => {

@@ -224,7 +224,12 @@ object EventStreams {
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Vocab
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // materialize BEFORE save: merged is a lazy plan over loadCounts(),
+      // so with a parquet-table state backend an unmaterialized emit would
+      // re-read the just-overwritten path (double-counting the batch) or
+      // hit a read-while-write conflict
       val merged = Vocab.mergeTokenCounts(loadCounts(), Vocab.tokenCounts(batch, textCol))
+        .localCheckpoint()
       saveCounts(merged)
       emit(Vocab.driftSummaryCounts(refCounts, merged))
     }.start()
@@ -247,8 +252,10 @@ object EventStreams {
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Vocab
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // materialized before save — see driftMonitoringSink
       val merged = Vocab.mergeStratumTokenCounts(
         loadCounts(), Vocab.stratumTokenCounts(batch, stratumCol, textCol))
+        .localCheckpoint()
       saveCounts(merged)
       emit(Vocab.driftByStratumCounts(refCounts, merged))
     }.start()
@@ -271,7 +278,9 @@ object EventStreams {
       emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Curate
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // materialized before save — see driftMonitoringSink
       val merged = Curate.mergeHealthSums(loadSums(), Curate.healthSums(batch, textCol))
+        .localCheckpoint()
       saveSums(merged)
       emit(Curate.finalizeHealth(merged))
     }.start()
