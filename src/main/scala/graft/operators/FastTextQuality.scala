@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** fastText-style quality classifier — the OTHER half of the
+  * CCNet/LLaMA curation recipe next to [[QualityModel]]: where
+  * QualityModel scores six engineered signals, this one is a linear
+  * model over a bag of HASHED token n-grams (the fastText hashing
+  * trick: no vocabulary, every unigram/bigram hashes into a fixed
+  * bucket table), trained driver-side on a bounded labeled sample and
+  * applied corpus-wide as a codegen'd sparse dot product.
+  *
+  * 100 TB shape: training cost is fixed by `maxSample` (one bounded
+  * collect of int arrays — the BUCKET ids, computed by the same Spark
+  * expressions that score, so the driver never re-implements the
+  * hash). Scoring is scan-local: tokens → buckets → one `aggregate`
+  * HOF summing `element_at` lookups into the weight table, which
+  * ships inside the plan as a single array literal (`numBuckets` × 8
+  * bytes — 256 KB at the default 2^15; for fastText-scale tables
+  * (2^21+) switch to an explode + broadcast-join on bucket id rather
+  * than a multi-MB plan literal). Zero shuffles, no model object, and
+  * bit-reproducible: fixed-iteration full-batch gradient descent, no
+  * RNG, no data-order dependence.
+  */
+object FastTextQuality {
+
+  /** Hashed n-gram bucket ids for one document: unigrams up to
+    * `wordNgrams`-grams (fastText wordNgrams), each
+    * xxhash64-bucketed into [0, numBuckets). Scan-local HOFs; a doc
+    * shorter than n contributes no n-grams at that order. */
+  def docBuckets(text: Column, numBuckets: Int, wordNgrams: Int = 2): Column = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(wordNgrams >= 1 && wordNgrams <= 3, "wordNgrams must be 1..3")
+    val toks = TF.tokens(text)
+    val grams = (1 to wordNgrams).map { n =>
+      if (n == 1) toks
+      else
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    val all = grams.reduce(concat(_, _))
+    transform(all, g => pmod(xxhash64(g), lit(numBuckets)).cast("int"))
+  }
+
+  /** Full-batch logistic regression over normalized bucket counts,
+    * trained on the first `maxSample` docs in `orderCol` order (the
+    * [[QualityModel.train]] determinism contract). Feature x_b =
+    * count of bucket b in the doc / total n-grams. Returns
+    * `numBuckets + 1` weights, intercept first. */
+  def train(
+      docs: DataFrame,
+      labelCol: String,
+      textCol: String,
+      orderCol: String,
+      numBuckets: Int = 1 << 15,
+      wordNgrams: Int = 2,
+      maxSample: Int = 4096,
+      iters: Int = 150,
+      lr: Double = 0.5): Array[Double] = {
+    require(maxSample > 0 && iters > 0 && lr > 0, "maxSample, iters, lr must be positive")
+    val sample = docs
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .orderBy(col(orderCol))
+      .limit(maxSample)
+      .select(col(labelCol).cast("double"),
+        docBuckets(col(textCol), numBuckets, wordNgrams))
+      .collect()
+      .map { r =>
+        val bkts = r.getSeq[Int](1)
+        val x =
+          if (bkts.isEmpty) Array.empty[(Int, Double)]
+          else bkts.groupBy(identity)
+            .map { case (b, c) => (b, c.size.toDouble / bkts.size) }
+            .toArray.sortBy(_._1)
+        (r.getDouble(0), x)
+      }
+    require(sample.nonEmpty, "training sample is empty")
+    val labels = sample.map(_._1)
+    require(labels.forall(l => l == 0.0 || l == 1.0), "labelCol must be 0/1-valued")
+    require(labels.distinct.length == 2,
+      "training sample needs both positive and negative labels")
+    val n = sample.length
+    val w = new Array[Double](numBuckets + 1)
+    var it = 0
+    while (it < iters) {
+      val grad = new Array[Double](numBuckets + 1)
+      var r = 0
+      while (r < n) {
+        val (y, x) = sample(r)
+        var z = w(0)
+        var j = 0
+        while (j < x.length) { z += w(x(j)._1 + 1) * x(j)._2; j += 1 }
+        val err = 1.0 / (1.0 + math.exp(-z)) - y
+        grad(0) += err
+        j = 0
+        while (j < x.length) { grad(x(j)._1 + 1) += err * x(j)._2; j += 1 }
+        r += 1
+      }
+      var j = 0
+      while (j <= numBuckets) { w(j) -= lr * grad(j) / n; j += 1 }
+      it += 1
+    }
+    require(w.forall(v => !v.isNaN && !v.isInfinite),
+      "training diverged — lower lr or check labels")
+    w
+  }
+
+  /** Corpus-wide score in (0, 1): sigmoid of intercept + the mean
+    * bucket weight over the doc's hashed n-grams — algebraically the
+    * trained linear form over normalized counts (Σ_b w_b·cnt_b/N =
+    * Σ over occurrences of w_b/N). A doc with no tokens scores
+    * sigmoid(intercept). The weight table is one plan literal; the
+    * lookup chain stays inside whole-stage codegen. */
+  def score(weights: Array[Double], text: Column, wordNgrams: Int = 2): Column = {
+    require(weights.length >= 2, "weights must be intercept + bucket table")
+    val numBuckets = weights.length - 1
+    val table = typedlit(weights.drop(1))
+    val bkts = docBuckets(text, numBuckets, wordNgrams)
+    val z = lit(weights(0)) +
+      when(size(bkts) > 0,
+        aggregate(bkts, lit(0.0), (acc, b) => acc + element_at(table, b + 1))
+          / size(bkts))
+        .otherwise(lit(0.0))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+}

@@ -290,6 +290,32 @@ object Sampling {
       tokenCol: String,
       weights: Map[String, Double],
       totalTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame =
+    mixturePlanFromCounts(
+      domainTokenCounts(df, domain, tokenCol), weights, totalTokens, maxEpochs)
+
+  /** The persistable/foldable state of [[mixturePlan]]: per-domain
+    * available-token sums. Associative under [[mergeDomainTokenCounts]]
+    * — any batching of the corpus folds to the same table, which is
+    * what the streaming twin ([[graft.streaming.EventStreams
+    * .mixturePlanMonitoringSink]]) maintains. */
+  def domainTokenCounts(df: DataFrame, domain: Column, tokenCol: String): DataFrame =
+    df.filter(domain.isNotNull)
+      .groupBy(domain.cast("string").as("domain"))
+      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("available_tokens"))
+
+  /** Fold two [[domainTokenCounts]] tables: one domain-keyed sum. */
+  def mergeDomainTokenCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("domain"))
+      .agg(sum(col("available_tokens")).as("available_tokens"))
+
+  /** Finalize an epoch plan from a [[domainTokenCounts]] table —
+    * targets are a broadcast when-chain literal, everything else is
+    * per-row arithmetic on the config-sized domain table. */
+  def mixturePlanFromCounts(
+      counts: DataFrame,
+      weights: Map[String, Double],
+      totalTokens: Long,
       maxEpochs: Double = 4.0): DataFrame = {
     require(totalTokens > 0, "totalTokens must be positive")
     require(weights.nonEmpty, "weights must name at least one domain")
@@ -302,9 +328,7 @@ object Sampling {
         when(col("domain") === d,
           lit(math.floor(wt / norm * totalTokens).toLong)).otherwise(acc)
       }
-    df.filter(domain.isNotNull)
-      .groupBy(domain.cast("string").as("domain"))
-      .agg(coalesce(sum(col(tokenCol)), lit(0L)).as("available_tokens"))
+    counts
       .withColumn("target_tokens", target)
       .filter(col("target_tokens") > 0)
       .withColumn("epochs",

@@ -146,6 +146,22 @@ object Pipeline {
         round(graft.operators.QualityModel.score(w, col("text")), 4).as("model_quality"))
     }),
 
+    // fastText-style hashed-ngram classifier (rows-only by design:
+    // the xxhash64 bucket table isn't DuckDB-expressible; separation
+    // + determinism are spec-pinned like QualityModel's). Trained on
+    // the same rule-labeled slice, scored corpus-wide as a codegen'd
+    // sparse dot over the plan-literal weight table.
+    "q_quality_fasttext" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("label",
+        (TF.filterReason(col("text")) === "ok").cast("int"))
+      val w = graft.operators.FastTextQuality.train(
+        labeled, "label", "text", "doc_id", numBuckets = 1 << 14)
+      docs.select(col("doc_id"),
+        round(graft.operators.FastTextQuality.score(w, col("text")), 4)
+          .as("ft_quality"))
+    }),
+
     // word-2-GRAM repetition + top-unigram fraction via the native
     // one-pass RepetitionStats kernel: scan-local, zero shuffle — the
     // 2-gram complement of q_repetition's unigram signals, whose
@@ -2127,8 +2143,8 @@ object Pipeline {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM sigs a JOIN sigs b ON a.key = b.key AND a.doc_id < b.doc_id""",
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
-    // q_ann_ivf_pq / q_mixture_cluster: hash/quantizer/k-means
-    // approximations not expressible in DuckDB — rows-only + recall
-    // and invariant specs.
+    // q_ann_ivf_pq / q_mixture_cluster / q_quality_fasttext:
+    // hash/quantizer/k-means approximations not expressible in
+    // DuckDB — rows-only + recall and invariant specs.
   )
 }

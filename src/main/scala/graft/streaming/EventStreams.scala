@@ -286,6 +286,40 @@ object EventStreams {
     }.start()
   }
 
+  /** Streaming mixture-epoch planner — the live twin of
+    * [[graft.operators.Sampling.mixturePlan]], and the last curation
+    * dashboard to get a streaming fold: each micro-batch's per-domain
+    * token sums ([[graft.operators.Sampling.domainTokenCounts]]) fold
+    * into the maintained running counts (associative domain-keyed
+    * sums), and the finalized epoch plan — available vs target tokens,
+    * epoch ratio, the repeat-cap flag — emits per batch, so "we no
+    * longer have enough fresh Wikipedia for this mixture" fires while
+    * the corpus is still ingesting. State is one config-sized
+    * (domain, available_tokens) table, wherever `loadCounts`/
+    * `saveCounts` put it. The emitted plan after any prefix equals the
+    * batch [[graft.operators.Sampling.mixturePlan]] over exactly the
+    * rows seen so far (spec-pinned). */
+  def mixturePlanMonitoringSink(
+      docs: DataFrame,
+      domainCol: String,
+      tokenCol: String,
+      weights: Map[String, Double],
+      totalTokens: Long,
+      maxEpochs: Double,
+      loadCounts: () => DataFrame,
+      saveCounts: DataFrame => Unit,
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Sampling
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // materialized before save — see driftMonitoringSink
+      val merged = Sampling.mergeDomainTokenCounts(
+        loadCounts(), Sampling.domainTokenCounts(batch, col(domainCol), tokenCol))
+        .localCheckpoint()
+      saveCounts(merged)
+      emit(Sampling.mixturePlanFromCounts(merged, weights, totalTokens, maxEpochs))
+    }.start()
+  }
+
   /** Stream-static enrichment: a broadcast left join against a batch
     * dimension table — stateless (no watermark needed), the dimension
     * ships to every task and each micro-batch joins map-side. The

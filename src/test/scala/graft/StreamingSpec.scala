@@ -647,6 +647,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming mixture-epoch planner: prefix plan equals batch mixturePlan, parquet state backend") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    import graft.functions.{TextFunctions => TF}
+    val weights = Map("en" -> 0.6, "de" -> 0.4)
+    val docs = Tables.t(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+    // REAL overwrite-in-place parquet state — the backend the sink
+    // docstrings recommend. Before the sinks materialized `merged`
+    // ahead of saveCounts, this exact shape double-counted (emit
+    // recomputed the lazy merge over the just-overwritten path), so
+    // this test pins the materialize-before-save contract.
+    val stateDir = java.nio.file.Files.createTempDirectory("mixstate").toString
+    Sampling.domainTokenCounts(docs.limit(0), col("lang"), "n_tok")
+      .write.mode("overwrite").parquet(stateDir)
+    var emitted = Seq.empty[Set[Seq[Any]]]
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)](spark)
+    val q = EventStreams.mixturePlanMonitoringSink(
+      stream.toDS().toDF("doc_id", "lang", "n_tok"), "lang", "n_tok",
+      weights, totalTokens = 50000L, maxEpochs = 2.0,
+      loadCounts = () => spark.read.parquet(stateDir),
+      saveCounts = c => c.write.mode("overwrite").parquet(stateDir),
+      emit = d => emitted = emitted :+ d.collect().map(_.toSeq).toSet)
+    try {
+      def feed(pred: org.apache.spark.sql.Column): Unit = {
+        stream.addData(docs.filter(pred).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(col("doc_id") < 100)
+      feed(col("doc_id") >= 100 && col("doc_id") < 250)
+      def batchAt(pred: org.apache.spark.sql.Column) =
+        Sampling.mixturePlan(docs.filter(pred), col("lang"), "n_tok",
+          weights, 50000L, 2.0).collect().map(_.toSeq).toSet
+      assert(emitted == Seq(
+        batchAt(col("doc_id") < 100),
+        batchAt(col("doc_id") < 250)),
+        "every prefix's streamed epoch plan must equal the batch planner")
+    } finally q.stop()
+  }
+
   test("URL canonicalization and the domain blocklist filter run unchanged on a stream") {
     // canonicalUrl is a stateless Column kernel; blocklistFilter is a
     // stream-static broadcast ANTI-join — both legal in streaming, so
