@@ -332,6 +332,14 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     transform(graft.operators.Sampling
       .budgetPerStratum(_, stratum, order, weightCol, budget))
 
+  /** polars rolling_map on the wrapper: generic bounded-window kernel
+    * over `c` per id-var group in index order (Relational.rollingMap
+    * — the kernel is a Column expression over the window array, so
+    * the whole pass stays codegen'd). */
+  def rollingMap(c: String, n: Int, out: String)(kernel: Column => Column): GDataset =
+    transform(graft.queries.Relational.rollingMap(
+      _, idVars.map(col), Seq(col(index)), c, n, out)(kernel))
+
   /** polars cut(breaks, labels=, left_closed=) on the wrapper
     * (Binning.cut): fixed-break binning as a scan-local codegen'd
     * when-chain; the label column is a new value_var. */

@@ -343,6 +343,16 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("rmean"))
     }),
 
+    // rolling_map (polars rolling_map): the GENERIC windowed kernel —
+    // here a rolling midrange, a kernel no named rolling op covers,
+    // oracle-checked against DuckDB's min/max window composition
+    "q_rolling_map" -> ((s, dir) =>
+      rollingMap(
+        t(s, dir, "events"), Seq(col("user_id")), Seq(col("ts"), col("event_id")),
+        "value", 4, "midrange")(a =>
+          round((array_min(a) + array_max(a)) / 2, 4))
+        .select(col("user_id"), col("event_id"), col("midrange"))),
+
     // rolling min/max (polars rolling_min/rolling_max): exact values,
     // no float accumulation, one window pass over the shared key sort
     "q_rolling_minmax" -> ((s, dir) => {
@@ -1519,46 +1529,95 @@ object Relational {
     * distributed form of polars `Series.rank("average")`. NO global
     * single-partition window: the CDF's minimal representation (one
     * (value, count) row per distinct value) is range-partitioned by
-    * value and cumulated with the withRowIndex two-scan idiom — a
-    * within-partition running sum keyed on the pinned partition id
-    * plus broadcast per-partition offsets — then joined back on the
-    * value. Cost: one column-pruned scan, one counts-sized range
-    * shuffle, one value-keyed join back; nothing corpus-sized ever
-    * funnels through a single task, and per-partition window state is
-    * one running long.
+    * value, locally sorted, and cumulated with the withRowIndex
+    * RDD-layer two-pass — `queryExecution.toRdd` finalizes the
+    * physical plan (AQE included) ONCE, pass 1 collects one long per
+    * partition (bounded by numShufflePartitions — cluster config,
+    * never data), pass 2 turns the running sum + broadcast offsets
+    * into the rank, and both passes provably share every shuffle
+    * stage because they run over the same RDD object. Cost: one
+    * column-pruned scan, one hash-agg exchange, one counts-sized
+    * range shuffle, one value-keyed join back; nothing corpus-sized
+    * ever funnels through a single task.
     *
-    * The offsets are computed IN-PLAN (no eager collect, no persist —
-    * nothing is left in the cache after the caller materializes):
-    * per-partition totals aggregate over the same range exchange the
-    * join probe reads, and because both subtrees canonicalize to the
-    * identical Exchange, Spark's exchange reuse makes them literally
-    * ONE shuffle — so the partition ids the offsets describe are
-    * provably the layout the join sees (plan-pinned: PlanAuditSpec
-    * asserts the ReusedExchange and that exactly one range exchange
-    * exists). The partition count is pinned explicitly so AQE cannot
-    * coalesce the two readers differently. The offsets prefix-sum is
-    * a single-partition window over ≤ numShufflePartitions rows —
-    * bounded by cluster config, never by data. Rows with a null value
+    * Dropping to the RDD layer here replaced the previous in-plan
+    * offsets form (a __pid-keyed aggregate + single-partition window
+    * + broadcast join over a ReusedExchange): that plan was correct
+    * and scale-flat but paid ~6 extra AQE stage-materialization jobs
+    * of pure coordination latency per call (measured: the r10 bench's
+    * q_rank_global 2.5× regression was almost entirely inter-job gap,
+    * not work — job-time sum was identical with AQE off). The
+    * two-pass form runs THREE jobs total (range sampling, partition
+    * sums, the caller's action), keeps nothing in the cache, and
+    * keeps the layout guarantee by construction rather than by
+    * exchange-reuse canonicalization. Like withRowIndex, the bounded
+    * pass-1 job runs eagerly at call time. Rows with a null value
     * keep a null rank. */
-  def avgRank(df: DataFrame, c: String, out: String): DataFrame = {
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+  def avgRank(df: DataFrame, c: String, out: String): DataFrame =
+    df.join(avgRankTable(df, c, out), Seq(c), "left")
+
+  /** The (value → rank) table behind [[avgRank]]: one row per distinct
+    * value of `c` in `df`, rank in column `out`. Exposed so callers
+    * ranking SEVERAL columns of the same frame (corrMatrix spearman)
+    * can compute each table from the BASE frame and attach them with
+    * independent joins — computing column k's table from the
+    * already-joined accumulator would make each eager pass-1 job
+    * recompute every previous join. */
+  def avgRankTable(df: DataFrame, c: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val counts = df.select(col(c)).na.drop()
       .groupBy(col(c)).agg(count(lit(1)).as("__n"))
-    val ranged = counts.repartitionByRange(nPart, col(c))
-      .withColumn("__pid", spark_partition_id())
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__t"))
-      .select(col("__pid"),
-        coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col(c))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // avg rank of a tie group = (count of rows <= v) − (n_eq − 1)/2
-    val ranks = ranged.join(broadcast(offs), Seq("__pid"))
-      .select(col(c),
-        (col("__off") + sum(col("__n")).over(w)
-          - (col("__n") - 1) / lit(2.0)).as(out))
-    df.join(ranks, Seq(c), "left")
+    val sorted = counts.repartitionByRange(nPart, col(c))
+      .sortWithinPartitions(col(c))
+    val keyField = sorted.schema.fields(0)
+    val rdd = sorted.queryExecution.toRdd
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.foldLeft(0L)((a, r) => a + r.getLong(1))))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val keyType = keyField.dataType
+    val ranksRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets.value(pid)
+      it.map { r =>
+        val rc = r.copy() // unsafe rows are reused per input batch
+        val n = rc.getLong(1)
+        run += n
+        // avg rank of a tie group = (count of rows <= v) − (n_eq − 1)/2
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](rc.get(0, keyType), run - (n - 1) / 2.0))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      keyField,
+      org.apache.spark.sql.types.StructField(out,
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    org.apache.spark.sql.GraftShim
+      .internalCreateDataFrame(spark, ranksRdd, schema)
+  }
+
+  /** polars rolling_map — the generic bounded-window kernel the named
+    * rolling family doesn't cover: the last `n` values of `c` (per
+    * group, in `order` order) materialize as an array column and
+    * `kernel` — any Column expression over that array (HOF
+    * aggregate/transform/array_* arithmetic) — produces the output.
+    * Keeping the kernel a Column keeps the whole pass inside
+    * whole-stage codegen; a Scala-closure kernel would be a UDF (a
+    * per-row deserialization wall, the engine-wide anti-pattern).
+    * Window state is ≤ n values per row — bounded by the window,
+    * never data-sized; one shuffle on the group key, shared with any
+    * other window over the same key sort. Rows before a full window
+    * see the partial prefix (polars min_periods=1 shape); gate on
+    * size(arr) inside the kernel for a min_periods cut. collect_list
+    * skips nulls — null-ignoring kernels (min/max/avg) match SQL
+    * window semantics by construction. */
+  def rollingMap(df: DataFrame, groupCols: Seq[Column], order: Seq[Column],
+      c: String, n: Int, out: String)(kernel: Column => Column): DataFrame = {
+    require(n >= 1, "rolling_map window must be at least 1 row")
+    val w = Window.partitionBy(groupCols: _*).orderBy(order: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    df.withColumn(out, kernel(collect_list(col(c)).over(w)))
   }
 
   /** polars fill_null(strategy="mean"/"median"), optionally per group —
@@ -1643,8 +1702,9 @@ object Relational {
     val base = method match {
       case "pearson" => df
       case "spearman" =>
-        cols.foldLeft(df.select(cols.map(col): _*)) {
-          (acc, c) => avgRank(acc, c, s"__r_$c")
+        val base0 = df.select(cols.map(col): _*)
+        cols.foldLeft(base0) {
+          (acc, c) => acc.join(avgRankTable(base0, c, s"__r_$c"), Seq(c), "left")
         }.select(cols.map(c => col(s"__r_$c").as(c)): _*)
       case other =>
         throw new IllegalArgumentException(s"unknown corr method '$other'")
@@ -1892,6 +1952,13 @@ object Relational {
            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS bucket, event_type, value
            FROM events)
          GROUP BY bucket, event_type""",
+    "q_rolling_map" ->
+      """SELECT user_id, event_id,
+         round((min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+              + max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) / 2, 4) AS midrange
+         FROM events""",
     "q_rolling" ->
       """SELECT user_id, event_id,
          round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -576,21 +576,21 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
-  test("avgRank: one range shuffle (offsets subtree reuses it), nothing left persisted") {
-    // the persist-free contract: the in-plan offsets aggregate and the
-    // join probe must share the SAME range exchange — if the reuse
-    // ever breaks, the two exchanges would sample range boundaries
-    // independently and the offsets could describe a different layout
-    // than the join sees. So this is a correctness pin, not a perf pin.
+  test("avgRank: rank side is ONE finalized RDD plan, nothing left persisted") {
+    // the two-pass contract: the partition sums and the rank map run
+    // over the SAME finalized RDD (queryExecution.toRdd — the
+    // withRowIndex pattern), so the layout the offsets describe is the
+    // layout the ranks see by construction. In the caller-visible plan
+    // that shows up as one ExistingRDD scan on the rank side and NO
+    // live range exchange (the range shuffle lives inside the
+    // pre-finalized subplan); and nothing may be left in the cache.
     val df = Tables.t(spark, Sf, "lineitem")
       .select(col("l_extendedprice").as("price"))
     val fin = finalPlanOf(graft.queries.Relational.avgRank(df, "price", "r"))
-    val live = fin.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
-    val reused = fin.linesIterator.count(l =>
-      l.contains("ReusedExchange") && l.contains("rangepartitioning"))
-    assert(live == 1 && reused == 1,
-      s"avgRank range exchange not shared: live=$live reused=$reused\n$fin")
+    val existing = fin.linesIterator.count(_.contains("Scan ExistingRDD"))
+    val ranged = fin.linesIterator.count(_.contains("rangepartitioning"))
+    assert(existing == 1 && ranged == 0,
+      s"avgRank rank side not a single finalized RDD: existing=$existing ranged=$ranged\n$fin")
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "avgRank left frames in the cache after materialization")
   }

@@ -125,6 +125,33 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(joinValidated(dup, dup.withColumnRenamed("w", "w2"), Seq("k"), "m:m").count() == 5)
   }
 
+  test("rollingMap: a mean kernel reproduces rolling_mean; prefix windows are partial") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 6.0), ("a", 4L, 8.0),
+      ("b", 1L, 10.0)).toDF("g", "t", "v")
+    val got = graft.queries.Relational.rollingMap(
+        df, Seq(col("g")), Seq(col("t")), "v", 3, "m")(a =>
+          aggregate(a, lit(0.0), _ + _) / size(a))
+      .select(col("g"), col("t"), col("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("t")).rowsBetween(-2, 0)
+    val want = df.withColumn("m", avg(col("v")).over(w))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got == want)
+    assert(got(("a", 1L)) == 2.0 && got(("a", 2L)) == 3.0, "prefix windows are partial")
+  }
+
+  test("rollingMap on the wrapper: kernel sees at most n values, in index order") {
+    import spark.implicits._
+    val gd = graft.core.GDataset(
+      Seq((1L, "x", 1.0), (2L, "x", 2.0), (3L, "x", 3.0)).toDF("t", "id", "v"),
+      "t", Seq("id"))
+    val got = gd.rollingMap("v", 2, "last2")(a => concat_ws(",", transform(a, _.cast("string"))))
+      .df.orderBy(col("t")).select(col("last2")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("1.0", "1.0,2.0", "2.0,3.0"))
+  }
+
   test("avgRank equals the windowed average-tie rank, partitioning-independent") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
