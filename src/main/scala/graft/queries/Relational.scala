@@ -1488,6 +1488,18 @@ object Relational {
         "o_totalprice", "price_rank")
         .select(col("o_orderkey"), col("price_rank"))),
 
+    // the remaining polars tie methods (min/max/dense) — all three in
+    // ONE two-pass over the same counts table, oracle-checked against
+    // DuckDB's global rank()/dense_rank() windows (single-node there;
+    // the Spark side never builds a global window)
+    "q_rank_global_methods" -> ((s, dir) =>
+      rankGlobal(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice",
+        Seq("rank_min" -> "min", "rank_max" -> "max", "rank_dense" -> "dense"))
+        .select(col("o_orderkey"), col("rank_min"), col("rank_max"),
+          col("rank_dense"))),
+
     // dt parts beyond q_dt_ops: day-of-year, ISO week, days-in-month,
     // leap year (shared integer formula — neither engine's builtin)
     "q_dt_parts" -> ((s, dir) =>
@@ -1563,7 +1575,30 @@ object Relational {
     * independent joins — computing column k's table from the
     * already-joined accumulator would make each eager pass-1 job
     * recompute every previous join. */
-  def avgRankTable(df: DataFrame, c: String, out: String): DataFrame = {
+  def avgRankTable(df: DataFrame, c: String, out: String): DataFrame =
+    rankTable(df, c, Seq(out -> "average"))
+
+  /** polars Series.rank for every tie method with a distributed form —
+    * "average"/"min"/"max"/"dense" — appended in one pass per call
+    * (`outs` is (output column, method)*). All four are arithmetic on
+    * the same two running counters the two-pass cumsum maintains
+    * (rows ≤ v and distinct values ≤ v), so asking for several
+    * methods costs ONE counts shuffle, not one per method. "ordinal"
+    * is deliberately absent here: it ranks by arrival order within
+    * ties, which is row-level (withRowIndex over a sort), not a
+    * property of the value CDF. */
+  def rankGlobal(df: DataFrame, c: String, outs: Seq[(String, String)]): DataFrame =
+    df.join(rankTable(df, c, outs), Seq(c), "left")
+
+  /** One (value, rank…) row per distinct value, one column per
+    * requested method. See [[avgRank]] for the two-pass layout
+    * contract. average is a double (tie midpoint); min/max/dense are
+    * longs. */
+  private def rankTable(
+      df: DataFrame, c: String, outs: Seq[(String, String)]): DataFrame = {
+    val methods = Set("average", "min", "max", "dense")
+    require(outs.nonEmpty && outs.forall(o => methods.contains(o._2)),
+      s"rank methods must be among ${methods.mkString("/")}: $outs")
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     val counts = df.select(col(c)).na.drop()
@@ -1572,27 +1607,50 @@ object Relational {
       .sortWithinPartitions(col(c))
     val keyField = sorted.schema.fields(0)
     val rdd = sorted.queryExecution.toRdd
-    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single((pid, it.foldLeft(0L)((a, r) => a + r.getLong(1))))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var sumN = 0L
+      var cnt = 0L
+      it.foreach { r => sumN += r.getLong(1); cnt += 1 }
+      Iterator.single((pid, sumN, cnt))
+    }.collect().sortBy(_._1)
+    val offN = spark.sparkContext.broadcast(
+      partStats.map(_._2).scanLeft(0L)(_ + _))
+    val offK = spark.sparkContext.broadcast(
+      partStats.map(_._3).scanLeft(0L)(_ + _))
     val keyType = keyField.dataType
+    val methodsArr = outs.map(_._2).toArray
     val ranksRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var run = offsets.value(pid)
+      var run = offN.value(pid)
+      var idx = offK.value(pid)
       it.map { r =>
         val rc = r.copy() // unsafe rows are reused per input batch
         val n = rc.getLong(1)
         run += n
-        // avg rank of a tie group = (count of rows <= v) − (n_eq − 1)/2
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](rc.get(0, keyType), run - (n - 1) / 2.0))
+        idx += 1
+        val vals = new Array[Any](methodsArr.length + 1)
+        vals(0) = rc.get(0, keyType)
+        var i = 0
+        while (i < methodsArr.length) {
+          vals(i + 1) = methodsArr(i) match {
+            // avg rank of a tie group = (count ≤ v) − (n_eq − 1)/2
+            case "average" => run - (n - 1) / 2.0
+            case "min" => run - n + 1
+            case "max" => run
+            case "dense" => idx
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
           : org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      keyField,
-      org.apache.spark.sql.types.StructField(out,
-        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val schema = org.apache.spark.sql.types.StructType(
+      keyField +: outs.map { case (name, m) =>
+        org.apache.spark.sql.types.StructField(name,
+          if (m == "average") org.apache.spark.sql.types.DoubleType
+          else org.apache.spark.sql.types.LongType,
+          nullable = false)
+      })
     org.apache.spark.sql.GraftShim
       .internalCreateDataFrame(spark, ranksRdd, schema)
   }
@@ -2672,6 +2730,13 @@ object Relational {
       """SELECT o_orderkey,
            rank() OVER (ORDER BY o_totalprice)
              + (count(*) OVER (PARTITION BY o_totalprice) - 1) / 2.0 AS price_rank
+         FROM orders""",
+    "q_rank_global_methods" ->
+      """SELECT o_orderkey,
+         rank() OVER (ORDER BY o_totalprice) AS rank_min,
+         rank() OVER (ORDER BY o_totalprice)
+           + count(*) OVER (PARTITION BY o_totalprice) - 1 AS rank_max,
+         dense_rank() OVER (ORDER BY o_totalprice) AS rank_dense
          FROM orders""",
     "q_dt_parts" ->
       """SELECT o_orderkey,

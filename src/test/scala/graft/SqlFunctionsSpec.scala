@@ -152,6 +152,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got == Seq("1.0", "1.0,2.0", "2.0,3.0"))
   }
 
+  test("rankGlobal tie methods agree on a controlled multiset") {
+    import spark.implicits._
+    val df = Seq(10.0, 10.0, 20.0, 5.0).toDF("v")
+    val got = graft.queries.Relational.rankGlobal(df, "v",
+        Seq("a" -> "average", "mn" -> "min", "mx" -> "max", "d" -> "dense"))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(5.0) == ((1.0, 1L, 1L, 1L)))
+    assert(got(10.0) == ((2.5, 2L, 3L, 2L)))
+    assert(got(20.0) == ((4.0, 4L, 4L, 3L)))
+  }
+
   test("avgRank equals the windowed average-tie rank, partitioning-independent") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
