@@ -423,27 +423,16 @@ object TextFunctions {
     * hex digit instead of XXH64, so any engine with md5 + string ops
     * reproduces the signature byte-for-byte (DuckDB lacks XXH64; its
     * 64-bit multiply-rotate chain is not SQL-replicable, md5 is). Bit b
-    * is bit (b mod 4) of hex digit b/4. Scan-local codegen'd HOFs,
-    * zero shuffles; an empty token list yields the all-zeros signature
-    * (callers pair-generating should filter empty docs — two empty
-    * docs ARE hamming-0 duplicates, but usually filtered upstream). */
-  def simhashMd5(text: Column): Column = {
-    val toks = tokens(text)
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0).cast("long"), 64),
-      (acc, t) => {
-        val h = md5(t)
-        val bits = array((0 until 64).map { b =>
-          val digit = conv(substring(h, b / 4 + 1, 1), 16, 10).cast("long")
-          when(shiftright(digit, b % 4).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))
-        }: _*)
-        zip_with(acc, bits, (a, v) => a + v)
-      })
-    array_join(
-      transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
-  }
+    * is bit (b mod 4) of hex digit b/4. Scan-local native kernel
+    * ([[graft.plans.TextHash.simhashMd5Kernel]] — one MD5 + one tight
+    * bit loop per token inside whole-stage codegen; the original
+    * 64-interpreted-subtrees-per-token HOF form benched 20 s at
+    * sf0.1), zero shuffles; an empty token list yields the all-zeros
+    * signature (callers pair-generating should filter empty docs — two
+    * empty docs ARE hamming-0 duplicates, but usually filtered
+    * upstream). */
+  def simhashMd5(text: Column): Column =
+    graft.plans.TextHashColumns.simhashMd5(text)
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * (+1/-1) token-hash bits. Pure HOF expressions. */

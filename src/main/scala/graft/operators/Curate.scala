@@ -153,4 +153,61 @@ object Curate {
       ("exact_dedup", head.getLong(2)), ("token_budget", nFinal)
     ).toDF("stage", "n_docs")
   }
+
+  /** Scope-frequency boilerplate removal (the Trafilatura/CCNet
+    * "most-common-lines-per-site" pass): a `sep`-delimited unit of at
+    * least `minUnitChars` characters that occurs in `minDocs` or more
+    * DISTINCT documents sharing the same scope (site, source, crawl)
+    * is boilerplate — nav text, cookie banners, footers — and is
+    * removed from EVERY document of that scope, first occurrence
+    * included (unlike [[Dedup.dedupLines]], which keeps one canonical
+    * copy: dedup preserves content, this erases template furniture).
+    * Output: the input frame with `textCol` rewritten plus `n_units`
+    * (original unit count) and `n_boiler` (units removed).
+    *
+    * 100 TB shape, same contract as dedupLines: units hash to 8-byte
+    * keys scan-side, the (scope, hash)-keyed document-frequency
+    * aggregation and the per-doc drop-position lists shuffle ids,
+    * positions, and hashes only — unit TEXT never enters an exchange —
+    * and the rewrite applies each doc's sorted drop list back inside
+    * the scan via a positional HOF filter. The frequency table is
+    * scope-local, so a skewed mega-site salts/AQE-splits like any
+    * hash-agg key. */
+  def boilerplateStrip(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scopeCols: Seq[String],
+      sep: String = "\n",
+      minDocs: Long = 3,
+      minUnitChars: Int = 5): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(minDocs >= 2, "minDocs < 2 would erase every unique unit")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val scope = scopeCols.map(col)
+    val units = docs.select((col(idCol).as("id") +: scope) :+
+      posexplode(split(col(textCol), sepLit, -1)).as(Seq("pos", "u")): _*)
+    val h = units.filter(length(col("u")) >= minUnitChars)
+      .select((col("id") +: scopeCols.map(col)) :+ col("pos") :+
+        xxhash64(col("u")).as("uh"): _*)
+    val boiler = h.groupBy((scopeCols.map(col) :+ col("uh")): _*)
+      .agg(count_distinct(col("id")).as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs)
+      .drop("__ndocs")
+    val drops = h.join(boiler, scopeCols :+ "uh")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
+      .select(col("id").as("__bp_id"), col("__drop_pos"))
+    docs.join(drops, docs(idCol) === drops("__bp_id"), "left")
+      .withColumn("n_units", size(split(col(textCol), sepLit, -1)).cast("long"))
+      .withColumn("n_boiler",
+        coalesce(size(col("__drop_pos")), lit(0)).cast("long"))
+      .withColumn(textCol,
+        when(col("__drop_pos").isNull, col(textCol)).otherwise(
+          array_join(
+            filter(split(col(textCol), sepLit, -1),
+              (_, i) => !array_contains(col("__drop_pos"), i)),
+            sep)))
+      .drop("__bp_id", "__drop_pos")
+  }
 }

@@ -128,4 +128,39 @@ object DedupCluster {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware cluster representative selection: instead of
+    * [[dropDuplicates]]' keep-min-id policy, keep the member with the
+    * HIGHEST `scoreCol` (ties to the lowest id — deterministic) in
+    * each near-duplicate cluster. The curation policy behind it: when
+    * ten crawls of a page near-duplicate each other, keep the longest
+    * / cleanest / highest-quality capture, not the one that happened
+    * to arrive first. Returns one row per cluster:
+    * (comp, kept_id, best_score, n_members).
+    *
+    * 100 TB shape: the label table (id, comp) joins the
+    * (id, score) projection — ids and one numeric only, text never
+    * moves — and the per-cluster argmax is a single partial-aggregated
+    * `max(struct(score, -id))` on the comp key: no window, no sort,
+    * one shuffle carrying one candidate row per cluster per mapper. */
+  def keepBest(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val labels = connectedComponents(pairs, idA, idB, maxIter)
+    labels
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .groupBy(col("comp"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("__score").as("s"), (-col("id")).as("negid"))).as("__best"))
+      .select(col("comp"),
+        (-col("__best.negid")).as("kept_id"),
+        col("__best.s").as("best_score"),
+        col("n_members"))
+  }
 }

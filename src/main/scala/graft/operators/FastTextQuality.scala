@@ -34,17 +34,7 @@ object FastTextQuality {
   def docBuckets(text: Column, numBuckets: Int, wordNgrams: Int = 2): Column = {
     require(numBuckets > 0, "numBuckets must be positive")
     require(wordNgrams >= 1 && wordNgrams <= 3, "wordNgrams must be 1..3")
-    val toks = TF.tokens(text)
-    val grams = (1 to wordNgrams).map { n =>
-      if (n == 1) toks
-      else
-        when(size(toks) < n, array().cast("array<string>"))
-          .otherwise(transform(
-            sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    }
-    val all = grams.reduce(concat(_, _))
-    transform(all, g => pmod(xxhash64(g), lit(numBuckets)).cast("int"))
+    graft.plans.TextHashColumns.hashedNgramBuckets(text, numBuckets, wordNgrams)
   }
 
   /** Full-batch logistic regression over normalized bucket counts,
@@ -119,13 +109,12 @@ object FastTextQuality {
   def score(weights: Array[Double], text: Column, wordNgrams: Int = 2): Column = {
     require(weights.length >= 2, "weights must be intercept + bucket table")
     val numBuckets = weights.length - 1
-    val table = typedlit(weights.drop(1))
-    val bkts = docBuckets(text, numBuckets, wordNgrams)
-    val z = lit(weights(0)) +
-      when(size(bkts) > 0,
-        aggregate(bkts, lit(0.0), (acc, b) => acc + element_at(table, b + 1))
-          / size(bkts))
-        .otherwise(lit(0.0))
+    // mean bucket weight as a native kernel (one tokenize + hash +
+    // table-lookup loop per row inside whole-stage codegen; the table
+    // rides the codegen reference registry, not the plan tree); a
+    // token-free doc contributes 0 and scores sigmoid(intercept)
+    val z = lit(weights(0)) + graft.plans.TextHashColumns
+      .hashedNgramMeanWeight(text, numBuckets, wordNgrams, weights.drop(1))
     lit(1.0) / (lit(1.0) + exp(-z))
   }
 }

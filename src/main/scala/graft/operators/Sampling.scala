@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling for corpus curation (SURVEY.md §2.3).
   *
@@ -434,5 +435,39 @@ object Sampling {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perCluster)
       .select(col("cid").as(idCol), col("cell").as("cluster"))
+  }
+
+  /** Deterministic seeded global shuffle + shard layout — the write
+    * path of a training run: every row gets a `shard` in [0, nShards)
+    * and a 0-based `pos` within its shard, both pure functions of
+    * (seed, key), so the permutation is reproducible on any cluster at
+    * any parallelism and re-runs byte-identically. Changing the seed
+    * reshuffles; a loader streams shard files in pos order and sees a
+    * seeded pseudo-random document order with no coordination.
+    *
+    * 100 TB shape: NO global sort. One md5 over (seed, key) scan-side
+    * gives both the shard (top 16 bits mod nShards) and the in-shard
+    * sort key; `pos` is a row_number windowed BY SHARD — one hash
+    * exchange on the shard id and a per-shard in-partition sort.
+    * Size nShards well above cluster parallelism (10k+ shards on a
+    * real cluster) so each sort fits one task comfortably — which is
+    * the shard layout a data loader wants anyway. Same key-type
+    * contract as [[hashSample]]: integers and strings only, or the
+    * md5-of-rendering stops being cross-engine portable. */
+  def deterministicShuffle(
+      df: DataFrame, key: Column, nShards: Int, seed: String): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536, "nShards must be in [1, 65536]")
+    requireHashableKey(df, key)
+    val hex = md5(concat(lit(seed), lit(":"), key.cast("string")).cast("binary"))
+    val digits = lit("0123456789abcdef")
+    def nib(i: Int): Column =
+      (call_function("instr", digits, substring(col("__h"), i, 1)) - lit(1)).cast("long")
+    val v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    df.withColumn("__h", hex)
+      .withColumn("shard", pmod(v, lit(nShards.toLong)).cast("int"))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__h"), key)) - 1).cast("long"))
+      .drop("__h")
   }
 }

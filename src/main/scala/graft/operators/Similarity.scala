@@ -254,4 +254,36 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rank"))
   }
+
+  /** Embedding-space drift between two corpus slices — the
+    * vector-side twin of [[Vocab.driftSummary]]: per-dimension
+    * centroids of each slice, then the cosine between the two
+    * centroids, the L2 centroid shift, and the mean absolute per-dim
+    * shift, one summary row. A retrain/recrawl gate reads this before
+    * trusting that a new embedding batch is distributionally
+    * compatible with the index it is about to join.
+    *
+    * 100 TB shape: each slice pays ONE posexplode + dim-keyed
+    * aggregation — map-side partial sums, so the shuffle carries
+    * dim-sized rows per mapper (a few thousand), never the vectors;
+    * the dim-keyed join and final fold are dim-sized. Nothing is
+    * collected, nothing broadcast but the plan itself. */
+  def embeddingDrift(old: DataFrame, cur: DataFrame, vecCol: String): DataFrame = {
+    def centroid(df: DataFrame, tag: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(avg(col("x")).as(tag))
+    centroid(old, "a").join(centroid(cur, "b"), Seq("dim"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("a") * col("b")).as("__dot"),
+        sum(col("a") * col("a")).as("__na"),
+        sum(col("b") * col("b")).as("__nb"),
+        sum((col("a") - col("b")) * (col("a") - col("b"))).as("__ss"),
+        sum(abs(col("a") - col("b"))).as("__sa"))
+      .select(col("n_dims"),
+        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 4)
+          .as("cos_centroids"),
+        round(sqrt(col("__ss")), 4).as("l2_shift"),
+        round(col("__sa") / col("n_dims"), 4).as("mean_abs_shift"))
+  }
 }

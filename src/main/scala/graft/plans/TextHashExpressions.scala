@@ -116,6 +116,27 @@ object TextHash {
       Array[Any](n, top, n2, dup2))
   }
 
+  /** Per-doc lexical-diversity counters in one pass:
+    * struct<n_tokens, n_types, n_hapax> (hapax = a type occurring
+    * exactly once). Same `\s`-split token contract as every kernel
+    * here. */
+  def lexicalStatsKernel(input: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val toks = whitespaceTokens(input)
+    val n = toks.length
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      val prev = counts.get(toks(i))
+      counts.put(toks(i), Integer.valueOf(if (prev == null) 1 else prev.intValue + 1))
+      i += 1
+    }
+    var hapax = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) if (it.next().intValue == 1) hapax += 1
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size(), hapax))
+  }
+
   private def gramKey(toks: Array[UTF8String], start: Int, n: Int): String = {
     val sb = new java.lang.StringBuilder
     var j = 0
@@ -249,6 +270,110 @@ object TextHash {
       b += 1
     }
     out
+  }
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-derived 64-bit SimHash rendered as a 64-char "0"/"1" string —
+    * the ORACLE-CHECKABLE SimHash parameterization (DuckDB has md5 but
+    * not xxhash64). Bit b of the result is the sign of
+    * Σ_tokens (±1 per bit (b%4) of hex digit b/4 of md5(token)) —
+    * byte-for-byte the semantics of the HOF formulation the
+    * SimhashMd5Ctes oracle replays, ~50× faster (one MD5 + one tight
+    * bit loop per token, vs 64 interpreted md5-substring-conv
+    * subtrees per token). */
+  def simhashMd5Kernel(input: UTF8String): UTF8String = {
+    val toks = whitespaceTokens(input)
+    val counts = new Array[Int](64)
+    val md = Md5.get()
+    var ti = 0
+    while (ti < toks.length) {
+      md.reset()
+      val dig = md.digest(toks(ti).getBytes)
+      var b = 0
+      while (b < 64) {
+        val hexIdx = b >> 2 // 0-based hex-char index into the md5 hex string
+        val byt = dig(hexIdx >> 1)
+        val nibble = if ((hexIdx & 1) == 0) (byt >> 4) & 0xf else byt & 0xf
+        if (((nibble >> (b & 3)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    val out = new Array[Byte](64)
+    var b = 0
+    while (b < 64) {
+      out(b) = if (counts(b) > 0) '1'.toByte else '0'.toByte
+      b += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  @inline private def bucketOf(h: Long, numBuckets: Int): Int = {
+    val r = (h % numBuckets).toInt
+    if (r < 0) r + numBuckets else r
+  }
+
+  /** fastText hashing-trick bucket ids: unigrams up to `wordNgrams`-
+    * grams, each xxhash64(space-joined gram) pmod'd into
+    * [0, numBuckets) — gram order (all unigrams, then bigrams, …)
+    * and hashes agree bitwise with the HOF formulation
+    * ([[graft.operators.FastTextQuality.docBuckets]]'s contract). */
+  private[plans] def hashedNgramBucketArray(
+      input: UTF8String, numBuckets: Int, wordNgrams: Int): Array[Int] = {
+    val toks = whitespaceTokens(input)
+    val m = toks.length
+    var total = m
+    var n = 2
+    while (n <= wordNgrams) { if (m >= n) total += m - n + 1; n += 1 }
+    val out = new Array[Int](total)
+    var k = 0
+    var i = 0
+    while (i < m) {
+      out(k) = bucketOf(XXH64.hashUTF8String(toks(i), Seed), numBuckets)
+      i += 1; k += 1
+    }
+    val space = UTF8String.fromString(" ")
+    n = 2
+    while (n <= wordNgrams) {
+      if (m >= n) {
+        var j = 0
+        while (j <= m - n) {
+          val parts = new Array[UTF8String](n)
+          var p = 0
+          while (p < n) { parts(p) = toks(j + p); p += 1 }
+          val g = UTF8String.concatWs(space, parts: _*)
+          out(k) = bucketOf(XXH64.hashUTF8String(g, Seed), numBuckets)
+          j += 1; k += 1
+        }
+      }
+      n += 1
+    }
+    out
+  }
+
+  def hashedNgramBucketsKernel(
+      input: UTF8String, numBuckets: Int, wordNgrams: Int): GenericArrayData =
+    new GenericArrayData(hashedNgramBucketArray(input, numBuckets, wordNgrams))
+
+  /** Mean bucket weight over the doc's hashed n-grams (0.0 for a
+    * token-free doc) — the linear part of the fastText-style score,
+    * summed in gram order like the HOF left fold so the doubles agree
+    * bit-for-bit. */
+  def hashedNgramMeanKernel(
+      input: UTF8String, numBuckets: Int, wordNgrams: Int,
+      table: Array[Double]): Double = {
+    val bs = hashedNgramBucketArray(input, numBuckets, wordNgrams)
+    if (bs.length == 0) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < bs.length) { s += table(bs(i)); i += 1 }
+      s / bs.length
+    }
   }
 
   private def hashShingle(toks: Array[UTF8String], start: Int, len: Int): Long = {
@@ -420,12 +545,115 @@ case class DupNgramCharFrac(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** md5-derived SimHash as a 64-char bit string — see
+  * [[TextHash.simhashMd5Kernel]]. */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhashMd5Kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.simhashMd5Kernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Lexical-diversity counters struct<n_tokens:int, n_types:int,
+  * n_hapax:int> — see [[TextHash.lexicalStatsKernel]]. */
+case class LexicalStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_types", IntegerType, nullable = false),
+    StructField("n_hapax", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.lexicalStatsKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.lexicalStatsKernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** fastText hashing-trick bucket ids (array<int>) — see
+  * [[TextHash.hashedNgramBucketArray]]. */
+case class HashedNgramBuckets(child: Expression, numBuckets: Int, wordNgrams: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.hashedNgramBucketsKernel(
+      input.asInstanceOf[UTF8String], numBuckets, wordNgrams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.hashedNgramBucketsKernel(" +
+        s"$c, $numBuckets, $wordNgrams);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Mean hashed-n-gram bucket weight under a fixed table — the scoring
+  * kernel of [[graft.operators.FastTextQuality]]; the table rides the
+  * codegen reference registry, NOT the plan tree, so a 2^15-bucket
+  * model adds no plan-string or canonicalization weight. */
+case class HashedNgramMeanWeight(
+    child: Expression, numBuckets: Int, wordNgrams: Int, table: Array[Double])
+    extends UnaryExpression {
+
+  require(table.length == numBuckets,
+    s"weight table has ${table.length} entries for $numBuckets buckets")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(TextHash.hashedNgramMeanKernel(
+      input.asInstanceOf[UTF8String], numBuckets, wordNgrams, table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("ftWeights", table, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.hashedNgramMeanKernel(" +
+        s"$c, $numBuckets, $wordNgrams, $tbl);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashColumns {
   def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column =
     GraftShim.column(MinHashSignature(GraftShim.expression(text), shingleN, numHashes))
 
   def simhash(text: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(text)))
+
+  def simhashMd5(text: Column): Column =
+    GraftShim.column(SimHashMd5(GraftShim.expression(text)))
+
+  def lexicalStats(text: Column): Column =
+    GraftShim.column(LexicalStats(GraftShim.expression(text)))
+
+  def hashedNgramBuckets(text: Column, numBuckets: Int, wordNgrams: Int): Column =
+    GraftShim.column(HashedNgramBuckets(GraftShim.expression(text), numBuckets, wordNgrams))
+
+  def hashedNgramMeanWeight(
+      text: Column, numBuckets: Int, wordNgrams: Int, table: Array[Double]): Column =
+    GraftShim.column(HashedNgramMeanWeight(
+      GraftShim.expression(text), numBuckets, wordNgrams, table))
 
   def shingleHashes(text: Column, shingleN: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), shingleN))

@@ -929,7 +929,67 @@ object Pipeline {
           when(col("lang") === "de", concat(col("text"), lit(" neu wort")))
             .otherwise(col("text")))
       Vocab.driftByStratum(docs, cur, "lang", "text")
-    })
+    }),
+
+    // one-scan exact column profile (ANALYZE row): nulls / distinct /
+    // min / max per column; the multi-distinct compiles to Catalyst's
+    // Expand rewrite — still ONE parquet pass
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // per-doc lexical diversity: types / hapaxes / TTR, entirely
+    // scan-local (array_distinct + one sorted run-boundary fold) —
+    // the no-shuffle twin of the grouped token-count formulation the
+    // oracle replays
+    "q_lexical_diversity" -> ((s, dir) =>
+      Vocab.lexicalDiversity(t(s, dir, "documents"), "doc_id", "text")),
+
+    // corpus collocations: adjacent-bigram PMI over the whole corpus,
+    // both totals in-plan as broadcast 1-row aggregates
+    "q_pmi" -> ((s, dir) =>
+      Vocab.pmi(t(s, dir, "documents"), "doc_id", "text", minCount = 5)),
+
+    // per-source boilerplate strip: a banner sentence planted on every
+    // doc of a source passes the ≥ minDocs document-frequency bar and
+    // is erased everywhere; organically repeated sentences below the
+    // bar survive (contrast q_dedup_lines, which keeps first copies)
+    "q_boilerplate" -> ((s, dir) => {
+      val planted = concat(lit("Boilerplate banner for "), col("source"),
+        lit(". "), col("text"))
+      graft.operators.Curate.boilerplateStrip(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          planted.as("text")),
+        "doc_id", "text", Seq("source"), sep = ". ", minDocs = 10,
+        minUnitChars = 15)
+        .select(col("doc_id"), col("n_units"), col("n_boiler"), col("text"))
+    }),
+
+    // near-dup cluster representative selection: keep the LONGEST
+    // member of each jaccard cluster (ties to min id), not the
+    // first-crawled one — ids and one numeric shuffle, text never moves
+    "q_dedup_keep_best" -> ((s, dir) =>
+      DedupCluster.keepBest(
+        t(s, dir, "documents"), "doc_id", "n_chars",
+        Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, threshold = 0.5))),
+
+    // embedding-space drift between two slices: centroid cosine + L2
+    // shift + mean |Δdim| — dim-keyed partial-agg shuffles only, the
+    // vector-side twin of q_drift_summary
+    "q_embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.embeddingDrift(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+    }),
+
+    // deterministic seeded global shuffle: (shard, pos) as pure
+    // functions of (seed, id) — one shard-keyed exchange + per-shard
+    // sort, NO global sort; the training-data write layout
+    "q_shuffle_global" -> ((s, dir) =>
+      graft.operators.Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"), 8, "s1"))
   )
 
   // TextFunctions.canonicalUrl replica as appendable CTEs: expects a
@@ -2142,6 +2202,128 @@ object Pipeline {
       s"""WITH $SimhashMd5Ctes
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM sigs a JOIN sigs b ON a.key = b.key AND a.doc_id < b.doc_id""",
+    // one UNION ALL branch per profiled column; "column" quoted (DuckDB
+    // keyword). Strings compare binary in both engines, so min/max of
+    // text agree; numeric min/max render identically as int64 strings
+    "q_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+            count(*) - count($c) AS n_nulls,
+            count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_str,
+            CAST(max($c) AS VARCHAR) AS max_str FROM documents"""
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(branch).mkString("\n UNION ALL\n ")
+    },
+    "q_lexical_diversity" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS l FROM documents),
+         t AS (SELECT doc_id, unnest(l) AS w FROM toks WHERE len(l) > 0),
+         g AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS ttr,
+           round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 4)
+             AS hapax_ratio
+         FROM g GROUP BY doc_id""",
+    // numerator/denominator parenthesized exactly like the Spark AST so
+    // the doubles agree bit-for-bit before the 4dp round
+    "q_pmi" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS l FROM documents),
+         t AS (SELECT unnest(l) AS tok FROM toks),
+         uni AS (SELECT tok, count(*) AS c1 FROM t GROUP BY tok),
+         bg0 AS (
+           SELECT z[1] AS p, z[2] AS w
+           FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+                 FROM toks WHERE len(l) >= 2)),
+         bg AS (SELECT p, w, count(*) AS c_ab FROM bg0 GROUP BY p, w),
+         t1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS T1 FROM uni),
+         t2 AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS T2 FROM bg)
+         SELECT p, w, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln(CAST(c_ab AS DOUBLE) * T1 * T1 / (T2 * ua.c1 * ub.c1)), 4)
+             AS pmi
+         FROM bg JOIN uni ua ON ua.tok = bg.p JOIN uni ub ON ub.tok = bg.w
+         CROSS JOIN t1 CROSS JOIN t2
+         WHERE c_ab >= 5""",
+    "q_boilerplate" ->
+      """WITH d0 AS (
+           SELECT doc_id, source,
+             'Boilerplate banner for ' || source || '. ' || text AS text
+           FROM documents),
+         ls AS (SELECT doc_id, source, string_split(text, '. ') AS us FROM d0),
+         u AS (
+           SELECT doc_id, source, i, us[i] AS u
+           FROM ls, LATERAL (SELECT unnest(range(1, len(us) + 1)) AS i) t),
+         boiler AS (
+           SELECT source, u FROM u WHERE length(u) >= 15
+           GROUP BY source, u HAVING count(DISTINCT doc_id) >= 10),
+         flag AS (
+           SELECT u.doc_id, u.i, u.u, (b.u IS NOT NULL) AS isb
+           FROM u LEFT JOIN boiler b ON b.source = u.source AND b.u = u.u),
+         reb AS (
+           SELECT doc_id, count(*) AS n_units,
+             count(*) FILTER (WHERE isb) AS n_boiler,
+             string_agg(u, '. ' ORDER BY i) FILTER (WHERE NOT isb) AS text
+           FROM flag GROUP BY doc_id)
+         SELECT doc_id, CAST(n_units AS BIGINT) AS n_units,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           coalesce(text, '') AS text
+         FROM reb""",
+    // the q_dedup_cluster component oracle + a per-cluster argmax:
+    // rank by (n_chars DESC, id ASC) replicates max(struct(score,-id))
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         jp AS ($JaccardPairsSql),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM jp
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM jp),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS lbl FROM nodes
+           UNION
+           SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         ranked AS (
+           SELECT c.comp, c.id, d.n_chars,
+             row_number() OVER (PARTITION BY c.comp
+               ORDER BY d.n_chars DESC, c.id ASC) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.id),
+         m AS (SELECT comp, count(*) AS n_members FROM comp GROUP BY comp)
+         SELECT r.comp, r.id AS kept_id, r.n_chars AS best_score,
+           CAST(m.n_members AS BIGINT) AS n_members
+         FROM ranked r JOIN m USING (comp) WHERE rn = 1""",
+    "q_embed_drift" ->
+      """WITH o AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 0),
+         c AS (SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1),
+         od AS (SELECT i, avg(e[i]) AS a FROM o,
+                LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t GROUP BY i),
+         cd AS (SELECT i, avg(e[i]) AS b FROM c,
+                LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t GROUP BY i),
+         j AS (SELECT a, b FROM od JOIN cd USING (i))
+         SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4)
+             AS cos_centroids,
+           round(sqrt(sum((a - b) * (a - b))), 4) AS l2_shift,
+           round(sum(abs(a - b)) / count(*), 4) AS mean_abs_shift
+         FROM j""",
+    "q_shuffle_global" ->
+      """WITH h AS (
+           SELECT doc_id, md5('s1:' || CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+         sh AS (
+           SELECT doc_id, hx,
+             CAST(((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                 + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                 + (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 8
+               AS INTEGER) AS shard
+           FROM h)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1
+             AS BIGINT) AS pos
+         FROM sh""",
     // q_dedup_minhash / q_dedup_simhash / q_ann_lsh / q_ann_ivf /
     // q_ann_ivf_pq / q_mixture_cluster / q_quality_fasttext:
     // hash/quantizer/k-means approximations not expressible in
