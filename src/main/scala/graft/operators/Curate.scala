@@ -118,13 +118,36 @@ object Curate {
 
   /** Rates/means from a [[healthSums]] row. */
   def finalizeHealth(sums: DataFrame): DataFrame =
-    sums.select(
+    sums.select(finalizeHealthCols(Nil): _*)
+
+  private def finalizeHealthCols(by: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    by.map(col) ++ Seq(
       col("n_docs"),
       round(col("n_ok").cast("double") / greatest(col("n_docs"), lit(1L)), 4)
         .as("gate_pass_frac"),
       round(col("sum_quality") / greatest(col("n_docs"), lit(1L)), 4).as("mean_quality"),
       round(col("sum_markup") / greatest(col("n_docs"), lit(1L)), 4).as("mean_markup"),
       round(col("sum_tokens") / greatest(col("n_docs"), lit(1L)), 4).as("mean_tokens"))
+
+  /** Per-scope twin of [[healthReport]] — the data-card table: one
+    * dashboard row per source/site/language, so "which feed went bad"
+    * is a groupBy away instead of N filtered re-scans. Same ONE-pass
+    * shape: every signal is a scan-local kernel, the only exchange is
+    * the partial-aggregated scope-keyed groupBy (|scopes| rows per
+    * mapper), and each mean averages the same per-doc rounded signal
+    * its global twin uses — the per-scope rows reconcile with the
+    * corpus row. */
+  def healthReportBy(docs: DataFrame, textCol: String, by: Seq[String]): DataFrame = {
+    require(by.nonEmpty, "healthReportBy needs at least one scope column")
+    val t = col(textCol)
+    docs.groupBy(by.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(TF.filterReason(t) === "ok", 1L).otherwise(0L)).as("n_ok"),
+      sum(TF.qualityScore(t)).as("sum_quality"),
+      sum(TF.markupRatio(t)).as("sum_markup"),
+      sum(TF.tokenCount(t).cast("double")).as("sum_tokens"))
+      .select(finalizeHealthCols(by): _*)
+  }
 
   /** Per-stage survivor counts — the audit trail a curation run ships
     * with (how many docs each stage removed). Exactly two jobs over the

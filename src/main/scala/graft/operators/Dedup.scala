@@ -236,6 +236,33 @@ object Dedup {
     candidatePairs(sigs, Seq("key"), maxBucketSize)
   }
 
+  /** MinHash duplicate pairs under FULL-signature equality — the exact
+    * parameterization of [[minhashPairs]] (the q_ann_ivf_exact /
+    * [[simhashExactPairs]] trick applied to the third dedup family):
+    * with one band spanning all 8 hashes, the candidate set IS the
+    * result set (estimated jaccard 1, no verification filter, no
+    * recall question), and the md5-sliced hash family
+    * ([[graft.plans.TextHash.minhashMd5KeyKernel]]) makes every min
+    * SQL-reproducible — a DuckDB oracle checks the banding machinery
+    * end to end, which the XXH64 production variant's rows-only entry
+    * cannot. Plan shape is the production one: signatures scan-side
+    * (ONE md5 per shingle, sliced eight ways), ids + a short key
+    * through the single bucket shuffle, bucket caps bound the
+    * quadratic corner. Token-free docs are excluded (their sentinel
+    * signature would pair all of them). */
+  def minhashExactPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        graft.plans.TextHashColumns.minhashMd5Key(col(textCol), shingleN).as("key"))
+    candidatePairs(sigs, Seq("key"), maxBucketSize)
+  }
+
   /** Image near-dup pairs via a 64-bit perceptual hash (dHash of the
     * REAL decoded pixels, [[Multimodal.dHash64]]): the multimodal face
     * of the hamming family — the first thing a multimodal corpus

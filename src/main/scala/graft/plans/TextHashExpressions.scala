@@ -312,6 +312,52 @@ object TextHash {
     UTF8String.fromBytes(out)
   }
 
+  /** md5-derived MinHash signature key — the ORACLE-CHECKABLE MinHash
+    * parameterization: the doc's word shingles (`shingleN` tokens,
+    * space-joined; a doc with 1..shingleN tokens contributes ONE
+    * clipped shingle, matching the jaccard oracle's
+    * `l[i:i+n-1]` slice semantics) each md5-hash ONCE, and hash
+    * function j (j = 0..7) is the j-th 16-bit big-endian slice of that
+    * digest (hex chars 4j..4j+3) — so any engine with md5 + substring
+    * arithmetic reproduces every min. The 8 per-slice minima join with
+    * '-' into one decimal key string; equal keys ⇔ estimated
+    * jaccard 1 under this hash family. */
+  def minhashMd5KeyKernel(input: UTF8String, shingleN: Int): UTF8String = {
+    val toks = whitespaceTokens(input)
+    val m = toks.length
+    val mins = new Array[Int](8)
+    java.util.Arrays.fill(mins, Int.MaxValue)
+    if (m > 0) {
+      val md = Md5.get()
+      val space = UTF8String.fromString(" ")
+      val nWindows = math.max(m - shingleN + 1, 1)
+      var j = 0
+      while (j < nWindows) {
+        val len = math.min(shingleN, m - j)
+        val parts = new Array[UTF8String](len)
+        var p = 0
+        while (p < len) { parts(p) = toks(j + p); p += 1 }
+        md.reset()
+        val dig = md.digest(UTF8String.concatWs(space, parts: _*).getBytes)
+        var s = 0
+        while (s < 8) {
+          val v = ((dig(2 * s) & 0xff) << 8) | (dig(2 * s + 1) & 0xff)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+        j += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(48)
+    var s = 0
+    while (s < 8) {
+      if (s > 0) sb.append('-')
+      sb.append(mins(s))
+      s += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   @inline private def bucketOf(h: Long, numBuckets: Int): Int = {
     val r = (h % numBuckets).toInt
     if (r < 0) r + numBuckets else r
@@ -563,6 +609,24 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** md5-sliced MinHash signature key string — see
+  * [[TextHash.minhashMd5KeyKernel]]. */
+case class MinHashMd5Key(child: Expression, shingleN: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashMd5KeyKernel(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.minhashMd5KeyKernel($c, $shingleN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Lexical-diversity counters struct<n_tokens:int, n_types:int,
   * n_hapax:int> — see [[TextHash.lexicalStatsKernel]]. */
 case class LexicalStats(child: Expression) extends UnaryExpression {
@@ -646,6 +710,9 @@ object TextHashColumns {
 
   def lexicalStats(text: Column): Column =
     GraftShim.column(LexicalStats(GraftShim.expression(text)))
+
+  def minhashMd5Key(text: Column, shingleN: Int): Column =
+    GraftShim.column(MinHashMd5Key(GraftShim.expression(text), shingleN))
 
   def hashedNgramBuckets(text: Column, numBuckets: Int, wordNgrams: Int): Column =
     GraftShim.column(HashedNgramBuckets(GraftShim.expression(text), numBuckets, wordNgrams))

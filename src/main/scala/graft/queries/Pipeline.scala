@@ -223,6 +223,11 @@ object Pipeline {
     "q_dedup_simhash_exact" -> ((s, dir) =>
       Dedup.simhashExactPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // MinHash banding with ONE band over all 8 md5-sliced hashes —
+    // the oracle-checkable exact parameterization of q_dedup_minhash
+    "q_dedup_minhash_exact" -> ((s, dir) =>
+      Dedup.minhashExactPairs(t(s, dir, "documents"), "doc_id", "text")),
+
     // image near-dup: deterministic synthetic PNG corpus (real encode →
     // real ImageIO decode → real dHash) banded into hamming candidates.
     // Rows-only: pixel hashes aren't expressible in DuckDB; pairing
@@ -859,6 +864,13 @@ object Pipeline {
     "q_corpus_health" -> ((s, dir) =>
       graft.operators.Curate.healthReport(t(s, dir, "documents"), "text")),
 
+    // data-card table: one health row PER SOURCE (which feed went
+    // bad) — same one-scan kernels, one scope-keyed partial-agg'd
+    // exchange; reconciles with the global q_corpus_health row
+    "q_health_by_source" -> ((s, dir) =>
+      graft.operators.Curate.healthReportBy(
+        t(s, dir, "documents"), "text", Seq("source"))),
+
     // URL-keyed exact dedup THROUGH canonicalization: four crawl
     // variants of the same page (tracking params, case, trailing
     // slash, fragment) collapse to one canonical URL, then the
@@ -1105,6 +1117,29 @@ object Pipeline {
               / greatest(length(text), 1) AS sym,
             ${hitsSql(TF.Stopwords.flatMap(_._2))} AS stop_hits
           FROM documents)"""
+
+  // TextHash.minhashMd5KeyKernel replica: ONE md5 per 5-token shingle
+  // (clipped for short docs, same slice semantics as the jaccard
+  // oracle), hash j = 16-bit big-endian slice j of the digest (4 hex
+  // chars, instr-nibble arithmetic), per-doc minima joined with '-'
+  private val MinhashMd5Ctes: String = {
+    val hexD = "'0123456789abcdef'"
+    def sliceVal(j: Int) = (0 until 4).map { p =>
+      val mult = Seq(4096, 256, 16, 1)(p)
+      s"(instr($hexD, substr(m, ${4 * j + p + 1}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+    val mins = (0 until 8).map(j => s"min(${sliceVal(j)}) AS v$j").mkString(", ")
+    val key = (0 until 8).map(j => s"CAST(v$j AS VARCHAR)").mkString(" || '-' || ")
+    s"""toks AS (SELECT doc_id, $TokSql AS l FROM documents),
+         msh AS (
+           SELECT doc_id, array_to_string(l[i:i+4], ' ') AS s
+           FROM toks,
+             LATERAL (SELECT unnest(range(1, greatest(len(l) - 4, 1) + 1)) AS i) t
+           WHERE len(l) >= 1),
+         mh AS (SELECT doc_id, md5(s) AS m FROM msh),
+         mmins AS (SELECT doc_id, $mins FROM mh GROUP BY doc_id),
+         msigs AS (SELECT doc_id, $key AS key FROM mmins)"""
+  }
 
   // TextFunctions.simhashMd5 replica: per (doc, token), 64 sign bits
   // from md5 hex digits (bit b = bit b%4 of digit b/4); per doc, the
@@ -1546,6 +1581,36 @@ object Pipeline {
            round(avg(markup), 4) AS mean_markup,
            round(avg(CAST(n_tok AS DOUBLE)), 4) AS mean_tokens
          FROM s""",
+    // the q_corpus_health replica with `source` joined through and a
+    // GROUP BY — one dashboard row per source
+    "q_health_by_source" ->
+      s"""WITH r AS ($ReasonedDocsSql),
+         p AS (
+           SELECT r.doc_id, d.source, r.reason, r.text,
+             CAST(length(regexp_replace(r.text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(r.text), 1) AS DOUBLE) AS punct
+           FROM r JOIN documents d USING (doc_id)),
+         s AS (
+           SELECT source, reason,
+             round((least(CAST(len($TokSql) AS DOUBLE) / 200.0, 1.0)
+                    + (CASE WHEN punct > 0.2 THEN 0.0 ELSE 1.0 - punct * 2.5 END)
+                    + least((CAST(${hitsSql(TF.Stopwords.flatMap(_._2))} AS DOUBLE)
+                             / CAST(greatest(len($TokSql), 1) AS DOUBLE)) * 4.0, 1.0))
+                   / 3.0, 4) AS quality,
+             CASE WHEN length(text) > 0
+               THEN round(CAST(length(text)
+                      - length(regexp_replace(text, '<[^<>]*>', '', 'g')) AS DOUBLE)
+                    / length(text), 4)
+               ELSE 0.0 END AS markup,
+             len($TokSql) AS n_tok
+           FROM p)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN reason = 'ok' THEN 1.0 ELSE 0.0 END) / count(*), 4)
+             AS gate_pass_frac,
+           round(avg(quality), 4) AS mean_quality,
+           round(avg(markup), 4) AS mean_markup,
+           round(avg(CAST(n_tok AS DOUBLE)), 4) AS mean_tokens
+         FROM s GROUP BY source""",
     "q_pii_stats" ->
       s"""WITH p AS (
            SELECT doc_id,
@@ -2202,6 +2267,10 @@ object Pipeline {
       s"""WITH $SimhashMd5Ctes
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM sigs a JOIN sigs b ON a.key = b.key AND a.doc_id < b.doc_id""",
+    "q_dedup_minhash_exact" ->
+      s"""WITH $MinhashMd5Ctes
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM msigs a JOIN msigs b ON a.key = b.key AND a.doc_id < b.doc_id""",
     // one UNION ALL branch per profiled column; "column" quoted (DuckDB
     // keyword). Strings compare binary in both engines, so min/max of
     // text agree; numeric min/max render identically as int64 strings

@@ -286,6 +286,35 @@ object EventStreams {
     }.start()
   }
 
+  /** Streaming incremental ANALYZE — the live twin of
+    * [[graft.operators.Profile.finalizeProfile]]: each micro-batch's
+    * per-column (rows, nulls, HLL distinct sketch) state folds into
+    * the maintained running state (counts add, sketches union — both
+    * associative, so any batching yields the same state) and the
+    * finalized per-column profile emits per batch. A schema-drift
+    * alarm ("the new feed's `lang` column is 40% null") fires while
+    * the feed is still arriving; history is never rescanned. State is
+    * |cols| rows of a few KB, wherever `loadSums`/`saveSums` put it;
+    * the emitted profile after any prefix equals the batch
+    * [[graft.operators.Profile.profileSums]] over exactly the rows
+    * seen so far (spec-pinned). */
+  def profileMonitoringSink(
+      docs: DataFrame,
+      cols: Seq[String],
+      loadSums: () => DataFrame,
+      saveSums: DataFrame => Unit,
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Profile
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      // materialized before save — see driftMonitoringSink
+      val merged = Profile.mergeProfileSums(
+        loadSums(), Profile.profileSums(batch, cols))
+        .localCheckpoint()
+      saveSums(merged)
+      emit(Profile.finalizeProfile(merged))
+    }.start()
+  }
+
   /** Streaming mixture-epoch planner — the live twin of
     * [[graft.operators.Sampling.mixturePlan]], and the last curation
     * dashboard to get a streaming fold: each micro-batch's per-domain

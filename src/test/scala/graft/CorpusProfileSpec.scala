@@ -33,6 +33,23 @@ class CorpusProfileSpec extends SparkSpec {
     assert(math.abs(approx("id") - exact("id")) <= 2, "100 ids within sketch error")
   }
 
+  test("profileSums: halves merged == one-shot; small cardinalities estimate exactly") {
+    import spark.implicits._
+    val df = (1 to 300)
+      .map(i => (i.toLong, if (i % 5 == 0) None else Some(s"v${i % 11}")))
+      .toDF("id", "s")
+    def report(d: org.apache.spark.sql.DataFrame) =
+      Profile.finalizeProfile(d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val whole = report(Profile.profileSums(df, Seq("id", "s")))
+    val merged = report(Profile.mergeProfileSums(
+      Profile.profileSums(df.filter(col("id") % 2 === 0), Seq("id", "s")),
+      Profile.profileSums(df.filter(col("id") % 2 === 1), Seq("id", "s"))))
+    assert(merged == whole, "fold of batch states must equal the one-shot profile")
+    assert(whole("s") == ((300L, 60L, 11L)), "nulls and sparse-mode HLL are exact here")
+    assert(whole("id")._3 == 300L)
+  }
+
   test("lexicalDiversity: hand-computed types/hapax/ttr; token-free docs dropped") {
     import spark.implicits._
     val df = Seq((1L, "a b b c c c"), (2L, "x"), (3L, " \t ")).toDF("doc_id", "text")

@@ -219,4 +219,22 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pack.paddingStats(docs, "n_tok", Seq(32, 16)))
     intercept[IllegalArgumentException](Pack.paddingStats(docs, "n_tok", Seq.empty))
   }
+
+  test("healthReportBy: per-scope rows reconcile with the global report; bad feed isolated") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "it was the best of times it was the worst of times in the city"
+    val docs = ((1 to 20).map(i => (i.toLong, "clean", s"$good $i")) ++
+      (21 to 40).map(i => (i.toLong, "spam", "@@@ ### !!!")))
+      .toDF("doc_id", "source", "text")
+    val by = Curate.healthReportBy(docs, "text", Seq("source"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by.keySet == Set("clean", "spam"))
+    assert(by.values.map(_.getAs[Long]("n_docs")).sum ==
+      Curate.healthReport(docs, "text").collect().head.getAs[Long]("n_docs"))
+    assert(by("clean").getAs[Double]("gate_pass_frac") >
+      by("spam").getAs[Double]("gate_pass_frac"),
+      "the garbage feed must surface in its own row")
+  }
 }

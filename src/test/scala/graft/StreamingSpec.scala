@@ -611,6 +611,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming profile monitor: cumulative ANALYZE equals the batch profile at every prefix") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val docs = Tables.t(spark, Sf, "documents")
+    val cols = Seq("text", "lang")
+    var sums = Profile.profileSums(docs.limit(0), cols).localCheckpoint()
+    var emitted = Seq.empty[Map[String, Seq[Any]]]
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)](spark)
+    val q = EventStreams.profileMonitoringSink(
+      stream.toDS().toDF("doc_id", "text", "lang"), cols,
+      loadSums = () => sums,
+      saveSums = s => sums = s.localCheckpoint(),
+      emit = d => emitted = emitted :+ toMap(d))
+    try {
+      def feed(part: org.apache.spark.sql.DataFrame): Unit = {
+        stream.addData(part.select("doc_id", "text", "lang").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(docs.filter(col("doc_id") < 100))
+      feed(docs.filter(col("doc_id") >= 100 && col("doc_id") < 200))
+      def batchAt(pred: org.apache.spark.sql.Column) = toMap(
+        Profile.finalizeProfile(Profile.profileSums(docs.filter(pred), cols)))
+      assert(emitted == Seq(
+        batchAt(col("doc_id") < 100),
+        batchAt(col("doc_id") < 200)),
+        "every prefix's streamed profile must equal the batch ANALYZE")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: cumulative summary equals the batch drift at every prefix") {
     import spark.implicits._
     import graft.operators.Vocab

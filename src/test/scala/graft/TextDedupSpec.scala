@@ -517,4 +517,19 @@ class TextDedupSpec extends SparkSpec {
       s"diff: ${(merged.toSet -- oneShot.toSet) ++ (oneShot.toSet -- merged.toSet)}")
     assert(oneShot.nonEmpty)
   }
+
+  test("minhashExactPairs: identical texts pair, near texts don't, short docs clip, empty excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical → all 8 mins equal
+      (3L, "wholly unrelated content sentence tokens here"), // disjoint shingles
+      (4L, "tiny doc"), // < shingleN tokens → one clipped shingle
+      (5L, "tiny doc"),
+      (6L, " ")) // token-free → excluded, no sentinel pairing
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashExactPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)))
+  }
 }
