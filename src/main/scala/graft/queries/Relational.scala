@@ -1578,6 +1578,85 @@ object Relational {
   def avgRankTable(df: DataFrame, c: String, out: String): DataFrame =
     rankTable(df, c, Seq(out -> "average"))
 
+  /** [[avgRankTable]] for SEVERAL same-typed columns of one frame in a
+    * SINGLE two-pass: the columns melt to (cid, value) rows, ONE
+    * counts aggregation + ONE (cid, value) range shuffle rank all k
+    * columns together, and the bounded pass-1 stats collect runs once
+    * (per-(partition, cid) sums — ≤ partitions × k rows). vs k
+    * independent [[avgRankTable]] calls: one corpus scan instead of k
+    * column-pruned scans, 2 eager jobs instead of 2k, one counts
+    * exchange instead of k (same total key volume — the melt adds no
+    * data, it concatenates the k per-column count tables into one).
+    * Requires a shared column type (the melt array is homogeneous);
+    * [[corrMatrix]] falls back to per-column tables otherwise.
+    * Returns one (value-named-as-col, out) table per column, all
+    * slices of the SAME ranked plan — the range shuffle is computed
+    * once and reused across their joins. */
+  def avgRankTables(df: DataFrame, cols: Seq[String], outs: Seq[String]): Seq[DataFrame] = {
+    require(cols.nonEmpty && cols.length == outs.length,
+      "avgRankTables needs one output name per column")
+    val types = cols.map(c => df.schema(c).dataType).distinct
+    require(types.length == 1, s"avgRankTables needs one shared column type, got $types")
+    val valueType = types.head
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val counts = df
+      .select(posexplode(array(cols.map(col): _*)).as(Seq("__cid", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__cid"), col("__v")).agg(count(lit(1)).as("__n"))
+    val sorted = counts.repartitionByRange(nPart, col("__cid"), col("__v"))
+      .sortWithinPartitions(col("__cid"), col("__v"))
+    val rdd = sorted.queryExecution.toRdd
+    val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+      it.foreach { r =>
+        val prev = m.getOrElse(r.getInt(0), (0L, 0L))
+        m(r.getInt(0)) = (prev._1 + r.getLong(2), prev._2 + 1)
+      }
+      Iterator.single((pid, m.toSeq))
+    }.collect().sortBy(_._1)
+    // per-cid prefix offsets in pid order (range partitioning orders
+    // partitions by (cid, value), so pid order IS value order per cid)
+    val offsets = scala.collection.mutable.HashMap.empty[(Int, Int), (Long, Long)]
+    val runN = scala.collection.mutable.HashMap.empty[Int, Long]
+    val runK = scala.collection.mutable.HashMap.empty[Int, Long]
+    for ((pid, seq) <- partStats; (cid, (sn, ck)) <- seq.sortBy(_._1)) {
+      offsets((pid, cid)) = (runN.getOrElse(cid, 0L), runK.getOrElse(cid, 0L))
+      runN(cid) = runN.getOrElse(cid, 0L) + sn
+      runK(cid) = runK.getOrElse(cid, 0L) + ck
+    }
+    val bOff = spark.sparkContext.broadcast(offsets.toMap)
+    val ranksRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curCid = Int.MinValue
+      var run = 0L
+      it.map { r =>
+        val rc = r.copy() // unsafe rows are reused per input batch
+        val cid = rc.getInt(0)
+        if (cid != curCid) {
+          curCid = cid
+          run = bOff.value((pid, cid))._1
+        }
+        val n = rc.getLong(2)
+        run += n
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](cid, rc.get(1, valueType), run - (n - 1) / 2.0))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__v", valueType),
+      org.apache.spark.sql.types.StructField("__rank",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val all = org.apache.spark.sql.GraftShim
+      .internalCreateDataFrame(spark, ranksRdd, schema)
+    cols.indices.map { i =>
+      all.filter(col("__cid") === i)
+        .select(col("__v").as(cols(i)), col("__rank").as(outs(i)))
+    }
+  }
+
   /** polars Series.rank for every tie method with a distributed form —
     * "average"/"min"/"max"/"dense" — appended in one pass per call
     * (`outs` is (output column, method)*). All four are arithmetic on
@@ -1761,8 +1840,15 @@ object Relational {
       case "pearson" => df
       case "spearman" =>
         val base0 = df.select(cols.map(col): _*)
-        cols.foldLeft(base0) {
-          (acc, c) => acc.join(avgRankTable(base0, c, s"__r_$c"), Seq(c), "left")
+        // one melted two-pass ranks all k columns together when types
+        // agree (one scan + one counts exchange + 2 eager jobs instead
+        // of k of each); mixed-type frames fall back to per-column
+        val tables =
+          if (cols.map(c => base0.schema(c).dataType).distinct.length == 1)
+            avgRankTables(base0, cols, cols.map(c => s"__r_$c"))
+          else cols.map(c => avgRankTable(base0, c, s"__r_$c"))
+        cols.zip(tables).foldLeft(base0) {
+          case (acc, (c, tbl)) => acc.join(tbl, Seq(c), "left")
         }.select(cols.map(c => col(s"__r_$c").as(c)): _*)
       case other =>
         throw new IllegalArgumentException(s"unknown corr method '$other'")

@@ -188,6 +188,25 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got(df.repartition(7)) == g, "ranks must not depend on partitioning")
   }
 
+  test("avgRankTables (melted one-pass) equals per-column avgRankTable") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      ((i % 13).toDouble, (i * 7 % 5).toDouble, (300 - i).toDouble % 9)
+    }.toDF("a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    val melted = graft.queries.Relational
+      .avgRankTables(df, cols, cols.map(c => s"r_$c"))
+    cols.zip(melted).foreach { case (c, tbl) =>
+      val got = tbl.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val want = graft.queries.Relational.avgRankTable(df, c, s"r_$c")
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"column $c rank table diverged")
+    }
+    intercept[IllegalArgumentException](
+      graft.queries.Relational.avgRankTables(
+        df.withColumn("s", lit("x")), Seq("a", "s"), Seq("ra", "rs")))
+  }
+
   test("corrMatrix spearman matches corr of windowed ranks") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
