@@ -203,21 +203,55 @@ object Curate {
       scopeCols: Seq[String],
       sep: String = "\n",
       minDocs: Long = 3,
+      minUnitChars: Int = 5): DataFrame =
+    boilerplateStripAgainstIndex(docs,
+      boilerplateIndex(docs, idCol, textCol, scopeCols, sep, minDocs, minUnitChars),
+      idCol, textCol, scopeCols, sep, minUnitChars)
+
+  /** The FROZEN boilerplate index under [[boilerplateStrip]]: the
+    * (scope…, uh) table of unit hashes at/above the per-scope
+    * document-frequency bar. Build it once per snapshot (one
+    * count-distinct aggregation over scan-side hashes — unit text
+    * never leaves the scan), persist it like the dedup/snapshot
+    * indexes, and strip any later batch — or a live stream — against
+    * it without recounting history. */
+  def boilerplateIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scopeCols: Seq[String],
+      sep: String = "\n",
+      minDocs: Long = 3,
       minUnitChars: Int = 5): DataFrame = {
     require(sep.nonEmpty, "sep must be non-empty")
     require(minDocs >= 2, "minDocs < 2 would erase every unique unit")
-    val sepLit = java.util.regex.Pattern.quote(sep)
-    val scope = scopeCols.map(col)
-    val units = docs.select((col(idCol).as("id") +: scope) :+
-      posexplode(split(col(textCol), sepLit, -1)).as(Seq("pos", "u")): _*)
-    val h = units.filter(length(col("u")) >= minUnitChars)
-      .select((col("id") +: scopeCols.map(col)) :+ col("pos") :+
-        xxhash64(col("u")).as("uh"): _*)
-    val boiler = h.groupBy((scopeCols.map(col) :+ col("uh")): _*)
+    unitHashes(docs, idCol, textCol, scopeCols, sep, minUnitChars)
+      .groupBy((scopeCols.map(col) :+ col("uh")): _*)
       .agg(count_distinct(col("id")).as("__ndocs"))
       .filter(col("__ndocs") >= minDocs)
       .drop("__ndocs")
-    val drops = h.join(boiler, scopeCols :+ "uh")
+  }
+
+  /** Strip a batch against a FROZEN [[boilerplateIndex]] — the
+    * streaming-legal half of [[boilerplateStrip]]: per-doc work only
+    * (unit hashes scan-side, one (scope, uh) join against the index,
+    * positional HOF rewrite), so it runs unchanged inside a
+    * micro-batch while the snapshot's banner list stays fixed —
+    * exactly how a recrawl re-ingest wants template furniture removed
+    * (with the CLOSED snapshot's frequencies, not the half-seen
+    * stream's). */
+  def boilerplateStripAgainstIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      scopeCols: Seq[String],
+      sep: String = "\n",
+      minUnitChars: Int = 5): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val drops = unitHashes(docs, idCol, textCol, scopeCols, sep, minUnitChars)
+      .join(index, scopeCols :+ "uh")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("__drop_pos"))
       .select(col("id").as("__bp_id"), col("__drop_pos"))
@@ -232,5 +266,20 @@ object Curate {
               (_, i) => !array_contains(col("__drop_pos"), i)),
             sep)))
       .drop("__bp_id", "__drop_pos")
+  }
+
+  private def unitHashes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      scopeCols: Seq[String],
+      sep: String,
+      minUnitChars: Int): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    docs.select((col(idCol).as("id") +: scopeCols.map(col)) :+
+      posexplode(split(col(textCol), sepLit, -1)).as(Seq("pos", "u")): _*)
+      .filter(length(col("u")) >= minUnitChars)
+      .select((col("id") +: scopeCols.map(col)) :+ col("pos") :+
+        xxhash64(col("u")).as("uh"): _*)
   }
 }

@@ -55,6 +55,20 @@ object GraftFunctions {
         MinHashSignature(args.head,
           intArg(args(1), "shingleN"), intArg(args(2), "numHashes"))
       }),
+    ("graft_simhash_md5",
+      new ExpressionInfo(classOf[SimHashMd5].getName, "graft_simhash_md5"),
+      (args: Seq[Expression]) =>
+        SimHashMd5(arity("graft_simhash_md5", 1)(args).head)),
+    ("graft_minhash_md5_key",
+      new ExpressionInfo(classOf[MinHashMd5Key].getName, "graft_minhash_md5_key"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash_md5_key", 2)(args)
+        MinHashMd5Key(args.head, intArg(args(1), "shingleN"))
+      }),
+    ("graft_lexical_stats",
+      new ExpressionInfo(classOf[LexicalStats].getName, "graft_lexical_stats"),
+      (args: Seq[Expression]) =>
+        LexicalStats(arity("graft_lexical_stats", 1)(args).head)),
     ("graft_shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) => {

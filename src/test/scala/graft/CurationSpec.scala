@@ -220,6 +220,32 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](Pack.paddingStats(docs, "n_tok", Seq.empty))
   }
 
+  test("boilerplate index freeze: per-batch strip against the frozen index == one-shot") {
+    import spark.implicits._
+    import graft.operators.Curate
+    val banner = "THE COMMON BANNER SENTENCE"
+    val docs = Seq(
+      (1L, "s1", s"$banner. unique one"),
+      (2L, "s1", s"$banner. unique two"),
+      (3L, "s1", s"$banner. unique three"),
+      (4L, "s2", s"$banner. other source")).toDF("doc_id", "source", "text")
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_boiler"))).toMap
+    val oneShot = toMap(Curate.boilerplateStrip(docs, "doc_id", "text",
+      Seq("source"), sep = ". ", minDocs = 3, minUnitChars = 15))
+    val index = Curate.boilerplateIndex(docs, "doc_id", "text",
+      Seq("source"), sep = ". ", minDocs = 3, minUnitChars = 15).localCheckpoint()
+    def strip(batch: org.apache.spark.sql.DataFrame) =
+      toMap(Curate.boilerplateStripAgainstIndex(batch, index, "doc_id", "text",
+        Seq("source"), sep = ". ", minUnitChars = 15))
+    val streamed = strip(docs.filter(col("doc_id") <= 2)) ++
+      strip(docs.filter(col("doc_id") > 2))
+    assert(streamed == oneShot,
+      "micro-batched strips against the frozen index must equal the one-shot pass")
+    assert(oneShot(1L)._1 == "unique one" && oneShot(4L)._2 == 0L)
+  }
+
   test("healthReportBy: per-scope rows reconcile with the global report; bad feed isolated") {
     import spark.implicits._
     import graft.operators.Curate

@@ -20,6 +20,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaCol).count() == 0)
   }
 
+  test("graft_simhash_md5 / graft_minhash_md5_key / graft_lexical_stats equal the Column API") {
+    registered
+    Tables.t(spark, Sf, "documents").limit(30).createOrReplaceTempView("docs_sqlk")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash_md5(text) AS sm,
+                graft_minhash_md5_key(text, 5) AS mk,
+                graft_lexical_stats(text).n_types AS nt
+         FROM docs_sqlk""")
+    val viaCol = Tables.t(spark, Sf, "documents").limit(30)
+      .select(col("doc_id"),
+        graft.plans.TextHashColumns.simhashMd5(col("text")).as("sm"),
+        graft.plans.TextHashColumns.minhashMd5Key(col("text"), 5).as("mk"),
+        graft.plans.TextHashColumns.lexicalStats(col("text")).getField("n_types").as("nt"))
+    assert(viaSql.exceptAll(viaCol).count() == 0)
+  }
+
   test("graft_minhash and graft_shingle_hashes have the declared shapes") {
     registered
     Tables.t(spark, Sf, "documents").limit(10).createOrReplaceTempView("docs_sql2")
