@@ -404,6 +404,61 @@ object Dedup {
       .filter(col("containment") >= containmentThreshold)
   }
 
+  /** Per-document contamination score against a benchmark corpus: the
+    * fraction of each document's distinct token `shingleN`-grams that
+    * appear ANYWHERE in the benchmark set (aggregated over all probes
+    * — the per-pair view is [[crossJaccardPairs]]; this is the GPT-3
+    * appendix-C style "what % of this doc is benchmark text" triage
+    * number). Returns (id, n_shingles, n_hit, contamination).
+    *
+    * Scale shape: documents explode to (id, 64-bit shingle hash) —
+    * ids and longs only, text never shuffles; the benchmark side
+    * collapses to its DISTINCT shingle hashes (benchmark suites are
+    * tiny next to a 100 TB corpus, so that table broadcasts or
+    * hash-joins cheaply) and hits are counted through one left-semi
+    * join + per-id count. Nothing driver-side, nothing quadratic. */
+  def contaminationScore(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val arr = corpus.select(col(idCol).as("id"),
+      TextHashColumns.shingleHashes(col(textCol), shingleN).as("shs"))
+    val sizes = arr.select(col("id"), size(col("shs")).cast("long").as("n_shingles"))
+    val sh = arr.select(col("id"), explode(col("shs")).as("sh"))
+    val benchSh = probes
+      .select(explode(TextHashColumns.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val hits = sh.join(benchSh, Seq("sh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
+    sizes
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("__hits"), lit(0L)).as("n_hit"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("contamination"))
+  }
+
+  /** Near-dup pair-similarity histogram: candidate pairs from the
+    * [[jaccardPairs]] machinery at a LOW floor, bucketed by 0.1-wide
+    * jaccard bins — the "where should I set the dedup threshold?"
+    * diagnostic (the knee of this curve separates boilerplate overlap
+    * from true near-dups). Returns (bin_lo, n_pairs); exact 1.0
+    * jaccard lands in its own bin_lo=1.0 row. Same cost as one
+    * jaccardPairs run: candidates are generated once per shared
+    * shingle key, the bin fold is a tiny aggregation over id pairs. */
+  def similarityHistogram(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      minJaccard: Double = 0.3,
+      maxShingleFreq: Int = 1000): DataFrame =
+    jaccardPairs(docs, idCol, textCol, shingleN, minJaccard, maxShingleFreq)
+      .groupBy((floor(col("jaccard") * 10.0) / 10.0).as("bin_lo"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Drop corpus documents contaminated by any probe above the
     * containment threshold — a left-anti join on the flagged ids. */
   def decontaminate(

@@ -441,6 +441,104 @@ object Vocab {
     docs.select(explode(TF.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
 
+  /** Vocabulary coverage curve: for each coverage level `p` in
+    * `levels`, the number of most-frequent token types needed to cover
+    * `p` of the corpus token mass (the tokenizer-vocabulary sizing
+    * question: "how big must the vocab be to cover 99% of tokens?").
+    *
+    * Scale shape: the per-token cumulative sum is NOT computed as a
+    * global window over the vocabulary (a single-partition sort funnel
+    * at 1e8+ types). Instead counts collapse to COUNT CLASSES —
+    * (c, types at c, mass at c) — a table bounded by the number of
+    * distinct frequencies (O(√total) under any Zipf-ish law, a few
+    * thousand even at 100 TB), and the boundary inside the crossing
+    * class is recovered arithmetically: all tokens in a class are
+    * interchangeable, so the minimal type count is
+    * `types above + ⌈(target − mass above) / c⌉`. One token-keyed
+    * partial-agg'd shuffle, one tiny class aggregation, a window over
+    * the class table only; the total rides in-plan as a broadcast
+    * 1-row aggregate.
+    *
+    * The ⌈·⌉ is evaluated as "smallest integer k with
+    * (massAbove + k·c : double) ≥ p·T" via a guarded floor probe, NOT
+    * a bare ceil of the double quotient — the quotient can round
+    * across an exact boundary, and the probe keeps the comparison
+    * bit-identical to a per-token cumulative-sum formulation (the
+    * DuckDB oracle's shape). Returns (level, n_types,
+    * covered_tokens). */
+  def coverage(
+      docs: DataFrame, textCol: String,
+      levels: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(levels.nonEmpty && levels.forall(p => p > 0 && p <= 1),
+      s"coverage levels must be in (0, 1]: ${levels.mkString(", ")}")
+    val classes = tokenCounts(docs, textCol)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("types"))
+      .select(col("c"), col("types"), (col("c") * col("types")).as("mass"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = classes.select(
+      col("c"), col("types"), col("mass"),
+      sum(col("types")).over(w).as("cum_types"),
+      sum(col("mass")).over(w).as("cum_mass"))
+    val total = classes.agg(sum(col("mass")).cast("double").as("__t"))
+    val target = col("level") * col("__t")
+    val prevMass = col("cum_mass") - col("mass")
+    val prevTypes = col("cum_types") - col("types")
+    // boundary class = the qualifying class with max c (first crossing
+    // in descending-frequency order); max_by keeps the window tiny
+    val guess = floor((target - prevMass) / col("c")).cast("long")
+    val k = greatest(lit(1L),
+      when((prevMass + (guess - 1) * col("c")).cast("double") >= target, guess - 1)
+        .when((prevMass + guess * col("c")).cast("double") >= target, guess)
+        .otherwise(guess + 1))
+    cum
+      .crossJoin(broadcast(total))
+      .select(col("c"), col("types"), col("mass"), col("cum_types"),
+        col("cum_mass"), col("__t"),
+        explode(array(levels.map(lit(_)): _*)).as("level"))
+      .filter(col("cum_mass").cast("double") >= target)
+      .select(col("level"), col("c"),
+        (prevTypes + k).as("n_types_here"),
+        (prevMass + k * col("c")).as("covered_here"))
+      .groupBy(col("level"))
+      .agg(
+        max_by(col("n_types_here"), col("c")).as("n_types"),
+        max_by(col("covered_here"), col("c")).as("covered_tokens"))
+  }
+
+  /** Zipf rank–frequency fit over the top-`k` token types: OLS slope /
+    * intercept of ln(count) on ln(rank), ranks assigned by (count
+    * desc, token asc). A healthy natural-language corpus sits near
+    * slope −1; a flatter/steeper fit flags boilerplate floods or
+    * truncation. Top-k lands in TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver side of the exchange — never a global
+    * sort); the k-row window and the closed-form moment fold are
+    * bounded by k. The slope is computed from explicit raw moments
+    * with fixed parenthesization (cf. q_skew_kurt) so an oracle can
+    * replay it bit-for-bit. */
+  def zipfSlope(docs: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
+    require(k > 1, "zipfSlope needs at least 2 ranks")
+    val top = tokenCounts(docs, textCol)
+      .orderBy(col("c").desc, col("token").asc)
+      .limit(k)
+    val ranked = top.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("token").asc)))
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    ranked
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .select(
+        col("n").cast("long").as("n_ranks"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 4).as("zipf_intercept"))
+  }
+
   /** Fold two (token, c) count tables into one — the incremental-update
     * step of a maintained running count (full join + summed overlap). */
   def mergeTokenCounts(a: DataFrame, b: DataFrame): DataFrame =

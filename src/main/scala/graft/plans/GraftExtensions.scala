@@ -163,7 +163,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         arity("graft_compress_ratio", 2)(args)
         DeflateRatio(args.head, intArg(args(1), "graft_compress_ratio level"))
-      }))
+      }),
+    // multiplicative aggregate (polars Expr.product / DuckDB product):
+    // the analyzer wraps a bare AggregateFunction from a registry
+    // builder into an AggregateExpression, same as the builtin path
+    ("graft_product",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.Product].getName,
+        "graft_product"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.Product(
+          arity("graft_product", 1)(args).head)))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -241,6 +241,26 @@ object Pipeline {
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 5, threshold = 0.5)),
 
+    // threshold-picking diagnostic: pair counts by 0.1-wide jaccard
+    // bin from one jaccardPairs run at a 0.3 floor — the knee of this
+    // histogram is where the dedup threshold goes
+    "q_dedup_threshold_curve" -> ((s, dir) =>
+      Dedup.similarityHistogram(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 5, minJaccard = 0.3)),
+
+    // per-doc benchmark contamination fraction (GPT-3 appendix-C
+    // triage): every 20th doc plays the benchmark suite, the rest are
+    // scored by the share of their distinct token 3-grams that appear
+    // anywhere in it — ids + 64-bit shingle hashes shuffle, text never
+    "q_contamination_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationScore(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", shingleN = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // substring-level duplicate-span removal (Lee et al. 2022 style):
     // per-doc before/after stats of cutting every ≥10-token run shared
     // with another document. Rows-only: the span boundaries derive from
@@ -531,6 +551,18 @@ object Pipeline {
     // keyword extraction: top-3 tf-idf terms per document
     "q_tfidf" -> ((s, dir) =>
       Vocab.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // tokenizer-vocab sizing: types needed to cover 50/90/99% of the
+    // corpus token mass — count-class formulation, never a
+    // vocab-sized single-partition window
+    "q_vocab_coverage" -> ((s, dir) =>
+      Vocab.coverage(t(s, dir, "documents"), "text",
+        levels = Seq(0.5, 0.9, 0.99))),
+
+    // rank–frequency health: OLS Zipf slope/intercept over the top-1k
+    // types; natural text sits near −1, boilerplate floods flatten it
+    "q_zipf_slope" -> ((s, dir) =>
+      Vocab.zipfSlope(t(s, dir, "documents"), "text", k = 1000)),
 
     // CCNet-style perplexity proxy: per-doc average token
     // log-likelihood under the corpus's own unigram LM
@@ -1058,10 +1090,10 @@ object Pipeline {
           w -> len(string_split(trim($repl), ' ')) + strlen(w) - length(w)), 'sum'), 0) AS BIGINT)"""
   }
 
-  // exact 5-gram jaccard pairs at threshold 0.5 — replica of
-  // Dedup.jaccardPairs; shared by q_dedup_jaccard and, as a CTE, by the
-  // q_dedup_cluster connected-components oracle
-  private val JaccardPairsSql =
+  // exact 5-gram jaccard pairs — replica of Dedup.jaccardPairs; at 0.5
+  // shared by q_dedup_jaccard and, as a CTE, by the q_dedup_cluster
+  // connected-components oracle; at 0.3 by the threshold histogram
+  private def jaccardPairsSqlAt(threshold: Double): String =
     s"""WITH toks AS (
          SELECT doc_id, $TokSql AS tk
          FROM documents),
@@ -1078,7 +1110,9 @@ object Pipeline {
          FROM inter
          JOIN sizes na ON id_a = na.doc_id
          JOIN sizes nb ON id_b = nb.doc_id)
-       WHERE jaccard >= 0.5"""
+       WHERE jaccard >= $threshold"""
+
+  private val JaccardPairsSql = jaccardPairsSqlAt(0.5)
 
   private def hitsSql(words: Seq[String]): String =
     s"""len(list_filter($TokSql, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"""
@@ -1301,6 +1335,27 @@ object Pipeline {
           FROM (SELECT doc_id, $hitCols FROM documents)"""
     },
     "q_dedup_jaccard" -> JaccardPairsSql,
+    "q_dedup_threshold_curve" ->
+      s"""WITH jp AS (${jaccardPairsSqlAt(0.3)})
+         SELECT floor(jaccard * 10.0) / 10.0 AS bin_lo, count(*) AS n_pairs
+         FROM jp GROUP BY 1""",
+    // 3-gram windows via the same slice convention as the 5-gram
+    // replica (short docs collapse to one whole-doc shingle); the join
+    // is on the shingle STRING where the Spark side joins XXH64 hashes
+    "q_contamination_score" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS tk FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+           FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i) t),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         cur AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM cur GROUP BY doc_id),
+         hit AS (SELECT cur.doc_id, count(*) AS n_hit
+                 FROM cur JOIN bench USING (s) GROUP BY cur.doc_id)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_shingles, 4) AS contamination
+         FROM tot LEFT JOIN hit USING (doc_id)""",
     // replicates Dedup.cosinePairsLsh exactly: sign-bit band buckets
     // are pure comparisons + integer packing (no float arithmetic), so
     // both engines build identical candidate sets — the sum-of-powers
@@ -1707,6 +1762,44 @@ object Pipeline {
       s"""SELECT token, count(*) AS tf, count(DISTINCT id) AS df
           FROM (SELECT doc_id AS id, unnest($TokSql) AS token FROM documents)
           GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+    // direct per-token cumulative-sum formulation — provably equal to
+    // the Spark side's count-class arithmetic (within a count class
+    // the crossing position is order-independent), and every compare
+    // is (exact-integer cum : double) >= level * T on both engines
+    "q_vocab_coverage" ->
+      s"""WITH toks AS (SELECT $TokSql AS tk FROM documents),
+         t AS (SELECT unnest(tk) AS w FROM toks),
+         u AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+         r AS (SELECT row_number() OVER (ORDER BY c DESC, w ASC) AS rn,
+                 sum(c) OVER (ORDER BY c DESC, w ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+               FROM u),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM u),
+         lv AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS level)
+         SELECT level, CAST(min(rn) AS BIGINT) AS n_types,
+           CAST(min(cum) AS BIGINT) AS covered_tokens
+         FROM r, tot, lv
+         WHERE CAST(cum AS DOUBLE) >= level * T
+         GROUP BY level""",
+    // identical raw-moment parenthesization to Vocab.zipfSlope; ranks
+    // are (count desc, token asc) row numbers over the same top-1k cut
+    "q_zipf_slope" ->
+      s"""WITH toks AS (SELECT $TokSql AS tk FROM documents),
+         t AS (SELECT unnest(tk) AS w FROM toks),
+         u AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+         top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+                 FROM u ORDER BY c DESC, w ASC LIMIT 1000),
+         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(ln(CAST(r AS DOUBLE))) AS sx,
+                 sum(ln(CAST(c AS DOUBLE))) AS sy,
+                 sum(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+                 sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+               FROM top)
+         SELECT CAST(n AS BIGINT) AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS zipf_intercept
+         FROM s""",
     // bigram-LM replica: same scan-side pair construction (list tail
     // zip), same two-level counts and count-weighted average
     "q_lm_bigram" ->

@@ -593,6 +593,38 @@ object Relational {
         out = "price_quartile")
         .drop("l_returnflag", "l_extendedprice")),
 
+    // clip (polars Expr.clip): two-sided, floor-only and cap-only —
+    // all three through Binning.clip; scan-local, no shuffle
+    "q_clip" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Binning.clip(col("l_extendedprice"),
+          Some(lit(5000.0)), Some(lit(50000.0))).as("price_clip"),
+        graft.operators.Binning.clip(col("l_quantity"),
+          Some(lit(10.0)), None).as("qty_floor"),
+        graft.operators.Binning.clip(col("l_tax"),
+          None, Some(lit(0.05))).as("tax_cap"))),
+
+    // cross join (polars join(how="cross")): only sane when one side is
+    // tiny — Spark picks BroadcastNestedLoopJoin, so the big side never
+    // shuffles; a big×big cross is an error by construction at 100 TB
+    "q_cross_join" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .crossJoin(
+          t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))),
+
+    // product aggregate (polars Expr.product) — Spark has no builtin;
+    // AggFunctions.product reuses the internal Product
+    // DeclarativeAggregate (partials merge multiplicatively, one double
+    // per group crosses the shuffle). l_quantity is small ints with ≤7
+    // lines/order, so every product stays < 2^53 and is order-exact
+    "q_product" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          graft.functions.AggFunctions.product(col("l_quantity")).as("qty_product"),
+          count(lit(1)).as("n"))),
+
     // to_dummies: one-hot over the fixed TPC-H category set
     "q_dummies" -> ((s, dir) => {
       val f = col("l_returnflag")
@@ -2167,6 +2199,19 @@ object Relational {
                 WHEN l_extendedprice <= p75 THEN 'q3'
                 ELSE 'q4' END AS price_quartile
          FROM lineitem JOIN breaks USING (l_returnflag)""",
+    "q_clip" ->
+      """SELECT l_orderkey, l_linenumber,
+         least(greatest(l_extendedprice, 5000.0), 50000.0) AS price_clip,
+         greatest(l_quantity, 10.0) AS qty_floor,
+         least(l_tax, 0.05) AS tax_cap
+         FROM lineitem""",
+    "q_cross_join" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation""",
+    "q_product" ->
+      """SELECT l_orderkey, product(l_quantity) AS qty_product,
+         count(*) AS n
+         FROM lineitem GROUP BY l_orderkey""",
     "q_dummies" ->
       """SELECT l_orderkey, l_linenumber,
          CAST(l_returnflag = 'A' AS INT) AS flag_a,

@@ -16,6 +16,25 @@ class BinningSpec extends SparkSpec {
     assert(got == Seq(Some("lo"), Some("lo"), Some("mid"), Some("mid"), Some("hi"), None))
   }
 
+  test("clip: bounds pull, null values stay null, null bound skips a side") {
+    import spark.implicits._
+    val df = Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(5.0)), (Some(7.0), Some(5.0)), (Some(20.0), None),
+      (None, Some(5.0)))
+      .toDF("v", "cap")
+    val got = df.select(
+        Binning.clip(col("v"), Some(lit(3.0)), Some(col("cap"))).as("c"))
+      .as[Option[Double]].collect().toSeq
+    // 1 floors to 3; 7 caps to 5; null cap leaves 20 unclipped above
+    // (floor still applies); null value stays null
+    assert(got == Seq(Some(3.0), Some(5.0), Some(20.0), None))
+    val oneSided = df.select(
+        Binning.clip(col("v"), None, Some(lit(5.0))).as("c"))
+      .as[Option[Double]].collect().toSeq
+    assert(oneSided == Seq(Some(1.0), Some(5.0), Some(5.0), None))
+    intercept[IllegalArgumentException](Binning.clip(col("v")))
+  }
+
   test("cut: left-closed flips the boundary side") {
     import spark.implicits._
     val df = Seq(10.0, 25.0).toDF("v")

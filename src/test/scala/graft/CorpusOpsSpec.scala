@@ -753,4 +753,82 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       df.select(ngramDupStats(col("text"), 1)).collect())
   }
+
+  test("coverage: count-class arithmetic equals a hand cumsum, exact boundaries included") {
+    import spark.implicits._
+    // counts: a×4, b×3, c×2, d×1 → T=10; cum by (c desc, tok asc):
+    // a→4, b→7, c→9, d→10
+    val docs = Seq("a a a a b", "b b c c d").map(Tuple1(_)).toDF("text")
+    val got = Vocab.coverage(docs, "text", levels = Seq(0.4, 0.5, 0.7, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0.4) == ((1L, 4L)), "0.4*10=4 is covered exactly by 'a'")
+    assert(got(0.5) == ((2L, 7L)))
+    assert(got(0.7) == ((2L, 7L)), "0.7*10=7 met exactly at 'b'")
+    assert(got(0.9) == ((3L, 9L)))
+    assert(got(1.0) == ((4L, 10L)))
+    intercept[IllegalArgumentException](Vocab.coverage(docs, "text", Seq(0.0)))
+    intercept[IllegalArgumentException](Vocab.coverage(docs, "text", Seq(1.5)))
+  }
+
+  test("coverage boundary lands mid-class: partial class types counted via the probe") {
+    import spark.implicits._
+    // five singleton tokens, T=5: 0.5*5=2.5 → 3 types needed
+    val docs = Seq(Tuple1("a b c d e")).toDF("text")
+    val got = Vocab.coverage(docs, "text", levels = Seq(0.5))
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0.5) == ((3L, 3L)))
+  }
+
+  test("zipfSlope: an exact power law c = round(1000/r) fits near slope -1") {
+    import spark.implicits._
+    // build a corpus whose counts are exactly 1000/r for r=1..10 by
+    // repeating distinct tokens; tie-break determinism via token names
+    val words = (1 to 10).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"w$r%02d")
+    }
+    val docs = Seq(Tuple1(words.mkString(" "))).toDF("text")
+    val row = Vocab.zipfSlope(docs, "text", k = 10).collect()(0)
+    assert(row.getLong(0) == 10L)
+    val slope = row.getDouble(1)
+    assert(slope < -0.95 && slope > -1.05, s"expected ~-1, got $slope")
+    intercept[IllegalArgumentException](Vocab.zipfSlope(docs, "text", k = 1))
+  }
+
+  test("contaminationScore: planted benchmark quotes score high, fresh text scores 0") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // full quote → 1.0
+      (2L, "completely novel words nowhere else written today"), // 0.0
+      (3L, "intro words then the quick brown fox jumps away")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, bench, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((7L, 7L, 1.0)))
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0.0)
+    // doc 3: 9 tokens → 7 windows; "the quick brown", "quick brown
+    // fox" and "brown fox jumps" overlap the quote's window set
+    assert(got(3L) == ((7L, 3L, 0.4286)))
+    // every input doc is scored exactly once
+    assert(got.size == 3)
+  }
+
+  test("similarityHistogram: bin counts equal a direct bucket of jaccardPairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"), // high overlap with 1
+      (3L, "a b c d e zz yy xx ww vv"), // partial overlap
+      (4L, "p q r s t u v w x y")
+    ).toDF("doc_id", "text")
+    val hist = Dedup.similarityHistogram(docs, "doc_id", "text",
+        shingleN = 2, minJaccard = 0.1)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val direct = Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2, threshold = 0.1)
+      .collect().map(_.getDouble(2))
+      .groupBy(j => math.floor(j * 10.0) / 10.0).view.mapValues(_.length.toLong).toMap
+    assert(hist == direct && hist.values.sum > 0)
+  }
 }

@@ -100,6 +100,30 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql < 0.2)
   }
 
+  test("graft_product: SQL and Column API agree; nulls skipped; all-null group is null") {
+    registered
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(-4.0)), ("c", None))
+      .toDF("k", "v")
+    df.createOrReplaceTempView("prod_t")
+    val viaCol = df.groupBy(col("k"))
+      .agg(graft.functions.AggFunctions.product(col("v")).as("p"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(viaCol == Map("a" -> Some(6.0), "b" -> Some(-4.0), "c" -> None))
+    val viaSql = spark.sql(
+        "SELECT k, graft_product(v) AS p FROM prod_t GROUP BY k")
+      .as[(String, Option[Double])].collect().toMap
+    assert(viaSql == viaCol)
+    // partial/merge path: many partitions, exact small-int product
+    val big = spark.range(1, 21).repartition(8)
+      .select((col("id") % 5 + 1).cast("double").as("v"))
+    val p = big.agg(graft.functions.AggFunctions.product(col("v"))).head().getDouble(0)
+    assert(p == math.pow(1.0 * 2 * 3 * 4 * 5, 4))
+  }
+
   test("unicode normalization functions resolve through SQL") {
     registered
     val r = spark.sql(
