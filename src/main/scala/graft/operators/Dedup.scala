@@ -422,15 +422,39 @@ object Dedup {
       probes: DataFrame,
       idCol: String,
       textCol: String,
+      shingleN: Int = 3): DataFrame =
+    contaminationScoreAgainstIndex(corpus,
+      benchShingleIndex(probes, textCol, shingleN), idCol, textCol, shingleN)
+
+  /** The frozen half of [[contaminationScore]]: the benchmark suite's
+    * DISTINCT 64-bit shingle hashes as a one-column (sh) table.
+    * Benchmarks change on release cadence, not crawl cadence — build
+    * this ONCE, persist it (parquet), and score every later snapshot
+    * or micro-batch against it without rescanning the probe corpus
+    * (the trigramModel / boilerplateIndex freeze pattern). */
+  def benchShingleIndex(
+      probes: DataFrame,
+      textCol: String,
+      shingleN: Int = 3): DataFrame =
+    probes
+      .select(explode(TextHashColumns.shingleHashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+
+  /** [[contaminationScore]] against a pre-built [[benchShingleIndex]].
+    * Per-document and stateless given the frozen index, so the same
+    * call scores a batch corpus or one micro-batch of a stream. The
+    * `shingleN` must match the index's. */
+  def contaminationScoreAgainstIndex(
+      corpus: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
       shingleN: Int = 3): DataFrame = {
     val arr = corpus.select(col(idCol).as("id"),
       TextHashColumns.shingleHashes(col(textCol), shingleN).as("shs"))
     val sizes = arr.select(col("id"), size(col("shs")).cast("long").as("n_shingles"))
     val sh = arr.select(col("id"), explode(col("shs")).as("sh"))
-    val benchSh = probes
-      .select(explode(TextHashColumns.shingleHashes(col(textCol), shingleN)).as("sh"))
-      .distinct()
-    val hits = sh.join(benchSh, Seq("sh"), "left_semi")
+    val hits = sh.join(index.select(col("sh")), Seq("sh"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("__hits"))
     sizes
       .join(hits, Seq("id"), "left")
@@ -438,6 +462,36 @@ object Dedup {
         coalesce(col("__hits"), lit(0L)).as("n_hit"),
         round(coalesce(col("__hits"), lit(0L)).cast("double") / col("n_shingles"), 4)
           .as("contamination"))
+  }
+
+  /** LSH parameter planner: given a target jaccard `threshold` and a
+    * signature budget of `numHashes` MinHash values, pick the (bands,
+    * rows) split whose S-curve inflection `t* = (1/b)^(1/r)` lands
+    * closest to the threshold, over all divisor splits b·r =
+    * numHashes. Returns every candidate so the caller can trade FP
+    * (collision probability at `fpAt` below threshold) against FN
+    * (miss probability at `fnAt` above), with the chosen row first.
+    * Pure driver-side arithmetic over the ≤ d(numHashes) divisors —
+    * nothing distributed; the output parameterizes
+    * [[minhashPairs]]-family calls. Collision probability at
+    * similarity s is 1 − (1 − s^r)^b. */
+  def lshPlan(
+      threshold: Double,
+      numHashes: Int,
+      fpAt: Double = 0.1,
+      fnAt: Double = 0.1): Seq[(Int, Int, Double, Double, Double)] = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    require(numHashes > 0, s"numHashes must be positive: $numHashes")
+    def pCollide(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val cands = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      val tStar = math.pow(1.0 / b, 1.0 / r)
+      val fp = pCollide(math.max(threshold - fpAt, 1e-9), b, r)
+      val fn = 1.0 - pCollide(math.min(threshold + fnAt, 1.0 - 1e-9), b, r)
+      (b, r, tStar, fp, fn)
+    }
+    cands.sortBy { case (_, _, tStar, _, _) => math.abs(tStar - threshold) }
   }
 
   /** Near-dup pair-similarity histogram: candidate pairs from the

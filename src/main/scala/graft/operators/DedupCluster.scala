@@ -163,4 +163,18 @@ object DedupCluster {
         col("__best.s").as("best_score"),
         col("n_members"))
   }
+
+  /** Cluster-size histogram over a (id, comp) component labelling:
+    * clusters per size + documents they absorb — the "how much of the
+    * corpus is duplicated, and in what shape" dashboard (a fat head of
+    * giant clusters flags a boilerplate flood; a long tail of pairs is
+    * organic near-dups). Sizes are ≥ 2 by construction — singletons
+    * never enter the pair graph. Two partial-agg'd shuffles over the
+    * label table: ids only, nothing document-sized. */
+  def clusterSizeHistogram(components: DataFrame): DataFrame =
+    components
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
 }

@@ -607,6 +607,14 @@ object Pipeline {
         Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 5, threshold = 0.5))),
 
+    // duplication-shape dashboard: clusters per size + docs absorbed —
+    // a fat head of giant clusters flags a boilerplate flood
+    "q_dedup_cluster_sizes" -> ((s, dir) =>
+      DedupCluster.clusterSizeHistogram(
+        DedupCluster.connectedComponents(
+          Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+            shingleN = 5, threshold = 0.5)))),
+
     // split integrity: near-dup clusters never straddle train/test —
     // the side is a hash of the duplicate-cluster representative
     "q_split_safe" -> ((s, dir) => {
@@ -1922,6 +1930,24 @@ object Pipeline {
            UNION
            SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
          SELECT id, min(lbl) AS comp FROM reach GROUP BY id""",
+    // same component labels, folded twice: comp → size, size → counts
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE
+         jp AS ($JaccardPairsSql),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM jp
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM jp),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach AS (
+           SELECT id, id AS lbl FROM nodes
+           UNION
+           SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         comps AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         szs AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+         FROM szs GROUP BY sz""",
     // same component labels, then the split = md5 bucket of the
     // cluster representative (singletons hash their own id)
     "q_split_safe" ->

@@ -286,6 +286,30 @@ object EventStreams {
     }.start()
   }
 
+  /** Streaming contamination triage — the live twin of
+    * [[graft.operators.Dedup.contaminationScoreAgainstIndex]]: each
+    * micro-batch's documents are scored against the FROZEN benchmark
+    * shingle-hash index and the per-doc rows emit. Scoring is
+    * per-document and the index is static, so there is NO cross-batch
+    * state at all: the emitted union under any batching equals the
+    * batch scorer over the same rows (spec-pinned). At a 100 TB feed
+    * the index stays benchmark-sized — build it once with
+    * [[graft.operators.Dedup.benchShingleIndex]], persist it, and each
+    * micro-batch pays one hash semi-join; the quarantine decision
+    * (contamination above a bar) happens while the doc is in flight,
+    * not after it lands in the corpus. */
+  def contaminationScoringSink(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      emit(graft.operators.Dedup.contaminationScoreAgainstIndex(
+        batch, index, idCol, textCol, shingleN))
+    }.start()
+
   /** Streaming incremental ANALYZE — the live twin of
     * [[graft.operators.Profile.finalizeProfile]]: each micro-batch's
     * per-column (rows, nulls, HLL distinct sketch) state folds into

@@ -746,4 +746,38 @@ class StreamingSpec extends SparkSpec {
         s"stream blocklist must keep exactly the batch-kept docs: $kept")
     } finally q.stop()
   }
+
+  test("streaming contamination triage equals the batch scorer under any batching") {
+    import spark.implicits._
+    // frozen benchmark index built once from a probe slice; per-doc
+    // scores depend only on the doc and the index, so batch boundaries
+    // cannot change any score
+    val all = Tables.t(spark, Sf, "documents").select("doc_id", "text")
+    val index = graft.operators.Dedup
+      .benchShingleIndex(all.filter(col("doc_id") % 20 === 0), "text", shingleN = 3)
+      .localCheckpoint()
+    val corpus = all.filter(col("doc_id") % 20 =!= 0 && col("doc_id") < 100)
+    var scored = Map.empty[Long, (Long, Long, Double)]
+    val base = 1700000000000L
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IncDoc](spark)
+    val q = EventStreams.contaminationScoringSink(
+      stream.toDS().toDF(), index, "doc_id", "text", 3,
+      out => scored ++= out.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))))
+    try {
+      def feed(df: org.apache.spark.sql.DataFrame): Unit = {
+        stream.addData(df.collect().map(r =>
+          IncDoc(r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)), r.getString(1))).toSeq)
+        q.processAllAvailable()
+      }
+      feed(corpus.filter(col("doc_id") < 50))
+      feed(corpus.filter(col("doc_id") >= 50))
+      val oneShot = graft.operators.Dedup
+        .contaminationScoreAgainstIndex(corpus, index, "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(scored == oneShot,
+        s"streamed contamination diverges: ${(scored.toSet -- oneShot.toSet).take(3)}")
+      assert(scored.nonEmpty)
+    } finally q.stop()
+  }
 }

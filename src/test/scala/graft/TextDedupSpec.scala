@@ -532,4 +532,33 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (4L, 5L)))
   }
+
+  test("clusterSizeHistogram folds component labels into exact (size, clusters, docs) rows") {
+    import spark.implicits._
+    // components: {1,2,3} as comp 1, {4,5} as comp 4, {6,7} as comp 6
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L), (7L, 6L))
+      .toDF("id", "comp")
+    val got = graft.operators.DedupCluster.clusterSizeHistogram(comps)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L))))
+  }
+
+  test("lshPlan: best split's S-curve inflection brackets the threshold; probabilities sane") {
+    // 128 hashes at threshold 0.5: the classic (b, r) tables put the
+    // inflection (1/b)^(1/r) nearest 0.5 around b=32, r=4 (t*≈0.42)
+    // or b=16, r=8 (t*≈0.71) — whichever is closer wins, and every
+    // candidate divides 128
+    val plans = graft.operators.Dedup.lshPlan(0.5, 128)
+    assert(plans.nonEmpty && plans.forall { case (b, r, _, _, _) => b * r == 128 })
+    val (b, r, tStar, fp, fn) = plans.head
+    assert(math.abs(tStar - 0.5) <= 0.22, s"inflection too far from threshold: ($b,$r,$tStar)")
+    assert(fp >= 0 && fp <= 1 && fn >= 0 && fn <= 1)
+    // the head is the argmin of |t* - threshold| over all candidates
+    assert(plans.forall { case (_, _, t, _, _) => math.abs(tStar - 0.5) <= math.abs(t - 0.5) })
+    // more bands (fewer rows) always shifts the inflection down
+    val byBands = plans.sortBy(_._1).map(_._3)
+    assert(byBands == byBands.sorted.reverse)
+    intercept[IllegalArgumentException](graft.operators.Dedup.lshPlan(0.0, 128))
+    intercept[IllegalArgumentException](graft.operators.Dedup.lshPlan(0.5, 0))
+  }
 }
