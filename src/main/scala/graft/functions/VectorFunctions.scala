@@ -55,6 +55,21 @@ object VectorFunctions {
     when(n > 0, transform(asDouble(v), x => x / n)).otherwise(asDouble(v))
   }
 
+  /** Matryoshka truncation (Kusupati 2022-style): keep the first
+    * `dims` coordinates and L2-renormalize, so the prefix is directly
+    * comparable by cosine at the reduced dimensionality — the cheap
+    * coarse stage of a truncate→rerank retrieval cascade. Scan-local
+    * HOF arithmetic (slice + one sequential fold + per-element
+    * divide); a zero-norm prefix yields null (no direction exists).
+    * The fold is left-to-right, so an oracle summing in list order
+    * reproduces it bit-for-bit. */
+  def truncateRenorm(v: Column, dims: Int): Column = {
+    require(dims > 0, s"dims must be positive: $dims")
+    val p = asDouble(slice(v, 1, dims))
+    val n = sqrt(aggregate(p, lit(0.0), (a, x) => a + x * x))
+    when(n > 0, transform(p, x => x / n))
+  }
+
   /** Symmetric int8 quantization: scale = 127 / max|x|, elements
     * mapped with floor(x·scale + 0.5) — explicit half-up rounding, the
     * same arithmetic in every engine (a bare `round` differs between

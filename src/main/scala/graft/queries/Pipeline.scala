@@ -570,6 +570,21 @@ object Pipeline {
       Vocab.lmScore(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    // the CCNet bucketing step itself: per-LANGUAGE perplexity
+    // terciles over the unigram LM score — head/middle/tail labels
+    // drive keep/review/drop downstream; composes lmScore with the
+    // distributed qcut (per-lang breaks broadcast back, no global sort)
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = Vocab.lmScore(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+      graft.operators.Binning.qcut(
+        docs.select(col("doc_id"), col("lang")).join(scored, Seq("doc_id")),
+        "lm_score", Seq(1.0 / 3, 2.0 / 3),
+        labels = Seq("tail", "middle", "head"), groupCols = Seq("lang"),
+        out = "ppl_bucket")
+    }),
+
     // bigram LM: transition likelihoods catch word salad the unigram
     // model can't; bigrams built scan-side, no per-token window
     "q_lm_bigram" -> ((s, dir) =>
@@ -705,6 +720,22 @@ object Pipeline {
         .select(
           col("vec_id") +: (1 to 8).map(i =>
             round(element_at(col("pca"), i), 4).as(s"pca_$i")): _*)
+    }),
+
+    // Matryoshka truncation: first-16-dim prefix, L2-renormalized —
+    // the coarse stage of a truncate→rerank cascade; summary stats
+    // cross the oracle (array outputs stay spec-tested, as with
+    // q_embed_quant)
+    "q_embed_truncate" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val p = transform(slice(col("embedding"), 1, 16), x => x.cast("double"))
+      val r = VF.truncateRenorm(col("embedding"), 16)
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(sqrt(aggregate(p, lit(0.0), (a, x) => a + x * x)), 6).as("trunc_norm"),
+        round(aggregate(r, lit(0.0), (a, x) => a + x), 4).as("renorm_sum"),
+        round(array_min(r), 4).as("renorm_min"),
+        round(array_max(r), 4).as("renorm_max"))
     }),
 
     // symmetric int8 embedding quantization: 4× smaller vectors for the
@@ -1914,6 +1945,43 @@ object Pipeline {
              AS lm_score
          FROM dt JOIN v USING (token) CROSS JOIN tot
          GROUP BY dt.doc_id""",
+    // the q_lm_score replica as a CTE, then per-lang tercile breaks
+    // via the q_quantile ranked-window formulation (same 1.0/3 double
+    // literals as the Spark side) and the q_qcut when-chain
+    "q_ccnet_buckets" ->
+      s"""WITH dt AS (
+           SELECT doc_id, token, count(*) AS c
+           FROM (SELECT doc_id, unnest($TokSql) AS token FROM documents)
+           GROUP BY doc_id, token),
+         v AS (SELECT token, sum(c) AS tf FROM dt GROUP BY token),
+         tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM v),
+         scored AS (
+           SELECT dt.doc_id,
+             round(sum(dt.c * ln(CAST(v.tf AS DOUBLE) / tot.t)) / sum(dt.c), 4)
+               AS lm_score
+           FROM dt JOIN v USING (token) CROSS JOIN tot
+           GROUP BY dt.doc_id),
+         sl AS (
+           SELECT s.doc_id, d.lang, s.lm_score
+           FROM scored s JOIN documents d USING (doc_id)),
+         b AS (
+           SELECT lang, lm_score AS v,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY lm_score) AS DOUBLE) - 1 AS rn,
+             CAST(count(*) OVER (PARTITION BY lang) AS DOUBLE) AS n
+           FROM sl),
+         breaks AS (
+           SELECT lang,
+             sum(CASE WHEN rn = floor((n-1)*(1.0/3)) OR rn = ceil((n-1)*(1.0/3))
+                      THEN v * (1.0 - abs(rn - (n-1)*(1.0/3))) ELSE 0.0 END) AS p33,
+             sum(CASE WHEN rn = floor((n-1)*(2.0/3)) OR rn = ceil((n-1)*(2.0/3))
+                      THEN v * (1.0 - abs(rn - (n-1)*(2.0/3))) ELSE 0.0 END) AS p67
+           FROM b GROUP BY lang)
+         SELECT doc_id, lang, lm_score,
+           CASE WHEN lm_score <= p33 THEN 'tail'
+                WHEN lm_score <= p67 THEN 'middle'
+                ELSE 'head' END AS ppl_bucket
+         FROM sl JOIN breaks USING (lang)""",
     // transitive closure of the jaccard pair graph via a recursive CTE:
     // every node's reachable-label set, then min per node — the same
     // fixpoint DedupCluster's min-label propagation converges to
@@ -2034,6 +2102,25 @@ object Pipeline {
          FROM l""",
     // floor(x·scale + 0.5) = explicit half-up rounding — engine round()
     // builtins differ (half-up vs half-even) and never touch the oracle
+    // same sequential left-to-right fold order as the Spark aggregate,
+    // so the pre-round doubles agree bit-for-bit
+    "q_embed_truncate" ->
+      """WITH m AS (
+           SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+           FROM m),
+         r AS (
+           SELECT vec_id, nrm,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS rv
+           FROM n)
+         SELECT vec_id, round(nrm, 6) AS trunc_norm,
+           round(list_aggregate(rv, 'sum'), 4) AS renorm_sum,
+           round(list_min(rv), 4) AS renorm_min,
+           round(list_max(rv), 4) AS renorm_max
+         FROM r""",
     "q_embed_quant" ->
       """WITH m AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -288,6 +288,20 @@ class SamplingSpec extends SparkSpec {
     assert(norms(2L) == 0.0)
   }
 
+  test("truncateRenorm keeps the prefix direction at unit norm; zero prefix is null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f, 100.0f)),   // prefix (3,4) → (0.6, 0.8)
+      (2L, Seq(0.0f, 0.0f, 5.0f))      // zero prefix → null
+    ).toDF("id", "v")
+    val out = df.select(col("id"), VF.truncateRenorm(col("v"), 2).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)).toMap
+    assert(out(1L).contains(Seq(0.6, 0.8)))
+    assert(out(2L).isEmpty, "a zero-norm prefix has no direction")
+    intercept[IllegalArgumentException](VF.truncateRenorm(col("v"), 0))
+  }
+
   test("filterReason fires the FIRST failing rule in fixed order") {
     import spark.implicits._
     val docs = Seq(
