@@ -62,10 +62,53 @@ object Sampling {
     * lattice and keeps u off 0 and 1). Pure function of (key, weight)
     * — the batch and streaming samplers share it, which is what makes
     * their draws provably identical. */
-  def esKey(key: Column, weight: Column): Column = {
-    val u = (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
+  /** u = uniform(0,1) as a pure function of md5(key) — the shared
+    * deterministic randomness source of the sampling family (first 52
+    * md5 bits, +0.5 lattice centering keeps u off 0 and 1; exact in a
+    * double, identical in every engine that can read 13 hex chars). */
+  def hashUniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
       .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
-    -log(u) / weight
+
+  def esKey(key: Column, weight: Column): Column =
+    -log(hashUniform(key)) / weight
+
+  /** Poisson(1) CDF breakpoints as exact double literals — spelled in
+    * decimal so any engine parsing the same literals draws the same k
+    * from the same u (decimal→double is correctly rounded everywhere). */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712)
+
+  /** Replicate count for a bootstrap resample WITH replacement:
+    * k ~ Poisson(1) via inverse-CDF on the deterministic md5-uniform.
+    * The Poisson limit is the standard distributed approximation of an
+    * exact-N multinomial draw (slots decouple as N→∞); expected output
+    * size = input size. Tail above k=7 (P < 1.1e-5) folds into 7. */
+  def bootstrapCount(key: Column): Column = {
+    val u = hashUniform(key)
+    PoissonCdf.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (c, k)) =>
+        Some(acc.fold(when(u < lit(c), lit(k)))(_.when(u < lit(c), lit(k))))
+      }.get.otherwise(lit(PoissonCdf.size))
+  }
+
+  /** Bootstrap resample with replacement: each row emitted
+    * [[bootstrapCount]] times, with a `replicate` ordinal
+    * distinguishing the copies. A pure scan-side filter + explode — no
+    * shuffle, no state, no driver involvement — so a 100 TB bootstrap
+    * costs one pass; determinism is per-key, so reruns, engines, and
+    * partitionings agree row-for-row. ~36.8% of rows draw k=0 and drop
+    * — that's the bootstrap, not a bug. Null keys are excluded (md5 of
+    * null has no draw). */
+  def bootstrapResample(df: DataFrame, key: Column): DataFrame = {
+    requireHashableKey(df, key)
+    df.filter(key.isNotNull)
+      .withColumn("__k", bootstrapCount(key))
+      .filter(col("__k") > 0)
+      .withColumn("replicate", explode(sequence(lit(1L), col("__k").cast("long"))))
+      .drop("__k")
   }
 
   def weightedSample(df: DataFrame, key: Column, weight: Column, n: Int): DataFrame = {

@@ -664,6 +664,15 @@ object Pipeline {
         t(s, dir, "orders"), col("o_orderkey"), col("o_totalprice"), n = 100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))),
 
+    // bootstrap resample WITH replacement (polars sample(with_
+    // replacement=True) at scale): per-row Poisson(1) replicate counts
+    // from the md5-uniform's inverse CDF — scan-side explode, no
+    // shuffle, no driver; deterministic per key so engines agree
+    "q_sample_bootstrap" -> ((s, dir) =>
+      graft.operators.Sampling.bootstrapResample(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        col("o_orderkey"))),
+
     // per-stratum weighted draw: n best E-S keys within each priority
     // class — quality-weighted per-language subsampling at scale
     "q_sample_weighted_strat" -> ((s, dir) =>
@@ -2051,6 +2060,28 @@ object Pipeline {
          ORDER BY -ln((CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
                       / 4503599627370496.0) / o_totalprice
          LIMIT 100""",
+    // same md5-uniform, same Poisson(1) CDF decimal literals — both
+    // engines parse them to identical doubles, so every k agrees
+    "q_sample_bootstrap" ->
+      """WITH u AS (
+           SELECT o_orderkey, o_totalprice,
+             (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+               / 4503599627370496.0 AS u
+           FROM orders WHERE o_orderkey IS NOT NULL),
+         k AS (
+           SELECT o_orderkey, o_totalprice,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238463 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.999916758850712 THEN 6
+                  ELSE 7 END AS k
+           FROM u)
+         SELECT o_orderkey, o_totalprice, CAST(r AS BIGINT) AS replicate
+         FROM k, LATERAL (SELECT unnest(range(1, k + 1)) AS r) t
+         WHERE k > 0""",
     "q_sample_weighted_rate" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
          WHERE o_totalprice > 0

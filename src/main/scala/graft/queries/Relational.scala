@@ -343,6 +343,43 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("rmean"))
     }),
 
+    // value-RANGE rolling window (polars rolling_*_by over a numeric
+    // key): frame = quantity within 5 units. The naive per-row range
+    // frame re-aggregates ~frame-size rows per row (heavy ties make
+    // that quadratic); the scale form aggregates per (group, key)
+    // FIRST — 50 distinct quantities — windows over that tiny table,
+    // and broadcast-joins the frame stats back onto the facts
+    "q_rolling_range" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val g = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(col("l_extendedprice")).as("__s"), count(lit(1)).as("__n"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rangeBetween(-5, Window.currentRow)
+      val frames = g.select(col("l_returnflag"), col("l_quantity"),
+        (sum(col("__s")).over(w) / sum(col("__n")).over(w)).as("__avg"),
+        sum(col("__n")).over(w).as("rng_n"))
+      li.join(broadcast(frames), Seq("l_returnflag", "l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("__avg"), 4).as("rng_avg"), col("rng_n"))
+    }),
+
+    // str strip namespace (polars strip_chars / strip_chars_start /
+    // strip_chars_end / strip_prefix / strip_suffix): set-based trims
+    // map to Spark trim(col, set) = DuckDB trim(s, set); prefix/suffix
+    // removal is an explicit guarded substring — all scan-local
+    "q_str_strip" -> ((s, dir) => {
+      val s40 = substring(col("text"), 1, 40)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        trim(s40, "aeiou .").as("s_chars"),
+        ltrim(s40, "aeiou .").as("s_start"),
+        rtrim(s40, "aeiou .").as("s_end"),
+        when(s40.startsWith("The "), s40.substr(lit(5), length(s40)))
+          .otherwise(s40).as("s_prefix"),
+        when(s40.endsWith("s"), s40.substr(lit(1), length(s40) - 1))
+          .otherwise(s40).as("s_suffix"))
+    }),
+
     // rolling_map (polars rolling_map): the GENERIC windowed kernel —
     // here a rolling midrange, a kernel no named rolling op covers,
     // oracle-checked against DuckDB's min/max window composition
@@ -2151,6 +2188,35 @@ object Relational {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+    // the same two-level (group, key) pre-aggregation as the Spark
+    // side, so the frame folds the same per-quantity partials
+    "q_rolling_range" ->
+      """WITH g AS (
+           SELECT l_returnflag, l_quantity,
+             sum(l_extendedprice) AS s, count(*) AS n
+           FROM lineitem GROUP BY 1, 2),
+         f AS (
+           SELECT l_returnflag, l_quantity,
+             sum(s) OVER w / sum(n) OVER w AS a,
+             sum(n) OVER w AS rng_n
+           FROM g
+           WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+                        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+         SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           round(f.a, 4) AS rng_avg, f.rng_n
+         FROM lineitem l JOIN f USING (l_returnflag, l_quantity)""",
+    "q_str_strip" ->
+      """SELECT doc_id,
+         trim(substr(text, 1, 40), 'aeiou .') AS s_chars,
+         ltrim(substr(text, 1, 40), 'aeiou .') AS s_start,
+         rtrim(substr(text, 1, 40), 'aeiou .') AS s_end,
+         CASE WHEN starts_with(substr(text, 1, 40), 'The ')
+              THEN substr(substr(text, 1, 40), 5)
+              ELSE substr(text, 1, 40) END AS s_prefix,
+         CASE WHEN substr(text, 1, 40) LIKE '%s'
+              THEN substr(substr(text, 1, 40), 1, length(substr(text, 1, 40)) - 1)
+              ELSE substr(text, 1, 40) END AS s_suffix
+         FROM documents""",
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -288,6 +288,32 @@ class SamplingSpec extends SparkSpec {
     assert(norms(2L) == 0.0)
   }
 
+  test("bootstrapResample: deterministic Poisson(1) replicates, ordinals 1..k, nulls excluded") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 2000L).map(Option(_)).toDF("id")
+    val out = Sampling.bootstrapResample(df, col("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("k"), max(col("replicate")).as("mx"),
+        min(col("replicate")).as("mn"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // replicate ordinals are exactly 1..k per surviving key
+    assert(out.values.forall { case (k, mx, mn) => mn == 1L && mx == k })
+    // Poisson(1): ~63.2% of keys survive; loose 3σ-ish band
+    assert(out.size > 1150 && out.size < 1400, s"survivors: ${out.size}")
+    // expected total ≈ 2000
+    val total = out.values.map(_._1).sum
+    assert(total > 1800 && total < 2200, s"total replicates: $total")
+    // pure function of the key: a rerun draws identically
+    val again = Sampling.bootstrapResample(df.repartition(7), col("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out.view.mapValues(_._1).toMap)
+    // null keys never draw
+    val withNull = Seq(Some(1L), None).toDF("id")
+    assert(Sampling.bootstrapResample(withNull, col("id"))
+      .filter(col("id").isNull).count() == 0)
+  }
+
   test("truncateRenorm keeps the prefix direction at unit norm; zero prefix is null") {
     import spark.implicits._
     val df = Seq(
