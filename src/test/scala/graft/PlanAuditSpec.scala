@@ -678,4 +678,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"bucket counts not partially aggregated map-side:\n$p")
   }
+
+  test("q_contamination_score: shuffles carry (id, shingle hash), never document text") {
+    // the corpus explodes to 64-bit hashes scan-side; any exchange
+    // with text on it re-keys the whole corpus by content at 100 TB
+    val p = planOf("q_contamination_score")
+    val exLines = p.linesIterator.filter(_.contains("hashpartitioning(")).mkString
+    assert(exLines.nonEmpty && !exLines.contains("text#"),
+      s"contamination score shuffles raw text: $exLines")
+  }
+
+  test("q_vocab_coverage: the cumsum window runs over count CLASSES, not the vocabulary") {
+    // the single-partition window is bounded by the number of distinct
+    // frequencies; a window keyed on the token column means the whole
+    // vocab funnels through one task
+    val p = planOf("q_vocab_coverage")
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString
+    assert(winLines.nonEmpty, s"no window found:\n$p")
+    assert(!winLines.contains("token#"),
+      s"coverage windows over the vocabulary itself: $winLines")
+    // token counts still partial-aggregate map-side before their shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"token counts not partially aggregated:\n$p")
+  }
+
+  test("q_zipf_slope: the top-k cut is TakeOrdered, never a global sort of the vocab") {
+    val p = planOf("q_zipf_slope")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"zipf top-k is not a TakeOrdered cut:\n$p")
+  }
+
+  test("q_sample_bootstrap: pure scan-side filter + generate — zero exchanges") {
+    val p = planOf("q_sample_bootstrap")
+    assert(!p.contains("Exchange"),
+      s"bootstrap resample shuffled (it must be scan-local):\n$p")
+    assert(p.contains("Generate"), s"no explode generator in plan:\n$p")
+  }
+
+  test("q_rolling_range: the range frame windows over the pre-aggregated key table") {
+    // the window's partition input must be the (group, key) aggregate,
+    // not the raw facts — on raw rows Spark re-aggregates the whole
+    // heavy-tie frame per row (quadratic at 100 TB)
+    val p = planOf("q_rolling_range")
+    val winLines = p.linesIterator.filter(_.contains("Window")).mkString
+    assert(!winLines.contains("l_extendedprice#"),
+      s"range frame runs over raw fact rows: $winLines")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frame stats not broadcast back onto the facts:\n$p")
+  }
 }
