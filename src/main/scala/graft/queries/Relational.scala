@@ -21,14 +21,23 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style scan+agg: partial aggregation map-side, 6 groups.
+    // money sums run in DECIMAL: prices/discounts are 2-dp values, so
+    // the decimal cast recovers them exactly and the sum is exact and
+    // ORDER-INDEPENDENT — a double sum at billions of rows walks
+    // ~sqrt(n)·ulp(total) (the r11 sf1 stress measured ~1e-2 on
+    // sum_disc, straddling the 2-dp rounding boundary between engines
+    // and between Spark's own merge orders). Final cast back to double
+    // keeps the driver-facing schema
     "q1_agg" -> ((s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc1 = (lit(1) - col("l_discount")).cast("decimal(18,2)")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(sum(price).cast("double"), 2).as("sum_base"),
+          round(sum(price * disc1).cast("double"), 2).as("sum_disc"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           count(lit(1)).as("cnt"))
     }),
@@ -40,7 +49,9 @@ object Relational {
           col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1999-01-01")
             && col("l_discount") >= 0.02 && col("l_discount") <= 0.09
             && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
     }),
 
     // TPC-H Q5-style multi-join: nation/region broadcast, fact join shuffles once.
@@ -56,7 +67,9 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double"), 2)
+            .as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -1971,24 +1984,29 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // money sums in DECIMAL on this side too — exact and
+    // order-independent, so the 2-dp round can never straddle
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_base,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_disc,
          round(avg(l_quantity),2) AS avg_qty,
          count(*) AS cnt
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus""",
     "q_filter_project" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE),2) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
            AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""",
     "q_join_agg" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),2) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
