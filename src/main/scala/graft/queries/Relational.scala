@@ -21,23 +21,26 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style scan+agg: partial aggregation map-side, 6 groups.
-    // money sums run in DECIMAL: prices/discounts are 2-dp values, so
-    // the decimal cast recovers them exactly and the sum is exact and
-    // ORDER-INDEPENDENT — a double sum at billions of rows walks
-    // ~sqrt(n)·ulp(total) (the r11 sf1 stress measured ~1e-2 on
-    // sum_disc, straddling the 2-dp rounding boundary between engines
-    // and between Spark's own merge orders). Final cast back to double
-    // keeps the driver-facing schema
+    // money sums run on SCALED LONGS: prices/discounts are 2-dp
+    // values, so round(x*100) recovers the exact cents and the long
+    // sum is exact and ORDER-INDEPENDENT — a double sum at billions
+    // of rows walks ~sqrt(n)·ulp(total) (the r11 sf1 stress measured
+    // ~1e-2 on sum_disc, straddling the 2-dp rounding boundary
+    // between engines and between Spark's own merge orders). Long
+    // sums stay codegen'd-cheap where a decimal aggregate is 2-3×
+    // slower; headroom: cents×cents products are ≤ ~5e8, so the
+    // per-group running sum overflows 2^63 only past ~1.8e10 rows —
+    // switch to decimal(38,4) beyond that
     "q1_agg" -> ((s, dir) => {
-      val price = col("l_extendedprice").cast("decimal(18,2)")
-      val disc1 = (lit(1) - col("l_discount")).cast("decimal(18,2)")
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val disc1c = round((lit(1) - col("l_discount")) * 100).cast("long")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("2000-12-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(price).cast("double"), 2).as("sum_base"),
-          round(sum(price * disc1).cast("double"), 2).as("sum_disc"),
+          round(sum(cents).cast("double") / 100.0, 2).as("sum_base"),
+          round(sum(cents * disc1c).cast("double") / 10000.0, 2).as("sum_disc"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           count(lit(1)).as("cnt"))
     }),
@@ -49,8 +52,8 @@ object Relational {
           col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1999-01-01")
             && col("l_discount") >= 0.02 && col("l_discount") <= 0.09
             && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            col("l_discount").cast("decimal(18,2)")).cast("double"), 2)
+        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")).cast("double") / 10000.0, 2)
           .as("revenue"))
     }),
 
@@ -67,9 +70,9 @@ object Relational {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double"), 2)
-            .as("revenue"),
+          round(sum(round(col("l_extendedprice") * 100).cast("long") *
+              round((lit(1) - col("l_discount")) * 100).cast("long"))
+            .cast("double") / 10000.0, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -1984,29 +1987,29 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
-    // money sums in DECIMAL on this side too — exact and
+    // money sums on the same scaled-long cents — exact and
     // order-independent, so the 2-dp round can never straddle
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_base,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),2) AS sum_disc,
+         round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0,2) AS sum_base,
+         round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round((1-l_discount)*100) AS BIGINT)) AS DOUBLE)/10000.0,2) AS sum_disc,
          round(avg(l_quantity),2) AS avg_qty,
          count(*) AS cnt
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus""",
     "q_filter_project" ->
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE),2) AS revenue
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                              * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0,2) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
            AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 24""",
     "q_join_agg" ->
       """SELECT r_name, n_name,
-         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),2) AS revenue,
+         round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round((1-l_discount)*100) AS BIGINT)) AS DOUBLE)/10000.0,2) AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
