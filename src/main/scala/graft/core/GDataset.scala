@@ -322,6 +322,33 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     transform(graft.operators.Sampling
       .weightedSampleRate(_, key, weight, threshold))
 
+  /** polars `partition_by`: split into one GDataset per distinct key
+    * tuple. DELIBERATELY driver-enumerated — a Map of frames IS a
+    * driver structure, so this is the one polars surface that cannot
+    * stay fully lazy; the group count is capped loudly (`maxGroups`)
+    * and each member stays a LAZY filter plan over the shared source
+    * (no per-group shuffle, no materialization — Catalyst pushes the
+    * equality predicate into the scan, so writing each member prunes
+    * partitions). For group-wise PROCESSING at 100 TB use
+    * groupBy/mapGroupsSeries instead; this is for
+    * fan-out-to-named-outputs workflows (one sink per language). Null
+    * keys form their own group, matching polars. */
+  def partitionByGroups(
+      cols: Seq[String], maxGroups: Int = 1000): Map[Seq[Any], GDataset] = {
+    require(cols.nonEmpty, "partitionByGroups needs at least one key column")
+    val keys = df.select(cols.map(col): _*).distinct().limit(maxGroups + 1).collect()
+    require(keys.length <= maxGroups,
+      s"partitionByGroups: more than $maxGroups distinct groups — raise maxGroups " +
+        "deliberately or aggregate instead of fanning out")
+    keys.map { r =>
+      val vals = cols.indices.map(r.get)
+      val pred = cols.zip(vals).map { case (c, v) =>
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+      (vals.toSeq, transform(_.filter(pred)))
+    }.toMap
+  }
+
   /** Cumulative-budget cut per stratum on the wrapper
     * (Sampling.budgetPerStratum): keep rows in `order` until the
     * stratum's running `weightCol` total passes `budget` — the

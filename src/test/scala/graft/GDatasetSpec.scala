@@ -197,6 +197,27 @@ class GDatasetSpec extends SparkSpec {
     assert(wrapperIds.count(_ <= 50L) >= 20, "weights must bias the draw")
   }
 
+  test("partitionByGroups: exact disjoint cover, null group, metadata kept, cap fires") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[String])](
+      (1L, Some("en")), (2L, Some("en")), (3L, Some("fr")), (4L, None))
+      .toDF("i", "lang")
+    val ds = GDataset(df, "i")
+    val parts = ds.partitionByGroups(Seq("lang"))
+    assert(parts.keySet == Set(Seq("en"), Seq("fr"), Seq(null)))
+    def ids(g: GDataset) = g.df.select("i").collect().map(_.getLong(0)).toSet
+    assert(ids(parts(Seq("en"))) == Set(1L, 2L))
+    assert(ids(parts(Seq("fr"))) == Set(3L))
+    assert(ids(parts(Seq(null))) == Set(4L), "null keys form their own group")
+    assert(parts.values.forall(_.index == "i"), "metadata must survive")
+    // members stay lazy filter plans over the source (no materialization)
+    assert(parts(Seq("en")).df.queryExecution.analyzed.toString.contains("Filter"))
+    // disjoint exact cover
+    assert(parts.values.map(g => g.df.count()).sum == 4L)
+    intercept[IllegalArgumentException](ds.partitionByGroups(Seq("i"), maxGroups = 2))
+    intercept[IllegalArgumentException](ds.partitionByGroups(Nil))
+  }
+
   test("stratum/rate samplers, budget, fill and list.eval wrappers delegate, metadata kept") {
     import spark.implicits._
     val df = (1L to 300L).map(i =>
