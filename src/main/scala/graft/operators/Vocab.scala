@@ -468,10 +468,23 @@ object Vocab {
     * covered_tokens). */
   def coverage(
       docs: DataFrame, textCol: String,
+      levels: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    coverageFromCounts(tokenCounts(docs, textCol), levels)
+
+  /** [[coverage]] over an existing (token, c) count table — the form
+    * that composes with the MAINTAINED counts the drift monitors fold
+    * per micro-batch ([[mergeTokenCounts]] state): live
+    * vocabulary-coverage tracking costs one tiny class aggregation
+    * over state, never a corpus rescan. Duplicate token rows (a union
+    * of shards) merge by summing first, so they cannot skew the
+    * curve. */
+  def coverageFromCounts(
+      counts: DataFrame,
       levels: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(levels.nonEmpty && levels.forall(p => p > 0 && p <= 1),
       s"coverage levels must be in (0, 1]: ${levels.mkString(", ")}")
-    val classes = tokenCounts(docs, textCol)
+    val classes = counts
+      .groupBy(col("token")).agg(sum(col("c")).as("c"))
       .groupBy(col("c"))
       .agg(count(lit(1)).as("types"))
       .select(col("c"), col("types"), (col("c") * col("types")).as("mass"))

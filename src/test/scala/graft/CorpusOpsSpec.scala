@@ -770,6 +770,20 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Vocab.coverage(docs, "text", Seq(1.5)))
   }
 
+  test("coverageFromCounts == coverage; sharded duplicate token rows merge first") {
+    import spark.implicits._
+    val docs = Seq("a a a a b", "b b c c d").map(Tuple1(_)).toDF("text")
+    val direct = Vocab.coverage(docs, "text", Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the same counts split into two overlapping shards, unioned —
+    // the maintained-state shape a drift monitor folds
+    val shardA = Seq(("a", 4L), ("b", 1L)).toDF("token", "c")
+    val shardB = Seq(("b", 2L), ("c", 2L), ("d", 1L)).toDF("token", "c")
+    val viaCounts = Vocab.coverageFromCounts(shardA.union(shardB), Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaCounts == direct)
+  }
+
   test("coverage boundary lands mid-class: partial class types counted via the probe") {
     import spark.implicits._
     // five singleton tokens, T=5: 0.5*5=2.5 → 3 types needed
