@@ -116,9 +116,9 @@ object Vocab {
     // smoothing variant would left-join + coalesce to a floor logprob)
     toks.join(vocab.crossJoin(broadcast(totalT)), Seq("token"))
       .groupBy(col("id"))
-      .agg(round(
+      .agg((round(
         sum(log(col("tf").cast("double") / col("__T"))) /
-          count(lit(1)), 4).as("lm_score"))
+          count(lit(1)), 4) + lit(0.0)).as("lm_score"))
   }
 
   /** Bigram extension of [[lmScore]]: per-doc average transition
@@ -152,8 +152,10 @@ object Vocab {
     bg.join(c2.join(c1, Seq("p")), Seq("p", "w"))
       .groupBy(col("id"))
       .agg(
-        round(sum(log(col("c2").cast("double") / col("c1"))) /
-          count(lit(1)), 4).as("lm2_score"),
+        // + 0.0 normalizes IEEE signed zero on the (≤0) score — a
+        // tiny-negative mean rounds to -0.0 in DuckDB, +0.0 in Spark
+        (round(sum(log(col("c2").cast("double") / col("c1"))) /
+          count(lit(1)), 4) + lit(0.0)).as("lm2_score"),
         count(lit(1)).as("n_transitions"))
   }
 
@@ -216,8 +218,8 @@ object Vocab {
     tg.join(enrichTrigrams(c3).crossJoin(broadcast(totalT)), Seq("u", "v", "w"))
       .groupBy(col("id"))
       .agg(
-        round(sum(log(interpP(l3, l2, l1, col("__T")))) / count(lit(1)), 4)
-          .as("lm3_score"),
+        (round(sum(log(interpP(l3, l2, l1, col("__T")))) / count(lit(1)), 4)
+          + lit(0.0)).as("lm3_score"),
         count(lit(1)).as("n_transitions"))
   }
 
@@ -329,7 +331,8 @@ object Vocab {
       .filter(col("__p") > 0)
       .groupBy(col("id"))
       .agg(
-        round(sum(log(col("__p"))) / count(lit(1)), 4).as("lm3_score"),
+        (round(sum(log(col("__p"))) / count(lit(1)), 4) + lit(0.0))
+          .as("lm3_score"),
         count(lit(1)).as("n_transitions"))
   }
 
@@ -548,8 +551,15 @@ object Vocab {
         sum(x * y).as("sxy"), sum(x * x).as("sxx"))
       .select(
         col("n").cast("long").as("n_ranks"),
-        round(slope, 4).as("zipf_slope"),
-        round((col("sy") - slope * col("sx")) / col("n"), 4).as("zipf_intercept"))
+        // n > 1 guards the degenerate single-type corpus: with one
+        // rank the OLS denominator n*sxx - sx*sx is exactly 0 and a
+        // bare divide returns null in Spark but inf/error in DuckDB —
+        // null out BOTH stats (mirrored in the oracle SQL). + 0.0
+        // normalizes signed zero on the signed slope/intercept.
+        when(col("n") > 1, round(slope, 4) + lit(0.0)).as("zipf_slope"),
+        when(col("n") > 1,
+          round((col("sy") - slope * col("sx")) / col("n"), 4) + lit(0.0))
+          .as("zipf_intercept"))
   }
 
   /** Fold two (token, c) count tables into one — the incremental-update
@@ -615,7 +625,9 @@ object Vocab {
     val pNew = pCol(col("c_new"), col("__nn"), col("__v"))
     val pOld = pCol(col("c_old"), col("__no"), col("__v"))
     j.select(col("token"), col("c_old"), col("c_new"),
-      round(pNew * log(pNew / pOld), 8).as("kl_term"))
+      // + 0.0: a tiny-negative term (p_new < p_old) that rounds to
+      // zero must not split into -0.0 (duck) vs +0.0 (spark)
+      (round(pNew * log(pNew / pOld), 8) + lit(0.0)).as("kl_term"))
   }
 
   /** One-row drift dashboard: both KL directions plus the bounded,
@@ -680,9 +692,12 @@ object Vocab {
     val pOld = pCol(col("c_old"), col("__no"), col("__v"))
     val m = (pNew + pOld) / 2
     withT.groupBy(col("stratum")).agg(
-      round(sum(pNew * log(pNew / pOld)), 6).as("kl_new_vs_old"),
-      round(sum(pOld * log(pOld / pNew)), 6).as("kl_old_vs_new"),
-      round(sum(pNew * log(pNew / m) / 2 + pOld * log(pOld / m) / 2), 6).as("jsd"))
+      // + 0.0: KL is ≥0 mathematically but its float sum can land a
+      // hair below zero — normalize signed zero after the round
+      (round(sum(pNew * log(pNew / pOld)), 6) + lit(0.0)).as("kl_new_vs_old"),
+      (round(sum(pOld * log(pOld / pNew)), 6) + lit(0.0)).as("kl_old_vs_new"),
+      (round(sum(pNew * log(pNew / m) / 2 + pOld * log(pOld / m) / 2), 6)
+        + lit(0.0)).as("jsd"))
   }
 
   /** [[driftSummary]] from pre-built (token, c) count tables. */
@@ -692,9 +707,10 @@ object Vocab {
     val pOld = pCol(col("c_old"), col("__no"), col("__v"))
     val m = (pNew + pOld) / 2
     j.agg(
-      round(sum(pNew * log(pNew / pOld)), 6).as("kl_new_vs_old"),
-      round(sum(pOld * log(pOld / pNew)), 6).as("kl_old_vs_new"),
-      round(sum(pNew * log(pNew / m) / 2 + pOld * log(pOld / m) / 2), 6).as("jsd"))
+      (round(sum(pNew * log(pNew / pOld)), 6) + lit(0.0)).as("kl_new_vs_old"),
+      (round(sum(pOld * log(pOld / pNew)), 6) + lit(0.0)).as("kl_old_vs_new"),
+      (round(sum(pNew * log(pNew / m) / 2 + pOld * log(pOld / m) / 2), 6)
+        + lit(0.0)).as("jsd"))
   }
 
   /** Corpus PMI of adjacent bigrams: for every bigram seen at least
@@ -732,8 +748,13 @@ object Vocab {
       .join(uni.select(col("tok").as("w"), col("c1").as("c_b")), Seq("w"))
       .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
       .select(col("p"), col("w"), col("c_ab"),
-        round(log(col("c_ab").cast("double") * col("__T1") * col("__T1") /
-          (col("__T2") * col("c_a") * col("c_b"))), 4).as("pmi"))
+        // + 0.0 normalizes IEEE signed zero: when a pmi lands exactly
+        // on 0 after the 4dp round, DuckDB's round(ln(x<1),4) emits
+        // -0.0 while Spark emits +0.0 and the stringified compare
+        // diverges; -0.0 + 0.0 = +0.0 makes both engines agree
+        // bit-for-bit (mirrored as `+ 0` in the oracle SQL)
+        (round(log(col("c_ab").cast("double") * col("__T1") * col("__T1") /
+          (col("__T2") * col("c_a") * col("c_b"))), 4) + lit(0.0)).as("pmi"))
   }
 
   /** Per-document lexical diversity: token count, distinct-token count

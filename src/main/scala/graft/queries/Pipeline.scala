@@ -1844,9 +1844,12 @@ object Pipeline {
                  sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
                FROM top)
          SELECT CAST(n AS BIGINT) AS n_ranks,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
-             AS zipf_intercept
+           CASE WHEN n > 1 THEN
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0 END
+             AS zipf_slope,
+           CASE WHEN n > 1 THEN
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               + 0 END AS zipf_intercept
          FROM s""",
     // bigram-LM replica: same scan-side pair construction (list tail
     // zip), same two-level counts and count-weighted average
@@ -1861,7 +1864,7 @@ object Pipeline {
          c2 AS (SELECT p, w, sum(c) AS c2 FROM dbg GROUP BY p, w),
          c1 AS (SELECT p, sum(c2) AS c1 FROM c2 GROUP BY p)
          SELECT dbg.doc_id,
-           round(sum(dbg.c * ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) / sum(dbg.c), 4)
+           round(sum(dbg.c * ln(CAST(c2.c2 AS DOUBLE) / c1.c1)) / sum(dbg.c), 4) + 0
              AS lm2_score,
            CAST(sum(dbg.c) AS BIGINT) AS n_transitions
          FROM dbg JOIN c2 USING (p, w) JOIN c1 USING (p)
@@ -1891,7 +1894,7 @@ object Pipeline {
            round(sum(dtg.c * ln(
                0.6 * (CAST(c3.c3 AS DOUBLE) / c12.c12)
              + 0.3 * (CAST(c23.c23 AS DOUBLE) / c2m.c2m)
-             + 0.1 * (CAST(cw.cw AS DOUBLE) / tot.t))) / sum(dtg.c), 4)
+             + 0.1 * (CAST(cw.cw AS DOUBLE) / tot.t))) / sum(dtg.c), 4) + 0
              AS lm3_score,
            CAST(sum(dtg.c) AS BIGINT) AS n_transitions
          FROM dtg JOIN c3 USING (u, v, w) JOIN c12 USING (u, v)
@@ -1950,7 +1953,7 @@ object Pipeline {
          v AS (SELECT token, sum(c) AS tf FROM dt GROUP BY token),
          tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM v)
          SELECT dt.doc_id,
-           round(sum(dt.c * ln(CAST(v.tf AS DOUBLE) / tot.t)) / sum(dt.c), 4)
+           round(sum(dt.c * ln(CAST(v.tf AS DOUBLE) / tot.t)) / sum(dt.c), 4) + 0
              AS lm_score
          FROM dt JOIN v USING (token) CROSS JOIN tot
          GROUP BY dt.doc_id""",
@@ -1966,7 +1969,7 @@ object Pipeline {
          tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS t FROM v),
          scored AS (
            SELECT dt.doc_id,
-             round(sum(dt.c * ln(CAST(v.tf AS DOUBLE) / tot.t)) / sum(dt.c), 4)
+             round(sum(dt.c * ln(CAST(v.tf AS DOUBLE) / tot.t)) / sum(dt.c), 4) + 0
                AS lm_score
            FROM dt JOIN v USING (token) CROSS JOIN tot
            GROUP BY dt.doc_id),
@@ -2232,10 +2235,10 @@ object Pipeline {
              ((c_old + 1.0) / (no + v)) AS po
            FROM j JOIN tot ON j.stratum = tot.stratum)
          SELECT stratum,
-           round(sum(pn * ln(pn / po)), 6) AS kl_new_vs_old,
-           round(sum(po * ln(po / pn)), 6) AS kl_old_vs_new,
+           round(sum(pn * ln(pn / po)), 6) + 0 AS kl_new_vs_old,
+           round(sum(po * ln(po / pn)), 6) + 0 AS kl_old_vs_new,
            round(sum(pn * ln(pn / ((pn + po) / 2)) / 2
-                   + po * ln(po / ((pn + po) / 2)) / 2), 6) AS jsd
+                   + po * ln(po / ((pn + po) / 2)) / 2), 6) + 0 AS jsd
          FROM p GROUP BY stratum""",
     // epoch-planner replica: targets are the same floor(share × 50000)
     // literals the when-chain bakes in; epochs/caps are exact integer
@@ -2473,7 +2476,7 @@ object Pipeline {
          terms AS (
            SELECT token, c_old, c_new,
              round(((c_new + 1.0) / (nn + v))
-               * ln(((c_new + 1.0) / (nn + v)) / ((c_old + 1.0) / (no + v))), 8)
+               * ln(((c_new + 1.0) / (nn + v)) / ((c_old + 1.0) / (no + v))), 8) + 0
                AS kl_term
            FROM j, tot)
          SELECT token, c_old, c_new, kl_term FROM (
@@ -2495,10 +2498,10 @@ object Pipeline {
                   ((c_old + 1.0) / (no + v)) AS po
            FROM j, tot)
          SELECT
-           round(sum(pn * ln(pn / po)), 6) AS kl_new_vs_old,
-           round(sum(po * ln(po / pn)), 6) AS kl_old_vs_new,
+           round(sum(pn * ln(pn / po)), 6) + 0 AS kl_new_vs_old,
+           round(sum(po * ln(po / pn)), 6) + 0 AS kl_old_vs_new,
            round(sum(pn * ln(pn / ((pn + po) / 2)) / 2
-                   + po * ln(po / ((pn + po) / 2)) / 2), 6) AS jsd
+                   + po * ln(po / ((pn + po) / 2)) / 2), 6) + 0 AS jsd
          FROM p""",
     "q_dedup_simhash_exact" ->
       s"""WITH $SimhashMd5Ctes
@@ -2534,7 +2537,10 @@ object Pipeline {
              AS hapax_ratio
          FROM g GROUP BY doc_id""",
     // numerator/denominator parenthesized exactly like the Spark AST so
-    // the doubles agree bit-for-bit before the 4dp round
+    // the doubles agree bit-for-bit before the 4dp round; the `+ 0`
+    // after the round normalizes IEEE signed zero (DuckDB emits -0.0
+    // when the rounded pmi lands exactly on 0, Spark emits +0.0 —
+    // mirrored as `+ lit(0.0)` in Vocab.pmi)
     "q_pmi" ->
       s"""WITH toks AS (SELECT doc_id, $TokSql AS l FROM documents),
          t AS (SELECT unnest(l) AS tok FROM toks),
@@ -2547,7 +2553,7 @@ object Pipeline {
          t1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS T1 FROM uni),
          t2 AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS T2 FROM bg)
          SELECT p, w, CAST(c_ab AS BIGINT) AS c_ab,
-           round(ln(CAST(c_ab AS DOUBLE) * T1 * T1 / (T2 * ua.c1 * ub.c1)), 4)
+           round(ln(CAST(c_ab AS DOUBLE) * T1 * T1 / (T2 * ua.c1 * ub.c1)), 4) + 0
              AS pmi
          FROM bg JOIN uni ua ON ua.tok = bg.p JOIN uni ub ON ub.tok = bg.w
          CROSS JOIN t1 CROSS JOIN t2

@@ -367,12 +367,19 @@ object Relational {
     // and broadcast-joins the frame stats back onto the facts
     "q_rolling_range" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // scaled-long cents (README "Scale lesson of record"): the
+      // pre-agg sum folds per-row doubles in engine/run-dependent
+      // order, so round(__avg, 4) flips on half-ulp boundaries against
+      // the oracle; summing exact integer cents makes the fold
+      // order-free and the final double division deterministic
       val g = li.groupBy(col("l_returnflag"), col("l_quantity"))
-        .agg(sum(col("l_extendedprice")).as("__s"), count(lit(1)).as("__n"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
         .rangeBetween(-5, Window.currentRow)
       val frames = g.select(col("l_returnflag"), col("l_quantity"),
-        (sum(col("__s")).over(w) / sum(col("__n")).over(w)).as("__avg"),
+        (sum(col("__s")).over(w).cast("double") / 100.0 / sum(col("__n")).over(w))
+          .as("__avg"),
         sum(col("__n")).over(w).as("rng_n"))
       li.join(broadcast(frames), Seq("l_returnflag", "l_quantity"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -592,7 +599,13 @@ object Relational {
         t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
         Seq("l_suppkey"), factor = 8)
         .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))),
+        // scaled-long hundredths: l_quantity happens to be
+        // integer-valued (sum exact in any order), but that is a data
+        // accident — the scaled form keeps the 2dp round stable if the
+        // column ever carries fractional quantities
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_quantity") * 100).cast("long"))
+            .cast("double") / 100.0, 2).as("qty"))),
 
     // pct_change per key (polars pct_change): one lag window, a single
     // divide — no rounding needed, one float op is bit-identical. A
@@ -693,7 +706,8 @@ object Relational {
     "q_corr" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qp_corr"),
+        .agg((round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0))
+          .as("qp_corr"),
           count(lit(1)).as("n"))),
 
     // exponentially weighted mean (polars ewm_mean, adjust=true):
@@ -1377,7 +1391,11 @@ object Relational {
       val agg = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          // scaled-long cents: ~2M doubles per group at sf1 is inside
+          // the ~6M-row territory where an order-dependent double sum
+          // flips the 2dp round (README "Scale lesson of record")
+          round(sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast("double") / 100.0, 2).as("sum_price"),
           count(lit(1)).cast("double").as("n"))
       agg
         .unpivot(Array(col("l_returnflag")),
@@ -1394,8 +1412,11 @@ object Relational {
     "q_sql" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("v_orders")
       t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      // scaled-long cents: ~300k 2-dp doubles per segment at sf1 —
+      // the order-dependent raw double sum is flip territory
       s.sql("""SELECT c_mktsegment, count(*) AS n,
-                      round(sum(o_totalprice), 2) + 0.0 AS total
+                      round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                            AS DOUBLE)/100.0, 2) AS total
                FROM v_orders JOIN v_customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment""")
     }),
@@ -1553,7 +1574,7 @@ object Relational {
       t(s, dir, "lineitem")
         .select(g, rq.as("rq"), rp.as("rp"))
         .groupBy(g)
-        .agg(round(corr(col("rq"), col("rp")), 4).as("rho"),
+        .agg((round(corr(col("rq"), col("rp")), 4) + lit(0.0)).as("rho"),
           count(lit(1)).as("n"))
     }),
 
@@ -1941,7 +1962,8 @@ object Relational {
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
       yield (cols(i), cols(j))
     val aggs = pairs.zipWithIndex.map { case ((a, b), k) =>
-      round(corr(col(a), col(b)), dp).as(s"__c$k") }
+      // + 0.0 normalizes signed zero — a correlation can round to -0.0
+      (round(corr(col(a), col(b)), dp) + lit(0.0)).as(s"__c$k") }
     base.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs.zipWithIndex.map { case ((a, b), k) =>
         struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"__c$k").as("r"))
@@ -2210,15 +2232,17 @@ object Relational {
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
     // the same two-level (group, key) pre-aggregation as the Spark
-    // side, so the frame folds the same per-quantity partials
+    // side, summing exact scaled-long CENTS so the fold is order-free
+    // (a raw double sum flips the 4dp round on half-ulp boundaries)
     "q_rolling_range" ->
       """WITH g AS (
            SELECT l_returnflag, l_quantity,
-             sum(l_extendedprice) AS s, count(*) AS n
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s,
+             count(*) AS n
            FROM lineitem GROUP BY 1, 2),
          f AS (
            SELECT l_returnflag, l_quantity,
-             sum(s) OVER w / sum(n) OVER w AS a,
+             CAST(sum(s) OVER w AS DOUBLE) / 100.0 / sum(n) OVER w AS a,
              sum(n) OVER w AS rng_n
            FROM g
            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
@@ -2239,7 +2263,9 @@ object Relational {
               ELSE substr(text, 1, 40) END AS s_suffix
          FROM documents""",
     "q_salted_join" ->
-      """SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+      """SELECT s_nationkey, count(*) AS n,
+         round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0, 2)
+           AS qty
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey""",
     "q_pct_change" ->
@@ -2306,7 +2332,7 @@ object Relational {
          CAST(l_returnflag = 'R' AS INT) AS flag_r
          FROM lineitem""",
     "q_corr" ->
-      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qp_corr,
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) + 0 AS qp_corr,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "q_ewm" ->
@@ -2362,7 +2388,9 @@ object Relational {
                   round(sum(l_quantity), 2) AS v
            FROM lineitem GROUP BY l_returnflag
            UNION ALL
-           SELECT l_returnflag, 'sum_price', round(sum(l_extendedprice), 2)
+           SELECT l_returnflag, 'sum_price',
+                  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                        AS DOUBLE)/100.0, 2)
            FROM lineitem GROUP BY l_returnflag
            UNION ALL
            SELECT l_returnflag, 'n', CAST(count(*) AS DOUBLE)
@@ -2370,7 +2398,8 @@ object Relational {
          GROUP BY metric""",
     "q_sql" ->
       """SELECT c_mktsegment, count(*) AS n,
-         round(sum(o_totalprice), 2) + 0.0 AS total
+         round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+               AS DOUBLE)/100.0, 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q_rolling_skew" ->
@@ -2911,13 +2940,13 @@ object Relational {
          FROM orders""",
     "q_corr_matrix" ->
       """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-           round(corr(l_quantity, l_extendedprice), 4) AS r FROM lineitem
+           round(corr(l_quantity, l_extendedprice), 4) + 0 AS r FROM lineitem
          UNION ALL
          SELECT 'l_quantity', 'l_discount',
-           round(corr(l_quantity, l_discount), 4) FROM lineitem
+           round(corr(l_quantity, l_discount), 4) + 0 FROM lineitem
          UNION ALL
          SELECT 'l_extendedprice', 'l_discount',
-           round(corr(l_extendedprice, l_discount), 4) FROM lineitem""",
+           round(corr(l_extendedprice, l_discount), 4) + 0 FROM lineitem""",
     "q_corr_spearman" ->
       """WITH r AS (
            SELECT l_returnflag,
@@ -2926,7 +2955,7 @@ object Relational {
              rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
                + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS rp
            FROM lineitem)
-         SELECT l_returnflag, round(corr(rq, rp), 4) AS rho, count(*) AS n
+         SELECT l_returnflag, round(corr(rq, rp), 4) + 0 AS rho, count(*) AS n
          FROM r GROUP BY l_returnflag""",
     "q_corr_matrix_spearman" ->
       """WITH r AS (
@@ -2939,11 +2968,11 @@ object Relational {
                + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
            FROM lineitem)
          SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-           round(corr(rq, re), 4) AS r FROM r
+           round(corr(rq, re), 4) + 0 AS r FROM r
          UNION ALL
-         SELECT 'l_quantity', 'l_discount', round(corr(rq, rd), 4) FROM r
+         SELECT 'l_quantity', 'l_discount', round(corr(rq, rd), 4) + 0 FROM r
          UNION ALL
-         SELECT 'l_extendedprice', 'l_discount', round(corr(re, rd), 4) FROM r""",
+         SELECT 'l_extendedprice', 'l_discount', round(corr(re, rd), 4) + 0 FROM r""",
     "q_rank_global" ->
       """SELECT o_orderkey,
            rank() OVER (ORDER BY o_totalprice)
