@@ -90,13 +90,17 @@ object Bench {
     // isolated sample, after the passes — a machine transient that
     // inflated all three interleaved samples has passed by now, so a
     // real regression survives this and a phantom one does not. The
-    // baseline is the newest BENCH_r*.json whose sf matches this run
-    // (the driver writes one per round), NOT BENCH_local.json: the
-    // local file is overwritten by every iteration run during a round,
-    // so comparing against it lets a slow drift ratchet in
-    // unchallenged — exactly the r10 quantile-family escape. Each
-    // recheck's outcome (reproduced vs transient) is recorded in the
-    // JSON so the committed record says which deltas were challenged.
+    // baseline is the ROUND-BOUNDARY record whose sf matches this run:
+    // BENCH_local.json as of the last driver round commit for the
+    // shipped sf dirs, the newest committed BENCH_sf1_r*.json for
+    // stress-dir runs. Never the working tree's BENCH_local.json —
+    // every iteration run overwrites it, so comparing against it lets
+    // a slow drift ratchet in unchallenged (the r10 quantile-family
+    // escape, repeated in r11 when HEAD still carried a mid-round
+    // commit). Each recheck's outcome (reproduced vs transient) is
+    // recorded in the JSON so the committed record says which deltas
+    // were challenged. SPARK_GRAFT_BENCH_PRIOR overrides the lookup
+    // with an explicit file (the sf1 record recipe sets it).
     def parseRecord(txt: String): Map[String, Double] =
       if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
       else """"(q[a-z0-9_]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
@@ -105,21 +109,47 @@ object Bench {
       parseRecord(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path))))
     } catch { case _: Throwable => Map.empty }
-    // last COMMITTED record first (git show HEAD:...), so hot mid-round
-    // runs that overwrite the working-tree file cannot become their own
-    // baseline; records from a different sf dir are ignored
-    val committed: Map[String, Double] = try {
-      val proc = new ProcessBuilder("git", "show", "HEAD:BENCH_local.json")
+    // ROUND-BOUNDARY baseline, per the contract above: the newest
+    // committed record as of the last driver round commit ("round N:
+    // ..."), falling back to the newest committed BENCH_sf1_r*.json
+    // for stress-dir runs. NOT HEAD:BENCH_local.json — mid-round bench
+    // commits would make each run its own baseline and let drift
+    // ratchet in unchallenged (the r10/r11 escape); and at a stress sf
+    // the local file's sf never matches, leaving the prior empty.
+    // parseRecord discards any candidate whose sf differs from this
+    // run's, so the fallbacks compose: first matching record wins.
+    def git(args: String*): Option[String] = try {
+      val proc = new ProcessBuilder(("git" +: args): _*)
         .directory(new java.io.File(sys.props("user.dir")))
         .redirectErrorStream(false).start()
       val txt = new String(proc.getInputStream.readAllBytes())
       proc.waitFor()
-      if (proc.exitValue() == 0) parseRecord(txt) else Map.empty
-    } catch { case _: Throwable => Map.empty }
+      if (proc.exitValue() == 0) Some(txt) else None
+    } catch { case _: Throwable => None }
+    val roundCommit: Option[String] =
+      git("log", "--format=%H %s").flatMap(_.linesIterator
+        .find(_.matches("^[0-9a-f]+ round \\d+:.*"))
+        .map(_.split(" ")(0)))
+    val sf1Records: Seq[String] =
+      git("ls-tree", "--name-only", "HEAD").toSeq
+        .flatMap(_.linesIterator)
+        .filter(_.matches("BENCH_sf1_r\\d+\\.json"))
+        .sortBy(n => -"""\d+""".r.findFirstIn(n.drop(10)).get.toInt)
+    val candidates: Seq[String] =
+      roundCommit.map(h => s"$h:BENCH_local.json").toSeq ++
+        sf1Records.map(n => s"HEAD:$n")
+    val committed: Map[String, Double] = candidates.iterator
+      .map(ref => git("show", ref).map(parseRecord).getOrElse(Map.empty))
+      .find(_.nonEmpty).getOrElse(Map.empty)
     val prior: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(readFile).filter(_.nonEmpty)
         .orElse(Option(committed).filter(_.nonEmpty))
         .getOrElse(readFile(out))
+    // loud baseline provenance: an empty prior means every delta in
+    // this record goes UNCHALLENGED — that must be visible, not silent
+    System.err.println(s"[bench] recheck baseline: ${prior.size} queries " +
+      s"(env=${sys.env.contains("SPARK_GRAFT_BENCH_PRIOR")}, " +
+      s"roundCommit=${roundCommit.map(_.take(8))}, sf1Records=${sf1Records.take(1)})")
     val rechecked = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (name <- names; p <- prior.get(name); t <- samples.get(name).flatMap(_.minOption)
          if t > 1.3 * p && t > 0.1) {
@@ -147,8 +177,14 @@ object Bench {
     val total = results.map(_._2).sum
     val recheckJson = rechecked.map { case (k, v) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
+    // environment note for the committed record (SPARK_GRAFT_BENCH_NOTE):
+    // the workflow stamps two-run minima / box-drift context here so a
+    // future reader can tell machine drift from regression without
+    // re-deriving it
+    val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE")
+      .map(n => s""","note":${jq(n)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"rechecked":$recheckJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"rechecked":$recheckJson$note,"sf":"$sfDir"}"""
     println(line)
     // durable copy: the driver's artifact keeps only a stdout tail, so
     // the committed file is the complete per-query record of the round
