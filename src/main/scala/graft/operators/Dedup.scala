@@ -739,6 +739,65 @@ object Dedup {
         col("span_start"), col("span_end"), col("span_tokens"))
   }
 
+  /** Token-space EXACT parameterization of [[duplicateSpans]] — the
+    * md5-key trick that promoted MinHash ([[minhashExactPairs]]) and
+    * SimHash ([[simhashExactPairs]]) applied to positional shingles:
+    * one md5 per `shingleN`-token shingle replaces the XXH64 chain, and
+    * the span arithmetic runs in TOKEN positions instead of character
+    * offsets, so every stage — stop-shingle cap, duplicated-hash set,
+    * keeper exclusion, gaps-and-islands run assembly — is replayable in
+    * ANSI SQL and a DuckDB oracle checks the dup-span machinery end to
+    * end, which the production variant's rows-only entry cannot.
+    *
+    * Output: one row per maximal flagged run — (idCol, span_start_tok,
+    * span_end_tok, span_tokens), 1-based inclusive token positions.
+    *
+    * Plan shape matches production [[duplicateSpans]]: shingle keys are
+    * computed scan-side, the dup set is one groupBy on the key, flagging
+    * is an equi-join back on the key, runs assemble with one
+    * window+groupBy per doc. The one scale concession is the key WIDTH:
+    * 32 hex chars of md5 shuffle where production moves 8-byte XXH64 —
+    * acceptable for the oracle-checkable twin, and why the production
+    * variant stays the default at scale. */
+  def duplicateSpansExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      minSpanTokens: Int = 10,
+      keepFirst: Boolean = true,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    require(minSpanTokens >= shingleN,
+      s"minSpanTokens ($minSpanTokens) must be >= shingleN ($shingleN)")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val pos = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(1), size(toks) - (shingleN - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(shingleN))))))
+          .as(Seq("__p0", "m")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("m"))
+    val dup = capBuckets(pos, Seq("m"), maxShingleFreq)
+      .groupBy(col("m"))
+      .agg(countDistinct(col("id")).as("__nd"), min(col("id")).as("__keeper"))
+      .filter(col("__nd") >= 2)
+      .select(col("m"), col("__keeper"))
+    val flagged0 = pos.join(dup, Seq("m"))
+    val flagged =
+      if (keepFirst) flagged0.filter(col("id") =!= col("__keeper")) else flagged0
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    flagged
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start_tok"),
+        (max(col("pos")) + lit(shingleN - 1)).cast("long").as("span_end_tok"),
+        (count(lit(1)) + lit(shingleN - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("id").as(idCol),
+        col("span_start_tok"), col("span_end_tok"), col("span_tokens"))
+  }
+
   /** Corpus-wide exact line/paragraph dedup (the CCNet recipe's
     * line-dedup pass): every `sep`-delimited unit of at least
     * `minUnitChars` characters that occurs more than once ACROSS the

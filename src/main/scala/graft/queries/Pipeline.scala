@@ -282,6 +282,14 @@ object Pipeline {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
     }),
 
+    // the oracle-checkable exact twin of q_dedup_substring: md5 shingle
+    // keys + token-space spans make the whole dup-span pipeline (cap,
+    // dup set, keeper exclusion, gaps-and-islands) DuckDB-replicable
+    "q_dedup_substring_exact" -> ((s, dir) =>
+      Dedup.duplicateSpansExact(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 5, minSpanTokens = 10)),
+
     // scale-path default: coordinate-sign LSH bands bound the pair space
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosinePairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)),
@@ -2511,6 +2519,34 @@ object Pipeline {
       s"""WITH $MinhashMd5Ctes
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM msigs a JOIN msigs b ON a.key = b.key AND a.doc_id < b.doc_id""",
+    // duplicateSpansExact replica: same md5 shingle keys, stop-shingle
+    // cap (whole bucket dropped past 1000 positions), ≥2-distinct-doc
+    // dup set with min-id keeper, and gaps-and-islands run assembly in
+    // token positions
+    "q_dedup_substring_exact" ->
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS l FROM documents),
+         sh AS (
+           SELECT doc_id, i, md5(array_to_string(l[i:i+4], ' ')) AS m
+           FROM toks,
+             LATERAL (SELECT unnest(range(1, len(l) - 4 + 1)) AS i) t
+           WHERE len(l) >= 5),
+         shc AS (
+           SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY m) <= 1000),
+         dup AS (
+           SELECT m, min(doc_id) AS keeper FROM shc
+           GROUP BY m HAVING count(DISTINCT doc_id) >= 2),
+         fl AS (
+           SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (m)
+           WHERE sh.doc_id <> dup.keeper),
+         runs AS (
+           SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+           FROM fl)
+         SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start_tok,
+           CAST(max(i) + 4 AS BIGINT) AS span_end_tok,
+           CAST(count(*) + 4 AS BIGINT) AS span_tokens
+         FROM runs GROUP BY doc_id, grp
+         HAVING count(*) + 4 >= 10""",
     // one UNION ALL branch per profiled column; "column" quoted (DuckDB
     // keyword). Strings compare binary in both engines, so min/max of
     // text agree; numeric min/max render identically as int64 strings

@@ -661,6 +661,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cleaned(1L) == orig(1L) && cleaned(4L) == orig(4L))
   }
 
+  test("duplicateSpansExact agrees with duplicateSpans on token counts and flags the same docs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta $Boiler echo foxtrot golf hotel"),
+      (2L, s"india juliet kilo lima $Boiler mike november oscar papa"),
+      (3L, s"quebec romeo sierra tango $Boiler uniform victor whiskey xray"),
+      (4L, "yankee zulu one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.duplicateSpansExact(docs, "doc_id", "text",
+      shingleN = 3, minSpanTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same flag set as the char-offset variant: keeper (1) and the
+    // unique doc (4) untouched, 2 and 3 each carry one 12-token span
+    assert(exact.map(_._1).toSet == Set(2L, 3L), exact.mkString(","))
+    // the boilerplate starts at token 5 in each doc (4 lead tokens) and
+    // runs 12 tokens: positions 5..16 inclusive
+    for ((id, s, e, n) <- exact) {
+      assert(n == 12, s"doc $id span_tokens $n")
+      assert(s == 5 && e == 16, s"doc $id token span [$s,$e]")
+    }
+    // token counts agree with the production (XXH64, char-space) variant
+    val prod = Dedup.duplicateSpans(docs, "doc_id", "text",
+      shingleN = 3, minSpanTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(exact.map(t => t._1 -> t._4.toInt).toMap == prod)
+  }
+
   test("duplicateSpans keepFirst=false flags every occurrence; whole-dup doc cuts to whitespace") {
     import spark.implicits._
     import graft.operators.Dedup
