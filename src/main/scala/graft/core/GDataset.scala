@@ -332,10 +332,30 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
     * partitions). For group-wise PROCESSING at 100 TB use
     * groupBy/mapGroupsSeries instead; this is for
     * fan-out-to-named-outputs workflows (one sink per language). Null
-    * keys form their own group, matching polars. */
+    * keys form their own group, matching polars.
+    *
+    * Key columns must be ATOMIC types: group predicates are rebuilt
+    * from collected values via `lit(v) === col`, and array/map/struct
+    * values don't round-trip through lit() (guarded below). The key
+    * enumeration is a SNAPSHOT: keys are collected once at call time,
+    * so rows gaining NEW key values on a re-read or non-deterministic
+    * source fall outside every member — materialize (cache/write) a
+    * volatile source before partitioning it. */
   def partitionByGroups(
       cols: Seq[String], maxGroups: Int = 1000): Map[Seq[Any], GDataset] = {
     require(cols.nonEmpty, "partitionByGroups needs at least one key column")
+    val schema = df.schema
+    for (c <- cols) {
+      val dt = schema(c).dataType
+      require(dt match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }, s"partitionByGroups key '$c' has complex type ${dt.simpleString}; " +
+        "group predicates are rebuilt via lit() and only atomic keys compare " +
+        "correctly — derive an atomic key column first")
+    }
     val keys = df.select(cols.map(col): _*).distinct().limit(maxGroups + 1).collect()
     require(keys.length <= maxGroups,
       s"partitionByGroups: more than $maxGroups distinct groups — raise maxGroups " +
@@ -347,6 +367,36 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       }.reduce(_ && _)
       (vals.toSeq, transform(_.filter(pred)))
     }.toMap
+  }
+
+  /** The fan-out WRITER over [[partitionByGroups]] — the documented use
+    * case made end-to-end: one sink directory per group under
+    * `baseDir/<col>=<value>/...`, values URL-encoded (null →
+    * `__null__`). Returns group key → written path.
+    *
+    * Scale contract: each member is a lazy filter over the shared
+    * source, so the group's equality predicate reaches the scan as
+    * PushedFilters (and prunes partitions when the source is laid out
+    * by the key) — pinned in PlanAuditSpec. The members still write
+    * SERIALLY, one job per group, re-scanning the source unless the
+    * layout prunes; for a homogeneous one-format layout prefer
+    * `df.write.partitionBy(cols)` — ONE pass producing the same
+    * directory shape. This helper is for when groups need distinct
+    * treatment (per-group format/options/post-processing) and the
+    * group count is small — the same loud `maxGroups` cap applies. */
+  def writeByGroups(
+      cols: Seq[String], baseDir: String,
+      format: String = "parquet", mode: String = "overwrite",
+      maxGroups: Int = 1000): Map[Seq[Any], String] = {
+    partitionByGroups(cols, maxGroups).map { case (vals, g) =>
+      val dirName = cols.zip(vals).map { case (c, v) =>
+        val s = Option(v).map(_.toString).getOrElse("__null__")
+        c + "=" + java.net.URLEncoder.encode(s, "UTF-8")
+      }.mkString("/")
+      val path = s"$baseDir/$dirName"
+      g.df.write.mode(mode).format(format).save(path)
+      (vals, path)
+    }
   }
 
   /** Cumulative-budget cut per stratum on the wrapper

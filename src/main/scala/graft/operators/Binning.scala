@@ -83,23 +83,6 @@ object Binning {
     * is one row per group and broadcasts; equal adjacent quantiles
     * (heavy ties) simply make the lower interval empty rather than
     * erroring. Nulls stay null. */
-  /** Elementwise bound (polars `Expr.clip(lower_bound=, upper_bound=)`):
-    * values below `lower` / above `upper` are pulled to the bound; an
-    * absent bound leaves that side open. Null VALUES stay null (polars
-    * clip is null-preserving — Spark's bare `greatest` would replace a
-    * null value with the bound, so the result is gated on isNotNull);
-    * a null BOUND element (column bounds) skips clipping on that side
-    * for that row, matching polars. Pure scan-local codegen'd
-    * arithmetic — zero shuffles, pushdown-transparent. */
-  def clip(
-      c: Column, lower: Option[Column] = None,
-      upper: Option[Column] = None): Column = {
-    require(lower.nonEmpty || upper.nonEmpty, "clip needs at least one bound")
-    val floored = lower.map(b => greatest(c, b)).getOrElse(c)
-    val bounded = upper.map(b => least(floored, b)).getOrElse(floored)
-    when(c.isNotNull, bounded)
-  }
-
   def qcut(
       df: DataFrame, c: String, quantiles: Seq[Double],
       labels: Seq[String] = Nil, leftClosed: Boolean = false,
@@ -122,5 +105,22 @@ object Binning {
       .withColumn(out,
         binExpr(col(c), bcols.map(col), labs.map(lit(_)), leftClosed))
       .drop(bcols: _*)
+  }
+
+  /** Elementwise bound (polars `Expr.clip(lower_bound=, upper_bound=)`):
+    * values below `lower` / above `upper` are pulled to the bound; an
+    * absent bound leaves that side open. Null VALUES stay null (polars
+    * clip is null-preserving — Spark's bare `greatest` would replace a
+    * null value with the bound, so the result is gated on isNotNull);
+    * a null BOUND element (column bounds) skips clipping on that side
+    * for that row, matching polars. Pure scan-local codegen'd
+    * arithmetic — zero shuffles, pushdown-transparent. */
+  def clip(
+      c: Column, lower: Option[Column] = None,
+      upper: Option[Column] = None): Column = {
+    require(lower.nonEmpty || upper.nonEmpty, "clip needs at least one bound")
+    val floored = lower.map(b => greatest(c, b)).getOrElse(c)
+    val bounded = upper.map(b => least(floored, b)).getOrElse(floored)
+    when(c.isNotNull, bounded)
   }
 }

@@ -416,7 +416,14 @@ object Dedup {
     * collapses to its DISTINCT shingle hashes (benchmark suites are
     * tiny next to a 100 TB corpus, so that table broadcasts or
     * hash-joins cheaply) and hits are counted through one left-semi
-    * join + per-id count. Nothing driver-side, nothing quadratic. */
+    * join + per-id count. Nothing driver-side, nothing quadratic.
+    *
+    * Approximation note: hits are counted by joining 64-bit XXH64
+    * shingle HASHES, not shingle strings — a cross-document hash
+    * collision counts a false hit. The probability is negligible
+    * (~n²/2⁶⁴ per doc-benchmark pair) but nonzero and grows with the
+    * benchmark index size; the DuckDB oracle joins the strings, so an
+    * actual collision would also surface as a gate mismatch. */
   def contaminationScore(
       corpus: DataFrame,
       probes: DataFrame,

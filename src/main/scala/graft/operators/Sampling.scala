@@ -56,12 +56,6 @@ object Sampling {
     * For samples beyond that use [[weightedSampleRate]]: keep rows
     * with −ln(u)/w below a fixed threshold (scan-side filter, no
     * ordering), accepting a binomially-distributed sample size. */
-  /** The Efraimidis–Spirakis key −ln(u)/w with u drawn from the first
-    * 52 md5 bits of the key's string rendering (13 hex chars < 2^53:
-    * conv's decimal string casts to an exact double; +0.5 centers the
-    * lattice and keeps u off 0 and 1). Pure function of (key, weight)
-    * — the batch and streaming samplers share it, which is what makes
-    * their draws provably identical. */
   /** u = uniform(0,1) as a pure function of md5(key) — the shared
     * deterministic randomness source of the sampling family (first 52
     * md5 bits, +0.5 lattice centering keeps u off 0 and 1; exact in a
@@ -70,6 +64,9 @@ object Sampling {
     (conv(substring(md5(key.cast("string").cast("binary")), 1, 13), 16, 10)
       .cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
 
+  /** The Efraimidis–Spirakis key −ln(u)/w over [[hashUniform]]. Pure
+    * function of (key, weight) — the batch and streaming samplers
+    * share it, which is what makes their draws provably identical. */
   def esKey(key: Column, weight: Column): Column =
     -log(hashUniform(key)) / weight
 
@@ -104,6 +101,13 @@ object Sampling {
     * null has no draw). */
   def bootstrapResample(df: DataFrame, key: Column): DataFrame = {
     requireHashableKey(df, key)
+    // collision guard, same contract as the join/hconcat surfaces: the
+    // output adds `replicate` (and `__k` transiently) — silently
+    // overwriting a pre-existing column of either name would corrupt
+    // the caller's data
+    for (c <- Seq("replicate", "__k"))
+      require(!df.columns.contains(c),
+        s"bootstrapResample writes column '$c' but the input already has one")
     df.filter(key.isNotNull)
       .withColumn("__k", bootstrapCount(key))
       .filter(col("__k") > 0)

@@ -218,6 +218,28 @@ class GDatasetSpec extends SparkSpec {
     intercept[IllegalArgumentException](ds.partitionByGroups(Nil))
   }
 
+  test("partitionByGroups rejects complex-typed keys; writeByGroups writes one sink per group") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[String])](
+      (1L, Some("en")), (2L, Some("en")), (3L, Some("fr")), (4L, None))
+      .toDF("i", "lang")
+    val ds = GDataset(df, "i")
+    // complex key types don't round-trip through lit() — loud, not wrong
+    val complexDs = GDataset(
+      df.withColumn("arr", org.apache.spark.sql.functions.array(col("i"))), "i")
+    val e = intercept[IllegalArgumentException](
+      complexDs.partitionByGroups(Seq("arr")))
+    assert(e.getMessage.contains("complex type"))
+    // fan-out writer: one parquet dir per group, null keyed, round-trips
+    val base = java.nio.file.Files.createTempDirectory("graft_wbg").toString
+    val written = ds.writeByGroups(Seq("lang"), base)
+    assert(written.keySet == Set(Seq("en"), Seq("fr"), Seq(null)))
+    assert(written(Seq(null)).endsWith("lang=__null__"))
+    val back = spark.read.parquet(written(Seq("en")))
+    assert(back.select("i").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(spark.read.parquet(written.values.toSeq: _*).count() == 4L)
+  }
+
   test("stratum/rate samplers, budget, fill and list.eval wrappers delegate, metadata kept") {
     import spark.implicits._
     val df = (1L to 300L).map(i =>

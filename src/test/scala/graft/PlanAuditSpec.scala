@@ -726,4 +726,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"frame stats not broadcast back onto the facts:\n$p")
   }
+
+  test("partitionByGroups members push the group predicate into the parquet scan") {
+    // the fan-out use case (writeByGroups): each member must read only
+    // its slice — the equality predicate reaching PushedFilters is
+    // what makes G sinks over a key-laid-out source G partition-pruned
+    // scans instead of G full passes
+    import graft.core.GDataset
+    val docs = Tables.t(spark, Sf, "documents")
+    val ds = GDataset(docs, "doc_id")
+    val parts = ds.partitionByGroups(Seq("lang"))
+    val someKey = parts.keys.find(_.head != null).get
+    val p = parts(someKey).df.queryExecution.explainString(FormattedMode)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(lang"),
+      s"group predicate did not reach the scan: $pushed")
+  }
 }
