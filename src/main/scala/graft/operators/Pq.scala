@@ -238,7 +238,7 @@ object Pq {
         .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
         .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
         .select(col("qid"), col("cid"),
-          round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
+          (round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6) + lit(0.0)).as("sim"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
       exact.withColumn("rank", row_number().over(w2))
         .filter(col("rank") <= k)
@@ -311,7 +311,7 @@ object Pq {
         .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
         .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
         .select(col("qid"), col("cid"),
-          round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
+          (round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6) + lit(0.0)).as("sim"))
       val w2 = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
       exact.withColumn("rank", row_number().over(w2))
         .filter(col("rank") <= k)

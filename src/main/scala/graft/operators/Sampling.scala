@@ -517,4 +517,83 @@ object Sampling {
           Window.partitionBy(col("shard")).orderBy(col("__h"), key)) - 1).cast("long"))
       .drop("__h")
   }
+
+  /** DSIR per-document importance log-weights (Xie et al. 2023,
+    * arXiv:2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): hashed-unigram bucket distributions are
+    * fit on a small TARGET corpus (the domain you want more of) and on
+    * the RAW pool, and each raw document scores
+    * `logw = Σ_tokens ln p_target(bucket) − ln p_raw(bucket)` with
+    * Laplace-smoothed bucket probabilities `(c+1)/(T+B)`. Buckets come
+    * from the md5 hash family (13 hex chars → exact long, mod B) so a
+    * SQL oracle replays every draw.
+    *
+    * 100 TB shape: tokens hash to bucket ids scan-side; both bucket
+    * tables aggregate map-side partial (≤ B rows each) and their
+    * log-ratio table broadcasts; the only data-sized exchange is the
+    * per-document partial-aggregated sum carrying (id, partial) —
+    * text never shuffles, the totals ride in-plan as broadcast 1-row
+    * aggregates (the pmi pattern). */
+  def dsirLogWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    def bucketOf(t: Column): Column =
+      pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    def bucketCounts(df: DataFrame): DataFrame = df
+      .select(explode(toks).as("tok"))
+      .select(bucketOf(col("tok")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val rb = bucketCounts(raw)
+    val tb = bucketCounts(target)
+    val totR = rb.agg(sum(col("c")).cast("double").as("__tr"))
+    val totT = tb.agg(sum(col("c")).cast("double").as("__tt"))
+    // parenthesized exactly like the oracle SQL so the doubles agree
+    // bit-for-bit before the per-doc sum
+    val ratios = rb.select(col("b"), col("c").as("cr"))
+      .join(tb.select(col("b"), col("c").as("ct")), Seq("b"), "full")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("__tt") + lit(buckets))) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("__tr") + lit(buckets))))
+          .as("__lr"))
+    raw.select(col(idCol).as("id"), explode(toks).as("tok"))
+      .select(col("id"), bucketOf(col("tok")).as("b"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (round(sum(col("__lr")), 4) + lit(0.0)).as("logw"))
+      .select(col("id").as(idCol), col("n_toks"), col("logw"))
+  }
+
+  /** DSIR selection via the Gumbel-max trick over [[dsirLogWeights]]:
+    * sampling k documents without replacement with probability
+    * ∝ exp(logw) is exactly the top-k of `logw + Gumbel(0,1)`, and the
+    * Gumbel draw `g = −ln(−ln u)` comes from the family's
+    * deterministic [[hashUniform]] — reruns, engines, and
+    * partitionings agree document-for-document. Top-k lands in
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver-side merge — never a global sort), so `k` must fit driver
+    * memory like every other exact-k sampler here. */
+  def dsirSample(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(k > 0, s"sample size $k must be positive")
+    requireHashableKey(raw, col(idCol))
+    dsirLogWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("__key", col("logw") - log(-log(hashUniform(col(idCol)))))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_toks"), col("logw"))
+  }
 }

@@ -33,7 +33,45 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val scored = c
       .join(broadcast(q), col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
+      .select(col("qid"), col("cid"), (round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6) + lit(0.0)).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive / retrieval training: per
+    * query, the top-`k` corpus vectors whose cosine falls in
+    * [`lo`, `hi`) — similar enough to be informative negatives, below
+    * the near-duplicate band where a "negative" is actually a positive
+    * (the standard dense-retrieval recipe, cf. DPR/ANCE). Brute-force
+    * base, same determinism contract as [[bruteForceTopK]] (6dp-rounded
+    * sims, id tie-break); at scale feed the candidate set from
+    * [[ivfTopK]] with a larger k and band-filter the result — the band
+    * is a post-filter either way.
+    *
+    * 100 TB shape: queries broadcast, the corpus never shuffles for
+    * scoring, and the band filter cuts before the per-query top-k
+    * window — at a typical [0.35, 0.9) band that drops the ~zero-sim
+    * bulk of the corpus ahead of the rank shuffle. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo < hi, s"band [$lo, $hi) is empty")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = c
+      .join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6)
+          + lit(0.0)).as("sim"))
+      .filter(col("sim") >= lo && col("sim") < hi)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -69,7 +107,8 @@ object Similarity {
     val denom = sqrt(idot(col("qv"), col("qv")).cast("double")) *
       sqrt(idot(col("cv"), col("cv")).cast("double"))
     val sim = when(denom > 0,
-      round(idot(col("qv"), col("cv")).cast("double") / denom, 6)).otherwise(0.0)
+      round(idot(col("qv"), col("cv")).cast("double") / denom, 6) + lit(0.0))
+      .otherwise(0.0)
     val scored = c
       .join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), sim.as("sim"))
@@ -125,7 +164,7 @@ object Similarity {
       .join(corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")), Seq("cid"))
       .join(broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))), Seq("qid"))
       .select(col("qid"), col("cid"),
-        round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
+        (round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6) + lit(0.0)).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -247,7 +286,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6).as("sim"))
+        (round(graft.plans.VectorColumns.cosine(col("qv"), col("cv")), 6) + lit(0.0)).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -281,8 +320,8 @@ object Similarity {
         sum((col("a") - col("b")) * (col("a") - col("b"))).as("__ss"),
         sum(abs(col("a") - col("b"))).as("__sa"))
       .select(col("n_dims"),
-        round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 4)
-          .as("cos_centroids"),
+        (round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))), 4)
+          + lit(0.0)).as("cos_centroids"),
         round(sqrt(col("__ss")), 4).as("l2_shift"),
         round(col("__sa") / col("n_dims"), 4).as("mean_abs_shift"))
   }

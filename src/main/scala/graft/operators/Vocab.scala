@@ -533,6 +533,33 @@ object Vocab {
     * bounded by k. The slope is computed from explicit raw moments
     * with fixed parenthesization (cf. q_skew_kurt) so an oracle can
     * replay it bit-for-bit. */
+  /** Tokenizer fertility per stratum (usually language): how many
+    * subword tokens the tokenizer spends per whitespace word
+    * (`fertility`) and how many characters each token carries
+    * (`chars_per_token`) — the standard vocab-health diagnostic for a
+    * multilingual corpus (a language with fertility ≫ its peers is
+    * being shredded into bytes and will be under-trained at equal
+    * document counts; the mT5/XLM-R capacity-allocation argument).
+    * Uses the BPE-ish pre-tokenizer ([[TF.bpeTokenCount]]) as the
+    * subword proxy; swap in real BPE counts via
+    * [[graft.operators.Bpe]] for a trained vocab.
+    *
+    * 100 TB shape: all three counters are scan-local expressions; the
+    * only exchange is the stratum-keyed partial aggregate — one row
+    * per (mapper, stratum). Ratios divide exact integer sums, so the
+    * 4dp round is engine- and order-independent. */
+  def tokenizerFertility(docs: DataFrame, textCol: String, byCol: String): DataFrame =
+    docs.groupBy(col(byCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col(textCol))).as("n_words"),
+        sum(TF.bpeTokenCount(col(textCol))).as("n_tokens"),
+        sum(length(col(textCol))).as("n_chars"))
+      .select(col(byCol), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+
   def zipfSlope(docs: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
     require(k > 1, "zipfSlope needs at least 2 ranks")
     val top = tokenCounts(docs, textCol)

@@ -324,6 +324,15 @@ object Pipeline {
         "vec_id", "embedding", k = 5)
     }),
 
+    // hard-negative mining (DPR/ANCE recipe): per query, top-k corpus
+    // vectors in the informative band — similar but below the near-dup
+    // line where a "negative" is really a positive
+    "q_ann_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, lo = 0.2, hi = 0.8)
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
@@ -571,6 +580,33 @@ object Pipeline {
     // types; natural text sits near −1, boilerplate floods flatten it
     "q_zipf_slope" -> ((s, dir) =>
       Vocab.zipfSlope(t(s, dir, "documents"), "text", k = 1000)),
+
+    // per-language tokenizer fertility (subword tokens per word, chars
+    // per token): the vocab-health table multilingual curation reads
+    // before allocating capacity
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      Vocab.tokenizerFertility(t(s, dir, "documents"), "text", "lang")),
+
+    // DSIR importance log-weights: every 10th doc plays the target
+    // domain, the rest are the raw pool scored by hashed-unigram
+    // bucket log-ratios (Xie et al. 2023)
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.dsirLogWeights(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", buckets = 256)
+    }),
+
+    // DSIR selection: Gumbel-max top-k over the importance weights —
+    // sampling without replacement proportional to exp(logw)
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.dsirSample(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 100, buckets = 256)
+    }),
 
     // CCNet-style perplexity proxy: per-doc average token
     // log-likelihood under the corpus's own unigram LM
@@ -1208,6 +1244,30 @@ object Pipeline {
             ${hitsSql(TF.Stopwords.flatMap(_._2))} AS stop_hits
           FROM documents)"""
 
+  // Sampling.dsirLogWeights replica CTEs (shared by q_dsir_weights and
+  // q_dsir_sample): md5 13-hex-char buckets mod 256, Laplace-smoothed
+  // full-join log-ratio table, raw-pool doc tokens re-bucketed
+  private val DsirWeightCtes: String =
+    s"""rawd AS (
+           SELECT doc_id, $TokSql AS l FROM documents WHERE doc_id % 10 <> 0),
+         tgtd AS (SELECT $TokSql AS l FROM documents WHERE doc_id % 10 = 0),
+         rt AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                FROM (SELECT unnest(l) AS tok FROM rawd)),
+         tt0 AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                FROM (SELECT unnest(l) AS tok FROM tgtd)),
+         rb AS (SELECT b, count(*) AS cr FROM rt GROUP BY b),
+         tb AS (SELECT b, count(*) AS ct FROM tt0 GROUP BY b),
+         trr AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM rb),
+         ttt AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt FROM tb),
+         ratio AS (
+           SELECT coalesce(rb.b, tb.b) AS b,
+             ln((coalesce(ct, 0) + 1.0) / (tt + 256)) -
+             ln((coalesce(cr, 0) + 1.0) / (tr + 256)) AS lr
+           FROM rb FULL JOIN tb ON rb.b = tb.b CROSS JOIN trr CROSS JOIN ttt),
+         dt AS (
+           SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+           FROM (SELECT doc_id, unnest(l) AS tok FROM rawd))"""
+
   // TextHash.minhashMd5KeyKernel replica: ONE md5 per 5-token shingle
   // (clipped for short docs, same slice semantics as the jaccard
   // oracle), hash j = 16-bit big-endian slice j of the digest (4 hex
@@ -1476,8 +1536,21 @@ object Pipeline {
            FROM (
              SELECT q.vec_id AS qid, c.vec_id AS cid,
                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim
+                                                 CAST(c.embedding AS DOUBLE[])), 6) + 0 AS sim
              FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
+         WHERE rank <= 5""",
+    // the brute-force replica with the informative band applied between
+    // scoring and ranking, exactly like the Spark plan
+    "q_ann_negatives" ->
+      """SELECT qid, cid, sim, rank FROM (
+           SELECT qid, cid, sim,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+           FROM (
+             SELECT q.vec_id AS qid, c.vec_id AS cid,
+                    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])), 6) + 0 AS sim
+             FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+           WHERE sim >= 0.2 AND sim < 0.8)
          WHERE rank <= 5""",
     // full-probe IVF == brute force, whatever the trained centroids are
     "q_ann_ivf_exact" ->
@@ -1487,7 +1560,7 @@ object Pipeline {
            FROM (
              SELECT q.vec_id AS qid, c.vec_id AS cid,
                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim
+                                                 CAST(c.embedding AS DOUBLE[])), 6) + 0 AS sim
              FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
          WHERE rank <= 5""",
     // exact rerank over the full ADC candidate set == brute force,
@@ -1499,7 +1572,7 @@ object Pipeline {
            FROM (
              SELECT q.vec_id AS qid, c.vec_id AS cid,
                     round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                 CAST(c.embedding AS DOUBLE[])), 6) AS sim
+                                                 CAST(c.embedding AS DOUBLE[])), 6) + 0 AS sim
              FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id))
          WHERE rank <= 5""",
     "q_multimodal" ->
@@ -1837,6 +1910,39 @@ object Pipeline {
          FROM r, tot, lv
          WHERE CAST(cum AS DOUBLE) >= level * T
          GROUP BY level""",
+    // integer sums on both sides; the BpePattern interpolates verbatim
+    // (RE2 compiles the same \\p classes Java does -- the q_token_count
+    // precedent)
+    "q_tokenizer_fertility" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         CAST(sum(len($TokSql)) AS BIGINT) AS n_words,
+         CAST(sum(len(regexp_extract_all(text, '${TF.BpePattern}'))) AS BIGINT)
+           AS n_tokens,
+         round(CAST(sum(len(regexp_extract_all(text, '${TF.BpePattern}'))) AS DOUBLE)
+               / sum(len($TokSql)), 4) AS fertility,
+         round(CAST(sum(length(text)) AS DOUBLE)
+               / sum(len(regexp_extract_all(text, '${TF.BpePattern}'))), 4)
+           AS chars_per_token
+         FROM documents GROUP BY lang""",
+    // dsirLogWeights replica: same md5 13-hex-char buckets, Laplace
+    // smoothing parenthesized exactly like the Spark AST, full-join
+    // ratio table, per-doc count-weighted sum
+    "q_dsir_weights" ->
+      s"""WITH $DsirWeightCtes
+         SELECT doc_id, count(*) AS n_toks, round(sum(lr), 4) + 0 AS logw
+         FROM dt JOIN ratio USING (b) GROUP BY doc_id""",
+    // the weights replica + the Gumbel-max key over the family's
+    // md5-uniform -- same draw, same top-k
+    "q_dsir_sample" ->
+      s"""WITH $DsirWeightCtes,
+         w AS (
+           SELECT doc_id, count(*) AS n_toks, round(sum(lr), 4) + 0 AS logw
+           FROM dt JOIN ratio USING (b) GROUP BY doc_id)
+         SELECT doc_id, n_toks, logw FROM w
+         ORDER BY logw - ln(-ln(
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+             / 4503599627370496.0)) DESC, doc_id
+         LIMIT 100""",
     // identical raw-moment parenthesization to Vocab.zipfSlope; ranks
     // are (count desc, token asc) row numbers over the same top-1k cut
     "q_zipf_slope" ->
@@ -2334,7 +2440,7 @@ object Pipeline {
                round(
                  CAST(list_aggregate(list_transform(range(1, len(q.qv) + 1),
                         i -> q.qv[i] * c.qv[i]), 'sum') AS DOUBLE)
-                 / (q.nrm * c.nrm), 6)
+                 / (q.nrm * c.nrm), 6) + 0
              ELSE 0.0 END AS sim
            FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
          SELECT qid, cid, sim, rank FROM (
@@ -2651,7 +2757,7 @@ object Pipeline {
                 LATERAL (SELECT unnest(range(1, len(e) + 1)) AS i) t GROUP BY i),
          j AS (SELECT a, b FROM od JOIN cd USING (i))
          SELECT CAST(count(*) AS BIGINT) AS n_dims,
-           round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4)
+           round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 4) + 0
              AS cos_centroids,
            round(sqrt(sum((a - b) * (a - b))), 4) AS l2_shift,
            round(sum(abs(a - b)) / count(*), 4) AS mean_abs_shift

@@ -836,6 +836,18 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Vocab.zipfSlope(docs, "text", k = 1))
   }
 
+  test("tokenizerFertility: hand-computed per-language counts and ratios") {
+    import spark.implicits._
+    // en: "ab cd" = 2 words, 2 BPE runs, 5 chars -> fertility 1.0, cpt 2.5
+    // de: "a1-b x" = 2 words, 5 BPE runs (a,1,-,b,x), 6 chars -> 2.5, 1.2
+    val docs = Seq(("en", "ab cd"), ("de", "a1-b x")).toDF("lang", "text")
+    val got = Vocab.tokenizerFertility(docs, "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("en") == ((1L, 2L, 2L, 1.0, 2.5)), got("en").toString)
+    assert(got("de") == ((1L, 2L, 5L, 2.5, 1.2)), got("de").toString)
+  }
+
   test("contaminationScore: planted benchmark quotes score high, fresh text scores 0") {
     import spark.implicits._
     import graft.operators.Dedup

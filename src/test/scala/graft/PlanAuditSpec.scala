@@ -727,6 +727,23 @@ class PlanAuditSpec extends SparkSpec {
       s"frame stats not broadcast back onto the facts:\n$p")
   }
 
+  test("q_dsir_weights: exchanges carry ids and bucket partials only — never text") {
+    // tokens hash to bucket ids scan-side and the log-ratio table
+    // broadcasts; text entering any exchange would re-shuffle the
+    // corpus at 100 TB
+    val p = planOf("q_dsir_weights")
+    val sections = p.split("""\n\n""")
+    val exchanges = sections.filter(_.matches("""(?s)\(\d+\) Exchange\b.*"""))
+    assert(exchanges.nonEmpty, "no Exchange detail sections found in plan")
+    exchanges.foreach { sec =>
+      val input = sec.linesIterator.filter(_.trim.startsWith("Input")).mkString
+      assert(!input.contains("text#"),
+        s"an exchange shuffles the full document text: $input")
+    }
+    assert(p.contains("BroadcastExchange"),
+      s"the bucket log-ratio table must broadcast:\n$p")
+  }
+
   test("partitionByGroups members push the group predicate into the parquet scan") {
     // the fan-out use case (writeByGroups): each member must read only
     // its slice — the equality predicate reaching PushedFilters is

@@ -500,4 +500,31 @@ class SamplingSpec extends SparkSpec {
     assert(got("wiki") == ((1000L, 10000L, 10.0, 4000L, true)))
     assert(got("web") == ((100000L, 10000L, 0.1, 10000L, false)))
   }
+
+  test("DSIR: target-like raw docs out-weigh off-target ones; sample favors them; deterministic") {
+    import spark.implicits._
+    // target vocabulary is zoological; half the raw pool speaks it
+    val target = (1L to 20L).map(i => (i, "zebra yak xylophone zebra yak"))
+      .toDF("doc_id", "text")
+    val raw = ((100L to 139L).map(i => (i, "zebra yak xylophone yak zebra xylophone")) ++
+      (200L to 239L).map(i => (i, "invoice ledger accrual invoice ledger accrual")))
+      .toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 80)
+    val zooMin = (100L to 139L).map(w).min
+    val offMax = (200L to 239L).map(w).max
+    assert(zooMin > offMax,
+      s"target-like docs must out-weigh off-target: min zoo $zooMin <= max off $offMax")
+    // Gumbel-max selection: a k=40 draw must be dominated by zoo docs
+    val picked = Sampling.dsirSample(raw, target, "doc_id", "text", k = 40, buckets = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.size == 40)
+    assert(picked.count(_ < 200L) >= 30,
+      s"importance resampling must favor the target-like pool: $picked")
+    // pure function of the data: rerun identical
+    val again = Sampling.dsirSample(raw, target, "doc_id", "text", k = 40, buckets = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == again)
+  }
 }

@@ -100,6 +100,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: band respected, dup and orthogonal vectors excluded, deterministic") {
+    import spark.implicits._
+    val r = 0.7071067811865476 // 1/sqrt(2)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),          // the query
+      (2L, Array(1.0f, 0.0f)),          // exact dup: cos 1 — above hi
+      (3L, Array(r.toFloat, r.toFloat)), // cos ~0.707 — in band
+      (4L, Array(0.9f, 0.05f)),          // cos ~0.998 — above hi
+      (5L, Array(0.0f, 1.0f)),           // cos 0 — below lo
+      (6L, Array(-1.0f, 0.0f))           // cos -1 — below lo
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 5, lo = 0.3, hi = 0.95).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(3L),
+      s"only the in-band vector is a hard negative: ${out.mkString(",")}")
+    assert(out.head.getDouble(2) >= 0.3 && out.head.getDouble(2) < 0.95)
+    // on real embeddings: every hard negative is in band and appears in
+    // the un-banded brute-force ranking of the same query
+    val queries = emb.filter(col("vec_id") < 5)
+    val neg = Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+      k = 3, lo = 0.1, hi = 0.9).collect()
+    assert(neg.forall(r0 => r0.getDouble(2) >= 0.1 && r0.getDouble(2) < 0.9))
+    val all = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 1000)
+      .select("qid", "cid").collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(neg.map(r0 => (r0.getLong(0), r0.getLong(1))).toSet.subsetOf(all))
+  }
+
   private def lshRecall(numPlanes: Int, bands: Int): Double = {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
