@@ -895,6 +895,21 @@ object Pipeline {
         (reason === "ok").cast("int").as("keep"))
     }),
 
+    // score-vs-gate calibration: per quality decile, how often the
+    // rule gate agrees ('ok' rate) — the alignment table read before
+    // trusting a learned scorer to replace the rules. Scan-local
+    // features, one bin-keyed partial agg
+    "q_quality_calibration" -> ((s, dir) => {
+      val q = TF.qualityScore(col("text"))
+      val reason = TF.filterReason(col("text"))
+      t(s, dir, "documents")
+        .select(least(floor(q * 10), lit(9)).cast("int").as("bin"),
+          (reason === "ok").cast("int").as("ok"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("ok")).cast("double") / count(lit(1)), 4).as("ok_rate"))
+    }),
+
     // brute-force top-k over int8-quantized vectors: the recall stage
     // at 1/4 the scan bytes; integer dots are exact, so unlike float
     // cosine this ANN variant is fully oracle-checkable
@@ -2397,6 +2412,15 @@ object Pipeline {
     "q_quality_filter" ->
       s"""SELECT doc_id, reason, CAST(reason = 'ok' AS INT) AS keep
           FROM ($ReasonedDocsSql)""",
+    // decile calibration: both engines bin the SAME rounded quality
+    // double, so floor(q*10) agrees bit-for-bit
+    "q_quality_calibration" ->
+      s"""SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bin,
+          count(*) AS n_docs,
+          round(CAST(sum(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*), 4) AS ok_rate
+          FROM ($ScoredDocsSql) s JOIN ($ReasonedDocsSql) r USING (doc_id)
+          GROUP BY 1""",
     "q_curate" ->
       s"""WITH ok AS (
            SELECT doc_id, lang, text FROM ($ReasonedDocsSql) WHERE reason = 'ok'),
