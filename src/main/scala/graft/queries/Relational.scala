@@ -2259,7 +2259,7 @@ object Relational {
          f AS (
            SELECT l_returnflag, l_quantity,
              CAST(sum(s) OVER w AS DOUBLE) / 100.0 / sum(n) OVER w AS a,
-             sum(n) OVER w AS rng_n
+             CAST(sum(n) OVER w AS BIGINT) AS rng_n
            FROM g
            WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
                         RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))

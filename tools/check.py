@@ -4,6 +4,7 @@ against DuckDB oracles (sort columns by name, sort rows, compare values).
 Usage: check.py [sf_dir] [out_dir]
 """
 import duckdb, glob, json, math, os, sys
+import numpy as np
 import pandas as pd
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -19,11 +20,18 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # dtype-faithful rendering (driver's hash is dtype-sensitive): a
+    # float64 2427.0 and an int64 2427 must NOT collide, or a DuckDB
+    # HUGEINT/DECIMAL widening passes locally and fails at the gate.
     def keyify(v):
-        if isinstance(v, float):
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return str(v)
+        if isinstance(v, (float, np.floating)):
             if math.isnan(v):
-                return "NaN"
-            return f"{v:.17g}"
+                return "NaN#f"
+            return f"{float(v):.17g}#f"
+        if isinstance(v, (int, np.integer)):
+            return f"{int(v)}#i"
         return str(v)
     rows = sorted(tuple(keyify(v) for v in row) for row in df.itertuples(index=False, name=None))
     return list(df.columns), rows
