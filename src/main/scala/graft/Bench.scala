@@ -34,7 +34,38 @@ object Bench {
   private def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Wall-clock governor decisions, pure so the degradation ORDER is
+    * spec-testable: as the budget shrinks, warmup truncates and passes
+    * shed (at 85% headroom) before rechecks shed (at 100%), and pass 1
+    * is unconditional — one sample per query beats no record at all. */
+  private[graft] object Governor {
+    /** Warmup iterations may spend at most a quarter of the budget. */
+    def warmupAllowed(elapsed: Double, budget: Double): Boolean =
+      elapsed < 0.25 * budget
+    /** Pass 1 always runs; a repeat pass needs its projected cost to
+      * fit inside 85% of the budget (15% reserved for rechecks). */
+    def passAllowed(pass: Int, elapsed: Double, lastPassSecs: Double,
+                    budget: Double): Boolean =
+      pass == 1 || elapsed + 1.1 * lastPassSecs < 0.85 * budget
+    /** A recheck re-runs the query once (~its own time again). */
+    def recheckAllowed(elapsed: Double, querySecs: Double,
+                       budget: Double): Boolean =
+      elapsed + 1.5 * querySecs < budget
+  }
+
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+    // wall-clock governor: the driver kills the bench process at a hard
+    // limit we cannot see (r12 shipped rc=124 and NO parsed record), so
+    // the harness must spend its budget deliberately and degrade LOUDLY
+    // instead of getting killed. Degradation order, cheapest signal
+    // lost first: truncate the sf0.001 warmup -> drop pass 3 -> drop
+    // pass 2 -> drop the outlier rechecks. Whatever was dropped is
+    // recorded in the JSON (passes/warmup/rechecks_skipped) so a reader
+    // of the committed record knows how much noise defense it carries.
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .flatMap(_.toDoubleOption).getOrElse(1500.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -56,10 +87,18 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
+    // warmup gets at most 25% of the budget: it buys JIT/codegen
+    // steadiness, which is worth less than a complete timed pass. If it
+    // is cut short, the still-cold queries just measure slightly high —
+    // loud in the record (warmup:"truncated"), not fatal.
+    var warmup = "skipped"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      warmup = "full"
       names.foreach { n =>
-        try exec(SparkEntry.queries(n)(spark, warmDir))
-        catch { case _: Throwable => () } // warmup errors re-surface in the timed runs
+        if (Governor.warmupAllowed(elapsed, budget))
+          try exec(SparkEntry.queries(n)(spark, warmDir))
+          catch { case _: Throwable => () } // warmup errors re-surface in the timed runs
+        else warmup = "truncated"
       }
     }
     // best of three timed runs, INTERLEAVED round-robin: the whole query
@@ -72,17 +111,31 @@ object Bench {
     // trustworthy steady-state number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    for (pass <- 1 to 3; name <- names) {
-      val t0 = System.nanoTime()
-      try {
-        exec(SparkEntry.queries(name)(spark, sfDir))
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name pass $pass failed: $e")
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+    var passes = 0
+    var lastPassSecs = 0.0
+    // pass 1 always runs (a record with one sample per query beats no
+    // record); passes 2 and 3 run only if a full repeat of the measured
+    // suite fits in what's left, reserving ~15% of the budget for the
+    // recheck pass and teardown.
+    for (pass <- 1 to 3
+         if Governor.passAllowed(pass, elapsed, lastPassSecs, budget)) {
+      val p0 = elapsed
+      passes = pass
+      for (name <- names) {
+        val t0 = System.nanoTime()
+        try {
+          exec(SparkEntry.queries(name)(spark, sfDir))
+          samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name pass $pass failed: $e")
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
       }
+      lastPassSecs = elapsed - p0
     }
+    if (passes < 3) System.err.println(
+      s"[bench] governor: ran $passes/3 passes (elapsed ${elapsed.round}s of ${budget.round}s budget)")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(sys.props("user.dir"), "BENCH_local.json").getPath)
     // outlier re-run pass: any query whose interleaved min still sits
@@ -119,9 +172,13 @@ object Bench {
     // parseRecord discards any candidate whose sf differs from this
     // run's, so the fallbacks compose: first matching record wins.
     def git(args: String*): Option[String] = try {
+      // merge stderr into the drained stream: with separate pipes a
+      // chatty git fills the stderr buffer and blocks the child while
+      // we block on stdout readAllBytes — a hang, not the intended
+      // None. parseRecord rejects non-JSON text, so merging is safe.
       val proc = new ProcessBuilder(("git" +: args): _*)
         .directory(new java.io.File(sys.props("user.dir")))
-        .redirectErrorStream(false).start()
+        .redirectErrorStream(true).start()
       val txt = new String(proc.getInputStream.readAllBytes())
       proc.waitFor()
       if (proc.exitValue() == 0) Some(txt) else None
@@ -141,27 +198,39 @@ object Bench {
     val committed: Map[String, Double] = candidates.iterator
       .map(ref => git("show", ref).map(parseRecord).getOrElse(Map.empty))
       .find(_.nonEmpty).getOrElse(Map.empty)
+    // no fallback to this run's own output file: self-baselining is the
+    // exact ratchet the committed-record contract exists to prevent. An
+    // empty prior (all deltas unchallenged) is safer and is made LOUD.
     val prior: Map[String, Double] =
       sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(readFile).filter(_.nonEmpty)
-        .orElse(Option(committed).filter(_.nonEmpty))
-        .getOrElse(readFile(out))
-    // loud baseline provenance: an empty prior means every delta in
-    // this record goes UNCHALLENGED — that must be visible, not silent
+        .getOrElse(committed)
+    if (prior.isEmpty) System.err.println(
+      "[bench] WARNING: no committed baseline found — every delta in this record is UNCHALLENGED")
     System.err.println(s"[bench] recheck baseline: ${prior.size} queries " +
       s"(env=${sys.env.contains("SPARK_GRAFT_BENCH_PRIOR")}, " +
       s"roundCommit=${roundCommit.map(_.take(8))}, sf1Records=${sf1Records.take(1)})")
     val rechecked = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var rechecksSkipped = 0
     for (name <- names; p <- prior.get(name); t <- samples.get(name).flatMap(_.minOption)
          if t > 1.3 * p && t > 0.1) {
-      val t0 = System.nanoTime()
-      try {
-        exec(SparkEntry.queries(name)(spark, sfDir))
-        val r = (System.nanoTime() - t0) / 1e9
-        samples(name) = r :: samples(name)
-        val verdict = if (math.min(t, r) <= 1.3 * p) "transient" else "reproduced"
-        rechecked(name) =
-          f"""{"prior":$p%.4f,"interleaved":$t%.4f,"rerun":$r%.4f,"verdict":"$verdict"}"""
-      } catch { case _: Throwable => () } // already recorded in the passes
+      // governor: a recheck costs ~the query's own time again; if that
+      // no longer fits, skip it LOUDLY (counted in the JSON) rather
+      // than risk the driver killing the whole process with no record
+      if (!Governor.recheckAllowed(elapsed, t, budget)) {
+        rechecksSkipped += 1
+        System.err.println(s"[bench] governor: skipping recheck of $name " +
+          f"(delta ${t / p}%.2fx vs prior, elapsed ${elapsed.round}s of ${budget.round}s)")
+      } else {
+        val t0 = System.nanoTime()
+        try {
+          exec(SparkEntry.queries(name)(spark, sfDir))
+          val r = (System.nanoTime() - t0) / 1e9
+          samples(name) = r :: samples(name)
+          val verdict = if (math.min(t, r) <= 1.3 * p) "transient" else "reproduced"
+          rechecked(name) =
+            f"""{"prior":$p%.4f,"interleaved":$t%.4f,"rerun":$r%.4f,"verdict":"$verdict"}"""
+        } catch { case _: Throwable => () } // already recorded in the passes
+      }
     }
     val results = names.flatMap(n => samples.get(n).flatMap(_.minOption).map(n -> _))
     def jq(s: String): String = "\"" + s.flatMap {
@@ -183,8 +252,12 @@ object Bench {
     // re-deriving it
     val note = sys.env.get("SPARK_GRAFT_BENCH_NOTE")
       .map(n => s""","note":${jq(n)}""").getOrElse("")
+    // governor provenance: how many timed passes this record carries,
+    // whether warmup completed, and how many rechecks were shed —
+    // a degraded record must say so itself
+    val gov = f""","passes":$passes,"warmup":"$warmup","rechecks_skipped":$rechecksSkipped,"budget_sec":${budget.round},"elapsed_sec":${elapsed.round}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"rechecked":$recheckJson$note,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"rechecked":$recheckJson$gov$note,"sf":"$sfDir"}"""
     println(line)
     // durable copy: the driver's artifact keeps only a stdout tail, so
     // the committed file is the complete per-query record of the round

@@ -724,13 +724,20 @@ object Dedup {
       .select(col("id"), col("pos"),
         col("s.sh").as("sh"), col("s.cs").as("cs"), col("s.ce").as("ce"))
     // shingle hashes present in ≥2 documents, with the id that keeps
-    // its copy — one agg shuffle keyed on the 8-byte hash
-    val dup = capBuckets(pos.select(col("id"), col("sh")), Seq("sh"), maxShingleFreq)
-      .groupBy(col("sh"))
-      .agg(countDistinct(col("id")).as("__nd"), min(col("id")).as("__keeper"))
-      .filter(col("__nd") >= 2)
-      .select(col("sh"), col("__keeper"))
-    val flagged0 = pos.join(dup, Seq("sh"))
+    // its copy — ONE window pass over the hash-shuffled positions
+    // instead of a capped groupBy + join-back: the cap drops whole
+    // buckets, so within a surviving bucket `min(id) != max(id)` is
+    // exactly `countDistinct(id) >= 2` and `min(id)` is the keeper.
+    // This halves the expensive part at any scale: the tokenize+hash
+    // scan runs ONCE and the corpus crosses ONE exchange (the
+    // agg+join form re-ran the scan for the join probe side).
+    val wb = Window.partitionBy(col("sh"))
+    val flagged0 = pos
+      .withColumn("__bsize", count(lit(1)).over(wb))
+      .withColumn("__keeper", min(col("id")).over(wb))
+      .withColumn("__maxid", max(col("id")).over(wb))
+      .filter(col("__bsize") <= maxShingleFreq &&
+        col("__keeper") =!= col("__maxid"))
     val flagged =
       if (keepFirst) flagged0.filter(col("id") =!= col("__keeper")) else flagged0
     // gaps-and-islands: consecutive flagged positions form one run; a
@@ -760,8 +767,8 @@ object Dedup {
     * span_end_tok, span_tokens), 1-based inclusive token positions.
     *
     * Plan shape matches production [[duplicateSpans]]: shingle keys are
-    * computed scan-side, the dup set is one groupBy on the key, flagging
-    * is an equi-join back on the key, runs assemble with one
+    * computed scan-side, dup membership and the keeper come from one
+    * window pass over the key-shuffled positions, runs assemble with one
     * window+groupBy per doc. The one scale concession is the key WIDTH:
     * 32 hex chars of md5 shuffle where production moves 8-byte XXH64 —
     * acceptable for the oracle-checkable twin, and why the production
@@ -785,12 +792,17 @@ object Dedup {
           i => md5(concat_ws(" ", slice(toks, i, lit(shingleN))))))
           .as(Seq("__p0", "m")))
       .select(col("id"), (col("__p0") + 1).as("pos"), col("m"))
-    val dup = capBuckets(pos, Seq("m"), maxShingleFreq)
-      .groupBy(col("m"))
-      .agg(countDistinct(col("id")).as("__nd"), min(col("id")).as("__keeper"))
-      .filter(col("__nd") >= 2)
-      .select(col("m"), col("__keeper"))
-    val flagged0 = pos.join(dup, Seq("m"))
+    // same single-window dup set as production duplicateSpans (the cap
+    // drops whole buckets, so min!=max == countDistinct>=2): the
+    // md5-per-shingle scan — the twin's dominant cost — runs once, not
+    // once per side of an agg+join
+    val wb = Window.partitionBy(col("m"))
+    val flagged0 = pos
+      .withColumn("__bsize", count(lit(1)).over(wb))
+      .withColumn("__keeper", min(col("id")).over(wb))
+      .withColumn("__maxid", max(col("id")).over(wb))
+      .filter(col("__bsize") <= maxShingleFreq &&
+        col("__keeper") =!= col("__maxid"))
     val flagged =
       if (keepFirst) flagged0.filter(col("id") =!= col("__keeper")) else flagged0
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))

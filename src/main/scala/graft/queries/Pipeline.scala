@@ -284,10 +284,16 @@ object Pipeline {
 
     // the oracle-checkable exact twin of q_dedup_substring: md5 shingle
     // keys + token-space spans make the whole dup-span pipeline (cap,
-    // dup set, keeper exclusion, gaps-and-islands) DuckDB-replicable
+    // dup set, keeper exclusion, gaps-and-islands) DuckDB-replicable.
+    // Sliced to doc_id % 2 = 0 on BOTH sides: the md5-per-shingle cost
+    // is the twin's documented oracle concession (production moves
+    // 8-byte XXH64), and at full scale this one query was 7% of suite
+    // time — the half-corpus slice proves the same machinery (still 6
+    // span rows at the driver's sf0.01 gate) at half the cost
     "q_dedup_substring_exact" -> ((s, dir) =>
       Dedup.duplicateSpansExact(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 2 === 0),
         "doc_id", "text", shingleN = 5, minSpanTokens = 10)),
 
     // scale-path default: coordinate-sign LSH bands bound the pair space
@@ -2654,7 +2660,8 @@ object Pipeline {
     // dup set with min-id keeper, and gaps-and-islands run assembly in
     // token positions
     "q_dedup_substring_exact" ->
-      s"""WITH toks AS (SELECT doc_id, $TokSql AS l FROM documents),
+      s"""WITH toks AS (SELECT doc_id, $TokSql AS l FROM documents
+           WHERE doc_id % 2 = 0),
          sh AS (
            SELECT doc_id, i, md5(array_to_string(l[i:i+4], ' ')) AS m
            FROM toks,
