@@ -80,6 +80,10 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // silence the bounded-global-window warning flood (see Verify.main:
+    // PlanAuditSpec's empty-partition-window audit is the real guard)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run for local
     // iteration (the driver never sets it — round records are full)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -35,6 +35,15 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined" fires per execution for the
+    // two deliberately-bounded global windows (zipf top-k rank,
+    // coverage count-class cum) and floods driver logs, burying real
+    // signals. Safe to silence HERE because PlanAuditSpec's
+    // empty-partition-window audit walks every query's plan and fails
+    // on any non-whitelisted global window — a stronger guard than an
+    // unread warning.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -371,8 +371,13 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
 
   /** The fan-out WRITER over [[partitionByGroups]] — the documented use
     * case made end-to-end: one sink directory per group under
-    * `baseDir/<col>=<value>/...`, values URL-encoded (null →
-    * `__null__`). Returns group key → written path.
+    * `baseDir/<col>=<value>/...`, values escaped with SPARK'S OWN
+    * partition-path escaping (ExternalCatalogUtils.escapePathName:
+    * %XX for separators/metachars, space literal, null →
+    * __HIVE_DEFAULT_PARTITION__), so the tree round-trips through
+    * `spark.read.parquet(baseDir)` partition discovery — URL-encoding
+    * would turn 'new york' into 'new+york' and discovery would read
+    * the '+' back as data. Returns group key → written path.
     *
     * Scale contract: each member is a lazy filter over the shared
     * source, so the group's equality predicate reaches the scan as
@@ -389,9 +394,11 @@ final case class GDataset(df: DataFrame, index: String, idVars: Seq[String]) {
       format: String = "parquet", mode: String = "overwrite",
       maxGroups: Int = 1000): Map[Seq[Any], String] = {
     partitionByGroups(cols, maxGroups).map { case (vals, g) =>
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       val dirName = cols.zip(vals).map { case (c, v) =>
-        val s = Option(v).map(_.toString).getOrElse("__null__")
-        c + "=" + java.net.URLEncoder.encode(s, "UTF-8")
+        c + "=" + Option(v).map(x =>
+          ExternalCatalogUtils.escapePathName(x.toString))
+          .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       }.mkString("/")
       val path = s"$baseDir/$dirName"
       g.df.write.mode(mode).format(format).save(path)

@@ -546,6 +546,120 @@ object Sampling {
     def bucketOf(t: Column): Column =
       pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
         lit(buckets.toLong))
+    // ratio table shared with the frozen-scoring path — parenthesized
+    // exactly like the oracle SQL so the doubles agree bit-for-bit
+    // before the per-doc sum
+    val ratios = dsirRatioTable(raw, target, textCol, buckets)
+      .withColumnRenamed("lr", "__lr")
+    raw.select(col(idCol).as("id"), explode(toks).as("tok"))
+      .select(col("id"), bucketOf(col("tok")).as("b"))
+      .join(broadcast(ratios), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (round(sum(col("__lr")), 4) + lit(0.0)).as("logw"))
+      .select(col("id").as(idCol), col("n_toks"), col("logw"))
+  }
+
+  /** Per-domain DSIR importance log-weights (the stratified-target
+    * variant of [[dsirLogWeights]], Xie et al. 2023 §3.3): the target
+    * corpus carries a domain column (language, source, subject), a
+    * bucket distribution is fit PER DOMAIN, and every raw document
+    * scores one logw against each domain — the table a mixture planner
+    * reads to fill per-domain budgets from one shared pool.
+    *
+    * 100 TB shape: one extra groupBy key relative to the binary
+    * variant, nothing else. Raw-pool buckets aggregate once (≤ B
+    * rows); per-domain target buckets aggregate map-side partial (≤
+    * D×B rows); their log-ratio GRID broadcasts. The raw corpus is
+    * reduced to per-document bucket counts FIRST (one data-sized
+    * partial-agg exchange carrying (id, bucket, count) — text never
+    * shuffles), so the ×D fan-out multiplies the tiny (id, bucket)
+    * table, never the token stream. */
+  def dsirLogWeightsByDomain(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    def bucketOf(t: Column): Column =
+      pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val rb = raw
+      .select(explode(toks).as("tok"))
+      .select(bucketOf(col("tok")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tb = target
+      .select(col(domainCol).as("domain"), explode(toks).as("tok"))
+      .select(col("domain"), bucketOf(col("tok")).as("b"))
+      .groupBy(col("domain"), col("b")).agg(count(lit(1)).as("ct"))
+    val totR = rb.agg(sum(col("cr")).cast("double").as("__tr"))
+    val totT = tb.groupBy(col("domain"))
+      .agg(sum(col("ct")).cast("double").as("__tt"))
+    // domain × raw-bucket grid (≤ D×B rows): buckets a raw doc can hash
+    // to, left-joined with each domain's counts so absent buckets get
+    // the Laplace floor. Parenthesized exactly like the oracle SQL.
+    val grid = rb.crossJoin(totT)
+      .join(tb, Seq("domain", "b"), "left")
+      .crossJoin(broadcast(totR))
+      .select(col("domain"), col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("__tt") + lit(buckets))) -
+          log((col("cr") + lit(1.0)) / (col("__tr") + lit(buckets))))
+          .as("__lr"))
+    val docBuckets = raw
+      .select(col(idCol).as("id"), explode(toks).as("tok"))
+      .select(col("id"), bucketOf(col("tok")).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("__c"))
+    docBuckets.join(broadcast(grid), Seq("b"))
+      .groupBy(col("id"), col("domain"))
+      .agg(sum(col("__c")).as("n_toks"),
+        (round(sum(col("__c") * col("__lr")), 4) + lit(0.0)).as("logw"))
+      .select(col("id").as(idCol), col("domain"), col("n_toks"), col("logw"))
+  }
+
+  /** Freeze a fitted DSIR bucket log-ratio table into a scan-local
+    * scoring column — the persisted-model pattern every other scorer
+    * here has (quality model, LM score, contamination index): fit once
+    * in batch with [[dsirRatioTable]], collect the ≤ `buckets`-row
+    * table (a bounded training collect), and score any batch OR STREAM
+    * of documents with zero joins, zero shuffles, zero state — the
+    * log-ratios ride the plan as a map literal and each row reduces its
+    * own tokens. Out-of-vocabulary buckets cannot occur (bucketOf maps
+    * into [0, B) and the grid covers every bucket). */
+  def dsirScoreFrozen(
+      ratios: Array[(Long, Double)],
+      textCol: Column,
+      buckets: Int): Column = {
+    require(ratios.nonEmpty && ratios.length <= buckets,
+      s"frozen ratio table must have 1..$buckets rows, got ${ratios.length}")
+    val lrMap = map(ratios.flatMap { case (b, lr) =>
+      Seq(lit(b), lit(lr)) }.toIndexedSeq: _*)
+    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val bucketOf = (t: Column) =>
+      pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    round(aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(lrMap, bucketOf(t)), lit(0.0))), 4) +
+      lit(0.0)
+  }
+
+  /** The fitted (bucket, log-ratio) table of [[dsirLogWeights]], for
+    * freezing: ≤ `buckets` rows, full-join over raw and target bucket
+    * counts with the same Laplace smoothing and parenthesization. */
+  def dsirRatioTable(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    def bucketOf(t: Column): Column =
+      pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong))
     def bucketCounts(df: DataFrame): DataFrame = df
       .select(explode(toks).as("tok"))
       .select(bucketOf(col("tok")).as("b"))
@@ -554,22 +668,13 @@ object Sampling {
     val tb = bucketCounts(target)
     val totR = rb.agg(sum(col("c")).cast("double").as("__tr"))
     val totT = tb.agg(sum(col("c")).cast("double").as("__tt"))
-    // parenthesized exactly like the oracle SQL so the doubles agree
-    // bit-for-bit before the per-doc sum
-    val ratios = rb.select(col("b"), col("c").as("cr"))
+    rb.select(col("b"), col("c").as("cr"))
       .join(tb.select(col("b"), col("c").as("ct")), Seq("b"), "full")
       .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("__tt") + lit(buckets))) -
           log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / (col("__tr") + lit(buckets))))
-          .as("__lr"))
-    raw.select(col(idCol).as("id"), explode(toks).as("tok"))
-      .select(col("id"), bucketOf(col("tok")).as("b"))
-      .join(broadcast(ratios), Seq("b"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_toks"),
-        (round(sum(col("__lr")), 4) + lit(0.0)).as("logw"))
-      .select(col("id").as(idCol), col("n_toks"), col("logw"))
+          .as("lr"))
   }
 
   /** DSIR selection via the Gumbel-max trick over [[dsirLogWeights]]:

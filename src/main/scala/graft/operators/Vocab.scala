@@ -491,6 +491,11 @@ object Vocab {
       .groupBy(col("c"))
       .agg(count(lit(1)).as("types"))
       .select(col("c"), col("types"), (col("c") * col("types")).as("mass"))
+    // deliberate single-partition window over the COUNT-CLASS table
+    // (≤ distinct-frequency rows, thousands at any corpus size, never
+    // corpus-sized) — whitelisted in PlanAuditSpec's empty-partition-
+    // window audit, which is the guard that lets the driver mains
+    // silence WindowExec's per-execution warning flood
     val w = Window.orderBy(col("c").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = classes.select(
@@ -556,8 +561,16 @@ object Vocab {
         sum(TF.bpeTokenCount(col(textCol))).as("n_tokens"),
         sum(length(col(textCol))).as("n_chars"))
       .select(col(byCol), col("n_docs"), col("n_words"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("n_words"), 4).as("fertility"),
-        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+        // zero-sum guards: a stratum whose texts tokenize to nothing
+        // (all-punctuation, empty strings) must yield NULL in BOTH
+        // engines — an unguarded x/0 is null in Spark but inf in
+        // DuckDB (the zipfSlope n>1 lesson); the oracle mirrors these
+        // as CASE WHEN
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words"), 4))
+          .as("fertility"),
+        when(col("n_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_tokens"), 4))
           .as("chars_per_token"))
 
   def zipfSlope(docs: DataFrame, textCol: String, k: Int = 1000): DataFrame = {
@@ -565,6 +578,9 @@ object Vocab {
     val top = tokenCounts(docs, textCol)
       .orderBy(col("c").desc, col("token").asc)
       .limit(k)
+    // deliberate global window over the TakeOrdered-k frame (≤ k rows
+    // by the limit above) — whitelisted in PlanAuditSpec's
+    // empty-partition-window audit
     val ranked = top.withColumn("r",
       row_number().over(Window.orderBy(col("c").desc, col("token").asc)))
     val x = log(col("r").cast("double"))

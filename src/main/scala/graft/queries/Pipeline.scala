@@ -614,6 +614,34 @@ object Pipeline {
         "doc_id", "text", k = 100, buckets = 256)
     }),
 
+    // per-domain DSIR: one importance weight per (raw doc, target
+    // language) — the stratified-target table a mixture planner fills
+    // per-domain budgets from (Xie 2023 §3.3)
+    "q_dsir_by_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.dsirLogWeightsByDomain(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", "lang", buckets = 256)
+    }),
+
+    // FROZEN DSIR scoring: fit the bucket log-ratio table on the same
+    // raw/target split, collect it (≤256 rows — a bounded training
+    // collect), and score EVERY document scan-locally with zero joins
+    // or shuffles — the persisted-model twin that also scores streams
+    // (prefix==batch spec-pinned in StreamingSpec)
+    "q_dsir_frozen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ratios = graft.operators.Sampling.dsirRatioTable(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "text", buckets = 256)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      docs.select(col("doc_id"),
+        graft.operators.Sampling.dsirScoreFrozen(ratios, col("text"), 256)
+          .as("logw_frozen"))
+    }),
+
     // CCNet-style perplexity proxy: per-doc average token
     // log-likelihood under the corpus's own unigram LM
     "q_lm_score" -> ((s, dir) =>
@@ -1939,10 +1967,12 @@ object Pipeline {
          CAST(sum(len($TokSql)) AS BIGINT) AS n_words,
          CAST(sum(len(regexp_extract_all(text, '${TF.BpePattern}'))) AS BIGINT)
            AS n_tokens,
-         round(CAST(sum(len(regexp_extract_all(text, '${TF.BpePattern}'))) AS DOUBLE)
-               / sum(len($TokSql)), 4) AS fertility,
-         round(CAST(sum(length(text)) AS DOUBLE)
-               / sum(len(regexp_extract_all(text, '${TF.BpePattern}'))), 4)
+         CASE WHEN sum(len($TokSql)) > 0 THEN
+           round(CAST(sum(len(regexp_extract_all(text, '${TF.BpePattern}'))) AS DOUBLE)
+                 / sum(len($TokSql)), 4) END AS fertility,
+         CASE WHEN sum(len(regexp_extract_all(text, '${TF.BpePattern}'))) > 0 THEN
+           round(CAST(sum(length(text)) AS DOUBLE)
+                 / sum(len(regexp_extract_all(text, '${TF.BpePattern}'))), 4) END
            AS chars_per_token
          FROM documents GROUP BY lang""",
     // dsirLogWeights replica: same md5 13-hex-char buckets, Laplace
@@ -1952,6 +1982,56 @@ object Pipeline {
       s"""WITH $DsirWeightCtes
          SELECT doc_id, count(*) AS n_toks, round(sum(lr), 4) + 0 AS logw
          FROM dt JOIN ratio USING (b) GROUP BY doc_id""",
+    // dsirLogWeightsByDomain replica: per-domain target bucket counts,
+    // a domain × raw-bucket grid with the same Laplace floor, and the
+    // per-doc bucket-count contraction (sum(c*lr), n_toks cast — the
+    // HUGEINT widening lesson)
+    "q_dsir_by_domain" ->
+      s"""WITH rawd AS (
+           SELECT doc_id, $TokSql AS l FROM documents WHERE doc_id % 10 <> 0),
+         tgtd AS (
+           SELECT lang AS domain, $TokSql AS l FROM documents WHERE doc_id % 10 = 0),
+         rt AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                FROM (SELECT unnest(l) AS tok FROM rawd)),
+         rb AS (SELECT b, count(*) AS cr FROM rt GROUP BY b),
+         tt0 AS (SELECT domain,
+                   CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                 FROM (SELECT domain, unnest(l) AS tok FROM tgtd)),
+         tb AS (SELECT domain, b, count(*) AS ct FROM tt0 GROUP BY domain, b),
+         trr AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM rb),
+         ttt AS (SELECT domain, CAST(sum(ct) AS DOUBLE) AS tt FROM tb GROUP BY domain),
+         grid AS (
+           SELECT ttt.domain, rb.b,
+             ln((coalesce(tb.ct, 0) + 1.0) / (ttt.tt + 256)) -
+             ln((rb.cr + 1.0) / (trr.tr + 256)) AS lr
+           FROM rb CROSS JOIN ttt
+           LEFT JOIN tb ON tb.domain = ttt.domain AND tb.b = rb.b
+           CROSS JOIN trr),
+         db AS (
+           SELECT doc_id, b, count(*) AS c
+           FROM (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                 FROM (SELECT doc_id, unnest(l) AS tok FROM rawd))
+           GROUP BY doc_id, b)
+         SELECT doc_id, domain, CAST(sum(c) AS BIGINT) AS n_toks,
+           round(sum(c * lr), 4) + 0 AS logw
+         FROM db JOIN grid USING (b) GROUP BY doc_id, domain""",
+    // dsirScoreFrozen replica: the same ratio CTEs, every document
+    // scored by summing per-token log-ratios (buckets outside the
+    // fitted table fall back to 0 — the OOV path), LEFT JOIN so a
+    // zero-token doc still scores 0.0 like the scan-local column does
+    "q_dsir_frozen" ->
+      s"""WITH $DsirWeightCtes,
+         alld AS (SELECT doc_id, $TokSql AS l FROM documents),
+         adt AS (
+           SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+           FROM (SELECT doc_id, unnest(l) AS tok FROM alld)),
+         sc AS (
+           SELECT adt.doc_id, coalesce(ratio.lr, 0.0) AS lr
+           FROM adt LEFT JOIN ratio USING (b))
+         SELECT d.doc_id, round(coalesce(sum(sc.lr), 0.0), 4) + 0 AS logw_frozen
+         FROM alld d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         GROUP BY d.doc_id""",
     // the weights replica + the Gumbel-max key over the family's
     // md5-uniform -- same draw, same top-k
     "q_dsir_sample" ->

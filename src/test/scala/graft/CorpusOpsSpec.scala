@@ -848,6 +848,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("de") == ((1L, 2L, 5L, 2.5, 1.2)), got("de").toString)
   }
 
+  test("tokenizerFertility: zero-token stratum yields NULL ratios, not inf or error") {
+    import spark.implicits._
+    // "..." tokenizes to one whitespace word but zero BPE runs match?
+    // no — punctuation matches the BPE pattern; use the empty string:
+    // 0 words, 0 subword tokens, 0 chars -> both ratios NULL (an
+    // unguarded x/0 is null in Spark but inf in DuckDB — both sides
+    // must agree on NULL)
+    val docs = Seq(("xx", ""), ("en", "ab cd")).toDF("lang", "text")
+    val rows = Vocab.tokenizerFertility(docs, "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("xx").isNullAt(4) && rows("xx").isNullAt(5),
+      s"expected NULL ratios for the empty stratum: ${rows("xx")}")
+    assert(rows("en").getDouble(4) == 1.0)
+  }
+
   test("contaminationScore: planted benchmark quotes score high, fresh text scores 0") {
     import spark.implicits._
     import graft.operators.Dedup

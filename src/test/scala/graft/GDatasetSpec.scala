@@ -234,10 +234,27 @@ class GDatasetSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_wbg").toString
     val written = ds.writeByGroups(Seq("lang"), base)
     assert(written.keySet == Set(Seq("en"), Seq("fr"), Seq(null)))
-    assert(written(Seq(null)).endsWith("lang=__null__"))
+    assert(written(Seq(null)).endsWith("lang=__HIVE_DEFAULT_PARTITION__"))
     val back = spark.read.parquet(written(Seq("en")))
     assert(back.select("i").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     assert(spark.read.parquet(written.values.toSeq: _*).count() == 4L)
+  }
+
+  test("writeByGroups layout round-trips through Spark partition discovery") {
+    import spark.implicits._
+    // values with a space and a '%' — URLEncoder would write 'new+york'
+    // and discovery would read the '+' back as data; Spark's own
+    // escapePathName keeps the space literal and %-escapes metachars
+    val df = Seq((1L, "new york"), (2L, "new york"), (3L, "a%b"))
+      .toDF("i", "city")
+    val base = java.nio.file.Files.createTempDirectory("graft_wbg2").toString
+    GDataset(df, "i").writeByGroups(Seq("city"), base)
+    val disc = spark.read.parquet(base)
+    assert(disc.schema.fieldNames.contains("city"),
+      s"discovery did not surface the key column: ${disc.schema}")
+    val got = disc.select("i", "city").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "new york", 2L -> "new york", 3L -> "a%b"), got.toString)
   }
 
   test("stratum/rate samplers, budget, fill and list.eval wrappers delegate, metadata kept") {

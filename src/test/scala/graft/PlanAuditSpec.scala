@@ -759,4 +759,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.contains("EqualTo(lang"),
       s"group predicate did not reach the scan: $pushed")
   }
+
+  test("empty-partition windows appear only in the whitelisted bounded-frame queries") {
+    // An un-partitioned window funnels its whole input through ONE task
+    // — a 100 TB killer when the input is corpus-sized. The queries
+    // below window over frames that are bounded by CONSTRUCTION
+    // (zipfSlope ranks a TakeOrdered-k frame; coverage cums the
+    // count-class table, ≤ distinct-frequency rows). Because this audit
+    // walks EVERY query's optimized plan, the driver mains are allowed
+    // to silence WindowExec's per-execution warning flood — a new
+    // accidental global window fails HERE instead of scrolling past in
+    // stderr.
+    val whitelist = Set("q_zipf_slope", "q_vocab_coverage")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val lp = SparkEntry.queries(name)(spark, Sf).queryExecution.optimizedPlan
+      lp.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(offenders.toSet.subsetOf(whitelist),
+      s"unaudited empty-partition window(s) in: ${offenders.filterNot(whitelist).mkString(", ")} — " +
+        "either partition the window or prove the frame is bounded and whitelist it")
+  }
 }

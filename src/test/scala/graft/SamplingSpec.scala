@@ -527,4 +527,54 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(picked == again)
   }
+
+  test("per-domain DSIR: each raw doc out-weighs under its own domain; single domain == binary") {
+    import spark.implicits._
+    val target = ((1L to 20L).map(i => (i, "zoo", "zebra yak xylophone zebra yak")) ++
+      (21L to 40L).map(i => (i, "fin", "invoice ledger accrual invoice ledger")))
+      .toDF("doc_id", "domain", "text")
+    val raw = ((100L to 119L).map(i => (i, "zebra yak xylophone yak zebra")) ++
+      (200L to 219L).map(i => (i, "invoice ledger accrual ledger invoice")))
+      .toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeightsByDomain(raw, target, "doc_id", "text",
+        "domain", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // one row per (raw doc, domain)
+    assert(w.size == 40 * 2, s"expected 80 (doc, domain) rows, got ${w.size}")
+    // zoological docs score higher under the zoo target and vice versa
+    (100L to 119L).foreach(i => assert(w((i, "zoo")) > w((i, "fin")),
+      s"doc $i must prefer its own domain: ${w((i, "zoo"))} vs ${w((i, "fin"))}"))
+    (200L to 219L).foreach(i => assert(w((i, "fin")) > w((i, "zoo"))))
+    // a single-domain target reduces to the binary dsirLogWeights table
+    val single = Sampling.dsirLogWeightsByDomain(raw,
+        target.filter(col("domain") === "zoo"), "doc_id", "text", "domain", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val binary = Sampling.dsirLogWeights(raw,
+        target.filter(col("domain") === "zoo"), "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(single == binary,
+      s"single-domain stratified weights must equal the binary table")
+  }
+
+  test("frozen DSIR scoring equals the online weights; empty text scores 0") {
+    import spark.implicits._
+    val target = (1L to 20L).map(i => (i, "zebra yak xylophone zebra yak"))
+      .toDF("doc_id", "text")
+    val raw = ((100L to 119L).map(i => (i, "zebra yak xylophone yak zebra")) ++
+      (200L to 219L).map(i => (i, "invoice ledger accrual ledger invoice")))
+      .toDF("doc_id", "text")
+    val ratios = Sampling.dsirRatioTable(raw, target, "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val frozen = raw.select(col("doc_id"),
+        Sampling.dsirScoreFrozen(ratios, col("text"), 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val online = Sampling.dsirLogWeights(raw, target, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(frozen == online,
+      "scan-local frozen scoring must reproduce the online join+agg weights")
+    // a doc with no tokens reduces over an empty array: exactly 0.0
+    val empty = Seq((999L, "")).toDF("doc_id", "text")
+      .select(Sampling.dsirScoreFrozen(ratios, col("text"), 64)).collect()(0).getDouble(0)
+    assert(empty == 0.0)
+  }
 }

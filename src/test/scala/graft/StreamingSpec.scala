@@ -458,6 +458,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen DSIR scoring streams statelessly and matches the batch column row-for-row") {
+    // the persisted-model pattern: fit the bucket log-ratio table once
+    // in batch, freeze it into the scan-local scoring column, and run
+    // the SAME column on a standing ingest — zero joins, zero state,
+    // so every prefix trivially equals the batch scores
+    import spark.implicits._
+    import graft.operators.Sampling
+    val target = (1L to 10L).map(i => (i, "zebra yak xylophone zebra"))
+      .toDF("doc_id", "text")
+    val raw = ((100L to 109L).map(i => (i, "zebra yak xylophone yak")) ++
+      (200L to 209L).map(i => (i, "invoice ledger accrual ledger")))
+      .toDF("doc_id", "text")
+    val ratios = Sampling.dsirRatioTable(raw, target, "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rows = Seq((100L, "zebra yak xylophone yak"),
+      (200L, "invoice ledger accrual ledger"),
+      (300L, "zebra ledger"))
+    val batch = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), Sampling.dsirScoreFrozen(ratios, col("text"), 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    docs.addData(rows: _*)
+    val q = docs.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Sampling.dsirScoreFrozen(ratios, col("text"), 64).as("s"))
+      .writeStream.outputMode("append").format("memory").queryName("dsirfrozen").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dsirfrozen").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed == batch,
+        s"streamed frozen scores must equal batch: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("mojibake repair and n-gram repetition kernels run unchanged on a stream") {
     // both are stateless scan-local kernels — a standing ingest cleans
     // encoding and scores repetition with zero streaming state
