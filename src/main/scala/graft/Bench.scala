@@ -158,10 +158,17 @@ object Bench {
     // recorded in the JSON so the committed record says which deltas
     // were challenged. SPARK_GRAFT_BENCH_PRIOR overrides the lookup
     // with an explicit file (the sf1 record recipe sets it).
-    def parseRecord(txt: String): Map[String, Double] =
-      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
-      else """"(q[a-z0-9_]*)":([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+    // whitespace-tolerant on BOTH probes: committed records may be
+    // pretty-printed by the external minima-combination step ("sf": "x"
+    // with a space), and a compact-only match silently empties the
+    // prior — the exact failure that left the r13 run A unchallenged
+    def parseRecord(txt: String): Map[String, Double] = {
+      val sfRe = ("\"sf\"\\s*:\\s*\"" +
+        java.util.regex.Pattern.quote(sfDir) + "\"").r
+      if (sfRe.findFirstIn(txt).isEmpty) Map.empty
+      else """"(q[a-z0-9_]*)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
     def readFile(path: String): Map[String, Double] = try {
       parseRecord(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path))))
