@@ -677,6 +677,50 @@ object Sampling {
           .as("lr"))
   }
 
+  /** Per-domain DSIR selection: `kPerDomain` documents per target
+    * domain, without replacement, ∝ exp(logw) under that domain's
+    * distribution — the Gumbel-max trick over
+    * [[dsirLogWeightsByDomain]], with the SAME deterministic
+    * [[hashUniform]] draw per document (one u per doc, shared across
+    * domains, so a doc can win several domains — the planner's
+    * dedup-across-budgets choice, not the sampler's).
+    *
+    * 100 TB shape: per-domain top-k runs in TWO phases so no task ever
+    * sees a domain's full candidate set — phase 1 ranks inside
+    * (domain, salt-of-id) buckets and keeps k per bucket, phase 2
+    * ranks the ≤ SALTS×k survivors per domain. A single
+    * Window.partitionBy(domain) would funnel the whole corpus through
+    * D tasks. */
+  def dsirSampleByDomain(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      kPerDomain: Int,
+      buckets: Int = 1024): DataFrame = {
+    require(kPerDomain > 0, s"sample size $kPerDomain must be positive")
+    requireHashableKey(raw, col(idCol))
+    val salts = 32
+    val keyed = dsirLogWeightsByDomain(raw, target, idCol, textCol,
+        domainCol, buckets)
+      .withColumn("__key",
+        col("logw") - log(-log(hashUniform(col(idCol)))))
+      .withColumn("__salt",
+        pmod(conv(substring(md5(concat(lit("s:"), col(idCol).cast("string"))
+          .cast("binary")), 1, 13), 16, 10).cast("long"), lit(salts.toLong)))
+    val phase1 = Window.partitionBy(col("domain"), col("__salt"))
+      .orderBy(col("__key").desc, col(idCol))
+    val phase2 = Window.partitionBy(col("domain"))
+      .orderBy(col("__key").desc, col(idCol))
+    keyed
+      .withColumn("__r1", row_number().over(phase1))
+      .filter(col("__r1") <= kPerDomain)
+      .withColumn("__r2", row_number().over(phase2))
+      .filter(col("__r2") <= kPerDomain)
+      .select(col(idCol), col("domain"), col("n_toks"), col("logw"))
+  }
+
   /** DSIR selection via the Gumbel-max trick over [[dsirLogWeights]]:
     * sampling k documents without replacement with probability
     * ∝ exp(logw) is exactly the top-k of `logw + Gumbel(0,1)`, and the

@@ -625,6 +625,17 @@ object Pipeline {
         "doc_id", "text", "lang", buckets = 256)
     }),
 
+    // per-domain DSIR selection: 20 docs per target language via
+    // Gumbel-max over the by-domain weights — salted two-phase top-k,
+    // no domain-sized window funnel
+    "q_dsir_sample_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Sampling.dsirSampleByDomain(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", "lang", kPerDomain = 20, buckets = 256)
+    }),
+
     // FROZEN DSIR scoring: fit the bucket log-ratio table on the same
     // raw/target split, collect it (≤256 rows — a bounded training
     // collect), and score EVERY document scan-locally with zero joins
@@ -1317,6 +1328,37 @@ object Pipeline {
            SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
            FROM (SELECT doc_id, unnest(l) AS tok FROM rawd))"""
 
+  // dsirLogWeightsByDomain's shared CTEs (q_dsir_by_domain,
+  // q_dsir_sample_domain): per-domain bucket distributions over the
+  // same raw/target split as DsirWeightCtes
+  private val DsirDomainCtes: String =
+    s"""rawd AS (
+           SELECT doc_id, $TokSql AS l FROM documents WHERE doc_id % 10 <> 0),
+         tgtd AS (
+           SELECT lang AS domain, $TokSql AS l FROM documents WHERE doc_id % 10 = 0),
+         rt AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                FROM (SELECT unnest(l) AS tok FROM rawd)),
+         rb AS (SELECT b, count(*) AS cr FROM rt GROUP BY b),
+         tt0 AS (SELECT domain,
+                   CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                 FROM (SELECT domain, unnest(l) AS tok FROM tgtd)),
+         tb AS (SELECT domain, b, count(*) AS ct FROM tt0 GROUP BY domain, b),
+         trr AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM rb),
+         ttt AS (SELECT domain, CAST(sum(ct) AS DOUBLE) AS tt FROM tb GROUP BY domain),
+         grid AS (
+           SELECT ttt.domain, rb.b,
+             ln((coalesce(tb.ct, 0) + 1.0) / (ttt.tt + 256)) -
+             ln((rb.cr + 1.0) / (trr.tr + 256)) AS lr
+           FROM rb CROSS JOIN ttt
+           LEFT JOIN tb ON tb.domain = ttt.domain AND tb.b = rb.b
+           CROSS JOIN trr),
+         db AS (
+           SELECT doc_id, b, count(*) AS c
+           FROM (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+                 FROM (SELECT doc_id, unnest(l) AS tok FROM rawd))
+           GROUP BY doc_id, b)"""
+
   // TextHash.minhashMd5KeyKernel replica: ONE md5 per 5-token shingle
   // (clipped for short docs, same slice semantics as the jaccard
   // oracle), hash j = 16-bit big-endian slice j of the digest (4 hex
@@ -1987,35 +2029,27 @@ object Pipeline {
     // per-doc bucket-count contraction (sum(c*lr), n_toks cast — the
     // HUGEINT widening lesson)
     "q_dsir_by_domain" ->
-      s"""WITH rawd AS (
-           SELECT doc_id, $TokSql AS l FROM documents WHERE doc_id % 10 <> 0),
-         tgtd AS (
-           SELECT lang AS domain, $TokSql AS l FROM documents WHERE doc_id % 10 = 0),
-         rt AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
-                FROM (SELECT unnest(l) AS tok FROM rawd)),
-         rb AS (SELECT b, count(*) AS cr FROM rt GROUP BY b),
-         tt0 AS (SELECT domain,
-                   CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
-                 FROM (SELECT domain, unnest(l) AS tok FROM tgtd)),
-         tb AS (SELECT domain, b, count(*) AS ct FROM tt0 GROUP BY domain, b),
-         trr AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr FROM rb),
-         ttt AS (SELECT domain, CAST(sum(ct) AS DOUBLE) AS tt FROM tb GROUP BY domain),
-         grid AS (
-           SELECT ttt.domain, rb.b,
-             ln((coalesce(tb.ct, 0) + 1.0) / (ttt.tt + 256)) -
-             ln((rb.cr + 1.0) / (trr.tr + 256)) AS lr
-           FROM rb CROSS JOIN ttt
-           LEFT JOIN tb ON tb.domain = ttt.domain AND tb.b = rb.b
-           CROSS JOIN trr),
-         db AS (
-           SELECT doc_id, b, count(*) AS c
-           FROM (SELECT doc_id,
-                   CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
-                 FROM (SELECT doc_id, unnest(l) AS tok FROM rawd))
-           GROUP BY doc_id, b)
+      s"""WITH $DsirDomainCtes
          SELECT doc_id, domain, CAST(sum(c) AS BIGINT) AS n_toks,
            round(sum(c * lr), 4) + 0 AS logw
          FROM db JOIN grid USING (b) GROUP BY doc_id, domain""",
+    // dsirSampleByDomain replica: per-domain rank over the SAME
+    // rounded logw + Gumbel key (one deterministic u per doc, shared
+    // across domains). The salted two-phase Spark plan computes the
+    // identical per-domain top-k, so a plain window rank is the oracle
+    "q_dsir_sample_domain" ->
+      s"""WITH $DsirDomainCtes,
+         w AS (
+           SELECT doc_id, domain, CAST(sum(c) AS BIGINT) AS n_toks,
+             round(sum(c * lr), 4) + 0 AS logw
+           FROM db JOIN grid USING (b) GROUP BY doc_id, domain)
+         SELECT doc_id, domain, n_toks, logw FROM (
+           SELECT *, row_number() OVER (PARTITION BY domain
+             ORDER BY logw - ln(-ln(
+               (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+               / 4503599627370496.0)) DESC, doc_id) AS rn
+           FROM w)
+         WHERE rn <= 20""",
     // dsirScoreFrozen replica: the same ratio CTEs, every document
     // scored by summing per-token log-ratios (buckets outside the
     // fitted table fall back to 0 — the OOV path), LEFT JOIN so a

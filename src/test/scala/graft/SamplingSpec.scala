@@ -556,6 +556,42 @@ class SamplingSpec extends SparkSpec {
       s"single-domain stratified weights must equal the binary table")
   }
 
+  test("per-domain DSIR selection: k per domain, favors each domain's own docs, deterministic") {
+    import spark.implicits._
+    val target = ((1L to 20L).map(i => (i, "zoo", "zebra yak xylophone zebra yak")) ++
+      (21L to 40L).map(i => (i, "fin", "invoice ledger accrual invoice ledger")))
+      .toDF("doc_id", "domain", "text")
+    val raw = ((100L to 139L).map(i => (i, "zebra yak xylophone yak zebra")) ++
+      (200L to 239L).map(i => (i, "invoice ledger accrual ledger invoice")))
+      .toDF("doc_id", "text")
+    val picked = Sampling.dsirSampleByDomain(raw, target, "doc_id", "text",
+        "domain", kPerDomain = 10, buckets = 64)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val byDomain = picked.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDomain("zoo").size == 10 && byDomain("fin").size == 10)
+    // each domain's draw is dominated by its own vocabulary's docs
+    assert(byDomain("zoo").count(_ < 200L) >= 8, s"zoo picks: ${byDomain("zoo")}")
+    assert(byDomain("fin").count(_ >= 200L) >= 8, s"fin picks: ${byDomain("fin")}")
+    // deterministic rerun
+    val again = Sampling.dsirSampleByDomain(raw, target, "doc_id", "text",
+        "domain", kPerDomain = 10, buckets = 64)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(picked.toSet == again)
+    // salted two-phase == the plain per-domain top-k (the oracle form)
+    val plain = Sampling.dsirLogWeightsByDomain(raw, target, "doc_id", "text",
+        "domain", buckets = 64)
+      .withColumn("__key", col("logw") -
+        org.apache.spark.sql.functions.log(-org.apache.spark.sql.functions.log(
+          Sampling.hashUniform(col("doc_id")))))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+          .orderBy(col("__key").desc, col("doc_id"))))
+      .filter(col("__rn") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(picked.toSet == plain,
+      "salted two-phase top-k must equal the unsalted per-domain rank")
+  }
+
   test("frozen DSIR scoring equals the online weights; empty text scores 0") {
     import spark.implicits._
     val target = (1L to 20L).map(i => (i, "zebra yak xylophone zebra yak"))
