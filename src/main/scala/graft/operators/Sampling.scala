@@ -588,6 +588,15 @@ object Sampling {
     def bucketOf(t: Column): Column =
       pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
         lit(buckets.toLong))
+    // two passes over the raw pool by design (bucket totals, then
+    // per-doc scoring) — the same shape as dsirLogWeights. Deriving rb
+    // from the per-doc (id, b) counts WOULD make it one pass if the
+    // exchange were reused, but the rb branch lives inside the
+    // broadcast grid's separately-planned adaptive subtree, where
+    // cross-tree stage reuse never fires (measured: the "shared"
+    // form re-ran the heavier (id, b) aggregate twice and benched
+    // 1.4x slower) — so the direct partial-agg pass, whose shuffle is
+    // ≤ B rows per mapper, is the honest optimum
     val rb = raw
       .select(explode(toks).as("tok"))
       .select(bucketOf(col("tok")).as("b"))
