@@ -336,10 +336,14 @@ class GDatasetSpec extends SparkSpec {
       Tables.t(spark, Sf, "orders").select(col("o_orderkey"), col("o_totalprice")),
       "o_orderkey")
     spark.catalog.clearCache()
+    // diff against a pre-snapshot, not isEmpty: the session is shared
+    // across suites and another test's localCheckpoint (DedupCluster)
+    // can legitimately leave an RDD pinned — only NEW pins are ours
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val fast = ds.sort().withRowIndex("idx", deterministicSource = true).df
     val rows = fast.select(col("idx"), col("o_orderkey")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
       "fast path must not cache the input")
     assert(rows.map(_._1).sorted.toSeq == (0L until rows.length).toSeq,
       "indices not contiguous")
@@ -348,7 +352,7 @@ class GDatasetSpec extends SparkSpec {
     // the default path still pins the input (against nondeterministic
     // upstreams yielding different rows to the two zipWithIndex jobs)
     ds.sort().withRowIndex("idx").df.collect()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
       "default path must pin the input")
     spark.catalog.clearCache()
   }
