@@ -1706,19 +1706,17 @@ object Relational {
     val valueType = types.head
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
-    // transiently persisted through the eager stats job — see rankTable
-    // for the rationale (range-partitioner sampling re-executes an
-    // unpersisted agg child)
+    // deliberately NOT persisted — see rankTable for the measured
+    // trade (the double-computed agg beats the cache round-trip)
     val counts = df
       .select(posexplode(array(cols.map(col): _*)).as(Seq("__cid", "__v")))
       .filter(col("__v").isNotNull)
       .groupBy(col("__cid"), col("__v")).agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted = counts.repartitionByRange(nPart, col("__cid"), col("__v"))
       .sortWithinPartitions(col("__cid"), col("__v"))
     val rdd = sorted.queryExecution.toRdd
     val partStats =
-      try rdd.mapPartitionsWithIndex { (pid, it) =>
+      rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
         it.foreach { r =>
           val prev = m.getOrElse(r.getInt(0), (0L, 0L))
@@ -1726,7 +1724,6 @@ object Relational {
         }
         Iterator.single((pid, m.toSeq))
       }.collect().sortBy(_._1)
-      finally counts.unpersist(blocking = false)
     // per-cid prefix offsets in pid order (range partitioning orders
     // partitions by (cid, value), so pid order IS value order per cid)
     val offsets = scala.collection.mutable.HashMap.empty[(Int, Int), (Long, Long)]
@@ -1792,28 +1789,29 @@ object Relational {
       s"rank methods must be among ${methods.mkString("/")}: $outs")
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
-    // transiently persisted: the range exchange's partitioner SAMPLES
-    // its child, so an unpersisted counts agg executes twice (sample
-    // job + map stage). The cache materializes during the sample job,
-    // the map stage reads it, and it is released as soon as the eager
-    // stats job below is done — later consumers reuse the range
-    // shuffle's map output, not the cache (PlanAuditSpec pins that
-    // nothing stays persisted)
+    // deliberately NOT persisted, although the range exchange's
+    // partitioner SAMPLES its child and therefore executes the counts
+    // agg twice (sample job + map stage): the A/B measured the
+    // transient MEMORY_AND_DISK cache SLOWER on both scales
+    // (q_rank_global 1.65 -> 1.12s at sf0.1, 1.42 -> 1.26s at the 10x
+    // stress dir; spearman matrix 2.81 -> 2.30s) — the agg is a
+    // column-pruned scan + map-side partial whose recompute beats the
+    // cache write+read round-trip. Correctness is unaffected: the
+    // bounds are sampled once per RDD graph, and the stats/rank jobs
+    // read the SAME range-shuffle map output either way.
     val counts = df.select(col(c)).na.drop()
       .groupBy(col(c)).agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted = counts.repartitionByRange(nPart, col(c))
       .sortWithinPartitions(col(c))
     val keyField = sorted.schema.fields(0)
     val rdd = sorted.queryExecution.toRdd
     val partStats =
-      try rdd.mapPartitionsWithIndex { (pid, it) =>
+      rdd.mapPartitionsWithIndex { (pid, it) =>
         var sumN = 0L
         var cnt = 0L
         it.foreach { r => sumN += r.getLong(1); cnt += 1 }
         Iterator.single((pid, sumN, cnt))
       }.collect().sortBy(_._1)
-      finally counts.unpersist(blocking = false)
     val offN = spark.sparkContext.broadcast(
       partStats.map(_._2).scanLeft(0L)(_ + _))
     val offK = spark.sparkContext.broadcast(
