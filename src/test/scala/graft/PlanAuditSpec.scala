@@ -744,6 +744,25 @@ class PlanAuditSpec extends SparkSpec {
       s"the bucket log-ratio table must broadcast:\n$p")
   }
 
+  test("q_dsir_by_domain: exchanges carry ids and bucket partials only; the grid broadcasts") {
+    // same contract as the binary DSIR pin, with the domain dimension:
+    // the ×D fan-out multiplies the per-doc (id, bucket) table via a
+    // BROADCAST of the domain×bucket grid — text in any exchange or a
+    // shuffle-join against the grid would re-shuffle the corpus at
+    // 100 TB
+    val p = planOf("q_dsir_by_domain")
+    val sections = p.split("""\n\n""")
+    val exchanges = sections.filter(_.matches("""(?s)\(\d+\) Exchange\b.*"""))
+    assert(exchanges.nonEmpty, "no Exchange detail sections found in plan")
+    exchanges.foreach { sec =>
+      val input = sec.linesIterator.filter(_.trim.startsWith("Input")).mkString
+      assert(!input.contains("text#"),
+        s"an exchange shuffles the full document text: $input")
+    }
+    assert(p.contains("BroadcastExchange"),
+      s"the domain×bucket grid must broadcast:\n$p")
+  }
+
   test("partitionByGroups members push the group predicate into the parquet scan") {
     // the fan-out use case (writeByGroups): each member must read only
     // its slice — the equality predicate reaching PushedFilters is
