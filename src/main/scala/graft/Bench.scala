@@ -24,8 +24,14 @@ import org.apache.spark.sql.SparkSession
   * stderr, lands in the JSON's `errors` field, and makes the process
   * exit nonzero — a bench-only regression (e.g. an OOM at a scale the
   * correctness gate doesn't reach) must never bench as ~0s and pass.
-  * The full result line is also written to BENCH_local.json so the
-  * complete per-query record survives any log truncation.
+  *
+  * Output contract: the FULL record line (≈20 KB with 268 queries)
+  * prints first and is also written to a file (SPARK_GRAFT_BENCH_OUT,
+  * else BENCH_local.json when SPARK_GRAFT_BENCH_RECORD=1, else the
+  * gitignored BENCH_driver.json — so an unattended driver run can't
+  * overwrite the committed round record); a ≤250-char summary JSON
+  * prints LAST so the driver's 2000-char stdout tail always captures
+  * the headline number.
   */
 object Bench {
   /** Run a query to completion through the noop sink: every row is
@@ -51,6 +57,19 @@ object Bench {
     def recheckAllowed(elapsed: Double, querySecs: Double,
                        budget: Double): Boolean =
       elapsed + 1.5 * querySecs < budget
+    /** Recheck verdict, contention-aware. `runMedianDelta` is the
+      * median of (interleaved min / prior) across EVERY query with a
+      * prior — on an idle box it sits near 1.0; on a contended box the
+      * whole run shifts together. A rerun that still exceeds 1.3x prior
+      * on a box whose run-wide median is itself >1.5x off says nothing
+      * about the QUERY (the r13 driver run labeled a 130x q_chunk
+      * spike "reproduced" under exactly this condition), so it gets the
+      * third verdict `box-noise` instead of `reproduced`. */
+    def verdict(prior: Double, interleaved: Double, rerun: Double,
+                runMedianDelta: Double): String =
+      if (math.min(interleaved, rerun) <= 1.3 * prior) "transient"
+      else if (runMedianDelta > 1.5) "box-noise"
+      else "reproduced"
   }
 
   def main(args: Array[String]): Unit = {
@@ -140,8 +159,16 @@ object Bench {
     }
     if (passes < 3) System.err.println(
       s"[bench] governor: ran $passes/3 passes (elapsed ${elapsed.round}s of ${budget.round}s budget)")
+    // durable-record path: the committed round record (BENCH_local.json)
+    // is only written when the record workflow says so explicitly
+    // (SPARK_GRAFT_BENCH_RECORD=1 or an explicit _OUT path). A plain
+    // driver/iteration run writes the gitignored BENCH_driver.json, so
+    // a contended driver run can never sit in the working tree as an
+    // uncommitted overwrite of the round record (the r13 near-miss).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File(sys.props("user.dir"), "BENCH_local.json").getPath)
+      new java.io.File(sys.props("user.dir"),
+        if (sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1"))
+          "BENCH_local.json" else "BENCH_driver.json").getPath)
     // outlier re-run pass: any query whose interleaved min still sits
     // >1.3x above the last COMMITTED ROUND record gets one more
     // isolated sample, after the passes — a machine transient that
@@ -220,29 +247,42 @@ object Bench {
     System.err.println(s"[bench] recheck baseline: ${prior.size} queries " +
       s"(env=${sys.env.contains("SPARK_GRAFT_BENCH_PRIOR")}, " +
       s"roundCommit=${roundCommit.map(_.take(8))}, sf1Records=${sf1Records.take(1)})")
+    // run-wide calibration: the median of (this run's interleaved min /
+    // prior) over every query that HAS a prior. Near 1.0 on an idle box;
+    // a contended box shifts the whole distribution, and per-query
+    // verdicts must be read against that shift (Governor.verdict). The
+    // value is also stamped into the record as `box_delta` so a reader
+    // can tell a 119s idle run from a 1200s contended one at a glance.
+    val deltas = names.flatMap(n => for {
+      p <- prior.get(n); t <- samples.get(n).flatMap(_.minOption)
+    } yield t / p).sorted
+    val boxDelta = if (deltas.isEmpty) 1.0 else deltas(deltas.size / 2)
     val rechecked = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var rechecksSkipped = 0
     for (name <- names; p <- prior.get(name); t <- samples.get(name).flatMap(_.minOption)
          if t > 1.3 * p && t > 0.1) {
       // governor: a recheck costs ~the query's own time again; if that
-      // no longer fits, skip it LOUDLY (counted in the JSON) rather
-      // than risk the driver killing the whole process with no record
+      // no longer fits, skip it (counted in the JSON and summarized in
+      // ONE stderr line below — per-query spam buried the record line
+      // in the driver's stdout tail for three rounds) rather than risk
+      // the driver killing the whole process with no record
       if (!Governor.recheckAllowed(elapsed, t, budget)) {
         rechecksSkipped += 1
-        System.err.println(s"[bench] governor: skipping recheck of $name " +
-          f"(delta ${t / p}%.2fx vs prior, elapsed ${elapsed.round}s of ${budget.round}s)")
       } else {
         val t0 = System.nanoTime()
         try {
           exec(SparkEntry.queries(name)(spark, sfDir))
           val r = (System.nanoTime() - t0) / 1e9
           samples(name) = r :: samples(name)
-          val verdict = if (math.min(t, r) <= 1.3 * p) "transient" else "reproduced"
+          val verdict = Governor.verdict(p, t, r, boxDelta)
           rechecked(name) =
             f"""{"prior":$p%.4f,"interleaved":$t%.4f,"rerun":$r%.4f,"verdict":"$verdict"}"""
         } catch { case _: Throwable => () } // already recorded in the passes
       }
     }
+    if (rechecksSkipped > 0) System.err.println(
+      s"[bench] governor: skipped $rechecksSkipped rechecks " +
+        s"(elapsed ${elapsed.round}s of ${budget.round}s budget)")
     val results = names.flatMap(n => samples.get(n).flatMap(_.minOption).map(n -> _))
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -266,14 +306,20 @@ object Bench {
     // governor provenance: how many timed passes this record carries,
     // whether warmup completed, and how many rechecks were shed —
     // a degraded record must say so itself
-    val gov = f""","passes":$passes,"warmup":"$warmup","rechecks_skipped":$rechecksSkipped,"budget_sec":${budget.round},"elapsed_sec":${elapsed.round}"""
+    val gov = f""","passes":$passes,"warmup":"$warmup","rechecks_skipped":$rechecksSkipped,"box_delta":$boxDelta%.3f,"budget_sec":${budget.round},"elapsed_sec":${elapsed.round}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"rechecked":$recheckJson$gov$note,"sf":"$sfDir"}"""
     println(line)
     // durable copy: the driver's artifact keeps only a stdout tail, so
-    // the committed file is the complete per-query record of the round
+    // the written file is the complete per-query record of the run
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
+    // tail-sized summary, printed LAST: the driver keeps only the final
+    // ~2000 chars of stdout, which the ~20KB full record overflows — so
+    // the headline number rides in a <=250-char line the tail always
+    // holds, and the full per-query record lives in `out` above.
+    val summary = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"errors":${errors.size},"passes":$passes,"warmup":"$warmup","rechecks":${rechecked.size},"rechecks_skipped":$rechecksSkipped,"box_delta":$boxDelta%.3f,"record":"${new java.io.File(out).getName}","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")

@@ -14,10 +14,15 @@ package graft.functions
   * artifact also exposes scipy's PchipInterpolator,
   * build/lib/polars_dataset.py:8,304).
   *
-  * @param kind        "cubic" (C² natural/clamped spline) or "pchip"
+  * @param kind        "cubic" (C² natural/clamped spline), "pchip"
   *                    (Fritsch–Carlson monotone cubic Hermite: shape-
   *                    preserving, no overshoot between knots — the
-  *                    right default for physical series with plateaus)
+  *                    right default for physical series with plateaus),
+  *                    or "linear" (piecewise-linear between knots —
+  *                    scipy interp1d kind="linear"; the one kind a SQL
+  *                    oracle can replay exactly, so its regrid query is
+  *                    hash-verified end to end where the cubic kinds
+  *                    are rows-only)
   * @param boundary    "natural" (zero second derivative at the ends) or
   *                    "clamped" (first derivatives pinned to
   *                    `derivStart`/`derivEnd`; exact for cubics when the
@@ -36,7 +41,7 @@ final case class SplineOptions(
     derivEnd: Double = 0.0,
     extrapolate: String = "cubic",
     kind: String = "cubic") {
-  require(Seq("cubic", "pchip").contains(kind),
+  require(Seq("cubic", "pchip", "linear").contains(kind),
     s"unknown spline kind `$kind`")
   require(Seq("natural", "clamped").contains(boundary),
     s"unknown spline boundary `$boundary`")
@@ -67,6 +72,7 @@ object Interpolation {
       if (opts.extrapolate == "none" && x != xs(0)) Double.NaN else ys(0)
     }
     if (opts.kind == "pchip") return pchip(xs, ys, grid, opts)
+    if (opts.kind == "linear") return linear(xs, ys, grid, opts)
     val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
     // second derivatives m via Thomas solve of the full n×n tridiagonal
     // system; rows 1..n-2 are the standard continuity equations, rows 0
@@ -129,6 +135,45 @@ object Interpolation {
         val b2 = (x - xs(seg)) / hh
         aa * ys(seg) + b2 * ys(seg + 1) +
           ((aa * aa * aa - aa) * m(seg) + (b2 * b2 * b2 - b2) * m(seg + 1)) * hh * hh / 6.0
+      }
+    }
+  }
+
+  /** Piecewise-linear interpolation (scipy interp1d kind="linear").
+    * The evaluation is written EXACTLY as the SQL oracle writes it —
+    * `y0 + (y1 - y0) * ((x - x0) / (x1 - x0))`, ratio parenthesized
+    * first — so both engines run the identical IEEE-754 expression and
+    * the 6dp-rounded outputs hash equal (same convention as the
+    * q_interpolate oracle). Outside [xs.head, xs.last]: "constant"
+    * holds the end value, "none" yields NaN, and the default "cubic"
+    * mode extends the END SEGMENT'S LINE (the linear kind's analog of
+    * extending the end cubic). */
+  private def linear(
+      xs: Array[Double],
+      ys: Array[Double],
+      grid: Array[Double],
+      opts: SplineOptions): Array[Double] = {
+    val n = xs.length
+    grid.map { x =>
+      val below = x < xs(0)
+      val above = x > xs(n - 1)
+      if ((below || above) && opts.extrapolate == "none") Double.NaN
+      else if (below && opts.extrapolate == "constant") ys(0)
+      else if (above && opts.extrapolate == "constant") ys(n - 1)
+      else {
+        val seg =
+          if (x <= xs(0)) 0
+          else if (x >= xs(n - 1)) n - 2
+          else {
+            var l = 0
+            var r = n - 2
+            while (l < r) {
+              val mid = (l + r + 1) >>> 1
+              if (xs(mid) <= x) l = mid else r = mid - 1
+            }
+            l
+          }
+        ys(seg) + (ys(seg + 1) - ys(seg)) * ((x - xs(seg)) / (xs(seg + 1) - xs(seg)))
       }
     }
   }

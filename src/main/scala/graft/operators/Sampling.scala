@@ -588,11 +588,45 @@ object Sampling {
     def bucketOf(t: Column): Column =
       pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
         lit(buckets.toLong))
-    // two passes over the raw pool by design (bucket totals, then
-    // per-doc scoring) — the same shape as dsirLogWeights. Deriving rb
-    // from the per-doc (id, b) counts WOULD make it one pass if the
-    // exchange were reused, but the rb branch lives inside the
-    // broadcast grid's separately-planned adaptive subtree, where
+    val grid = dsirDomainGrid(raw, target, textCol, domainCol, buckets)
+      .withColumnRenamed("lr", "__lr")
+    val docBuckets = raw
+      .select(col(idCol).as("id"), explode(toks).as("tok"))
+      .select(col("id"), bucketOf(col("tok")).as("b"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("__c"))
+    docBuckets.join(broadcast(grid), Seq("b"))
+      .groupBy(col("id"), col("domain"))
+      .agg(sum(col("__c")).as("n_toks"),
+        (round(sum(col("__c") * col("__lr")), 4) + lit(0.0)).as("logw"))
+      .select(col("id").as(idCol), col("domain"), col("n_toks"), col("logw"))
+  }
+
+  /** The fitted per-domain (domain, b, lr) log-ratio GRID of
+    * [[dsirLogWeightsByDomain]], exposed for freezing — the by-domain
+    * analog of [[dsirRatioTable]]. ≤ D×B rows: every raw-pool bucket ×
+    * every target domain, with each domain's Laplace-smoothed
+    * log-ratio; buckets no raw token hashed to carry no row (the
+    * frozen scorer's coalesce renders them 0.0 — the OOV path).
+    * Two partial-agg exchanges (≤ B and ≤ D×B rows) — text never
+    * shuffles; see [[dsirLogWeightsByDomain]] for the two-pass
+    * rationale. */
+  def dsirDomainGrid(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      domainCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    def bucketOf(t: Column): Column =
+      pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    // two passes over the raw pool by design (bucket totals here, then
+    // per-doc scoring in the caller) — the same shape as dsirLogWeights.
+    // Deriving rb from the per-doc (id, b) counts WOULD make it one
+    // pass if the exchange were reused, but the rb branch lives inside
+    // the broadcast grid's separately-planned adaptive subtree, where
     // cross-tree stage reuse never fires (measured: the "shared"
     // form re-ran the heavier (id, b) aggregate twice and benched
     // 1.4x slower) — so the direct partial-agg pass, whose shuffle is
@@ -611,22 +645,50 @@ object Sampling {
     // domain × raw-bucket grid (≤ D×B rows): buckets a raw doc can hash
     // to, left-joined with each domain's counts so absent buckets get
     // the Laplace floor. Parenthesized exactly like the oracle SQL.
-    val grid = rb.crossJoin(totT)
+    rb.crossJoin(totT)
       .join(tb, Seq("domain", "b"), "left")
       .crossJoin(broadcast(totR))
       .select(col("domain"), col("b"),
         (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("__tt") + lit(buckets))) -
           log((col("cr") + lit(1.0)) / (col("__tr") + lit(buckets))))
-          .as("__lr"))
-    val docBuckets = raw
-      .select(col(idCol).as("id"), explode(toks).as("tok"))
-      .select(col("id"), bucketOf(col("tok")).as("b"))
-      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("__c"))
-    docBuckets.join(broadcast(grid), Seq("b"))
-      .groupBy(col("id"), col("domain"))
-      .agg(sum(col("__c")).as("n_toks"),
-        (round(sum(col("__c") * col("__lr")), 4) + lit(0.0)).as("logw"))
-      .select(col("id").as(idCol), col("domain"), col("n_toks"), col("logw"))
+          .as("lr"))
+  }
+
+  /** Freeze a fitted per-domain DSIR grid ([[dsirDomainGrid]],
+    * collected — ≤ D×B rows, a bounded training collect) into a
+    * scan-local scoring column: for each document, an
+    * `array<struct<domain, logw>>` holding its frozen log-weight
+    * against EVERY fitted domain — zero joins, zero shuffles, zero
+    * state, so the same column scores batches and streams identically
+    * (the by-domain analog of [[dsirScoreFrozen]]'s prefix==batch
+    * contract). Tokens hash to buckets ONCE and the per-domain reduce
+    * reuses the bucket array — D map-lookups per token, one md5. The
+    * grid rides the plan as a single nested-map literal
+    * (domain → bucket → lr, one `typedLit` Literal node); buckets
+    * absent from a domain's map score 0.0 via the coalesce fallback
+    * (the OOV path), and a NULL text scores 0.0 against every domain
+    * (coerced to the empty document), both matching the oracle's
+    * LEFT-JOIN + coalesce replay. */
+  def dsirScoreFrozenByDomain(
+      grid: Array[(String, Long, Double)],
+      textCol: Column,
+      buckets: Int): Column = {
+    require(grid.nonEmpty, "frozen domain grid must be non-empty")
+    require(grid.length <= 4096 * 64,
+      s"frozen domain grid too large to inline: ${grid.length} rows")
+    val domains = grid.map(_._1).distinct.sorted.toSeq
+    val gridLit = typedLit(grid.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3)).toMap).toMap)
+    val toks = graft.functions.TextFunctions.tokens(coalesce(textCol, lit("")))
+    val bucketOf = (t: Column) =>
+      pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    val bs = transform(toks, t => bucketOf(t))
+    transform(typedLit(domains), d =>
+      struct(d.as("domain"),
+        (round(aggregate(bs, lit(0.0), (acc, b) =>
+          acc + coalesce(element_at(element_at(gridLit, d), b), lit(0.0))), 4) +
+          lit(0.0)).as("logw")))
   }
 
   /** Freeze a fitted DSIR bucket log-ratio table into a scan-local
@@ -635,18 +697,24 @@ object Sampling {
     * in batch with [[dsirRatioTable]], collect the ≤ `buckets`-row
     * table (a bounded training collect), and score any batch OR STREAM
     * of documents with zero joins, zero shuffles, zero state — the
-    * log-ratios ride the plan as a map literal and each row reduces its
-    * own tokens. Out-of-vocabulary buckets cannot occur (bucketOf maps
-    * into [0, B) and the grid covers every bucket). */
+    * log-ratios ride the plan as ONE map literal (`typedLit`, a single
+    * `Literal` node — an element-wise `map(lit, lit, ...)` would carry
+    * 2×|table| expression children and blow up analysis/codegen near
+    * the 2^20 bucket bound) and each row reduces its own tokens.
+    * Buckets ABSENT from the fitted table (dsirRatioTable full-joins
+    * raw∪target, so a bucket no fitted token hashed to has no row)
+    * score 0.0 via the coalesce fallback — the OOV path the oracle's
+    * LEFT JOIN + coalesce replays exactly. A NULL text also scores 0.0
+    * (coerced to the empty document), matching the oracle, where a
+    * null-text doc contributes no token rows. */
   def dsirScoreFrozen(
       ratios: Array[(Long, Double)],
       textCol: Column,
       buckets: Int): Column = {
     require(ratios.nonEmpty && ratios.length <= buckets,
       s"frozen ratio table must have 1..$buckets rows, got ${ratios.length}")
-    val lrMap = map(ratios.flatMap { case (b, lr) =>
-      Seq(lit(b), lit(lr)) }.toIndexedSeq: _*)
-    val toks = graft.functions.TextFunctions.tokens(textCol)
+    val lrMap = typedLit(ratios.toMap)
+    val toks = graft.functions.TextFunctions.tokens(coalesce(textCol, lit("")))
     val bucketOf = (t: Column) =>
       pmod(conv(substring(md5(t.cast("binary")), 1, 13), 16, 10).cast("long"),
         lit(buckets.toLong))

@@ -653,6 +653,26 @@ object Pipeline {
           .as("logw_frozen"))
     }),
 
+    // per-domain FROZEN DSIR scoring: fit the domain×bucket log-ratio
+    // grid once (≤ D×256 rows, a bounded training collect), freeze it
+    // into the scan-local by-domain scoring column, and score EVERY
+    // document against every target domain — zero joins, zero
+    // shuffles, so the same column scores a standing stream
+    // (prefix==batch spec-pinned in StreamingSpec, like q_dsir_frozen)
+    "q_dsir_frozen_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grid = graft.operators.Sampling.dsirDomainGrid(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "lang", buckets = 256)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      docs.select(col("doc_id"),
+          explode(graft.operators.Sampling.dsirScoreFrozenByDomain(
+            grid, col("text"), 256)).as("s"))
+        .select(col("doc_id"), col("s.domain").as("domain"),
+          col("s.logw").as("logw_frozen"))
+    }),
+
     // CCNet-style perplexity proxy: per-doc average token
     // log-likelihood under the corpus's own unigram LM
     "q_lm_score" -> ((s, dir) =>
@@ -2066,6 +2086,25 @@ object Pipeline {
          SELECT d.doc_id, round(coalesce(sum(sc.lr), 0.0), 4) + 0 AS logw_frozen
          FROM alld d LEFT JOIN sc ON sc.doc_id = d.doc_id
          GROUP BY d.doc_id""",
+    // dsirScoreFrozenByDomain replica: the by-domain grid CTEs, every
+    // document × every fitted domain (cross join), per-doc token
+    // buckets inner-joined to the grid so buckets outside it fall back
+    // to 0 (the OOV path), LEFT JOIN + coalesce so a zero-token doc
+    // still scores 0.0 against every domain
+    "q_dsir_frozen_domain" ->
+      s"""WITH $DsirDomainCtes,
+         alld AS (SELECT doc_id, $TokSql AS l FROM documents),
+         adt AS (
+           SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) % 256 AS b
+           FROM (SELECT doc_id, unnest(l) AS tok FROM alld)),
+         doms AS (SELECT DISTINCT domain FROM grid),
+         sc AS (
+           SELECT adt.doc_id, g.domain, sum(g.lr) AS s
+           FROM adt JOIN grid g USING (b)
+           GROUP BY adt.doc_id, g.domain)
+         SELECT d.doc_id, doms.domain, round(coalesce(sc.s, 0.0), 4) + 0 AS logw_frozen
+         FROM alld d CROSS JOIN doms
+         LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.domain = doms.domain""",
     // the weights replica + the Gumbel-max key over the family's
     // md5-uniform -- same draw, same top-k
     "q_dsir_sample" ->

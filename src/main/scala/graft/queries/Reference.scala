@@ -142,6 +142,23 @@ object Reference {
         .select(col("user_id"), col("x"), round(col("value"), 6).as("value"))
     }),
 
+    // linear regrid twin of q_regrid: identical per-group grid
+    // machinery, kind=linear with constant end-clamping — the one
+    // interpolation kind a SQL oracle can replay EXACTLY (bracketing
+    // windows + the same parenthesized ratio expression), so the
+    // regrid family's anchor is hash-verified end to end where the
+    // cubic/pchip kinds are rows-only by necessity
+    "q_regrid_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ds = GDataset(
+        ev.select(col("user_id"), xCol.as("x"), col("value")),
+        "x", Seq("user_id"))
+      ds.regrid(DailyGrid, graft.functions.SplineOptions(
+          kind = "linear", extrapolate = "constant")).df
+        .select(col("user_id"), col("x"),
+          (round(col("value"), 6) + lit(0.0)).as("value"))
+    }),
+
     // DFT magnitude spectrum (first 8 bins) of each user's value series.
     // 2dp rounding: the per-group trig sums differ between engines only
     // in summation order and libm ulps (~1e-12 relative), far from any
@@ -425,9 +442,45 @@ object Reference {
                FROM events WHERE event_type = 'view' GROUP BY user_id) a
          FULL JOIN (SELECT user_id, round(sum(value), 2) AS click_total
                     FROM events WHERE event_type = 'click' GROUP BY user_id) b
-         USING (user_id)"""
+         USING (user_id)""",
     // q_regrid: the cubic-spline tridiagonal solve is not expressible in
     // DuckDB SQL — driver rows-only check; closed-form correctness in
-    // InterpolationSpec.
+    // InterpolationSpec. q_regrid_linear below is the family's exact
+    // anchor: linear interpolation IS SQL-expressible, via the same
+    // bracketing-window shape as q_interpolate (grid points ride the
+    // per-user series as null-valued rows; is_grid breaks the order
+    // tie so an observation at the same x sorts BEFORE its grid row
+    // and the ratio hits 0 exactly). Constant end-clamping falls out
+    // of the NULL bracket cases. The interpolation expression is
+    // parenthesized identically to the Scala kernel (ratio first) so
+    // both engines run the same IEEE-754 ops.
+    "q_regrid_linear" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS x, value AS v
+           FROM events),
+         g AS (
+           SELECT u.user_id, 1704153600.0 + d * 86400.0 AS x
+           FROM (SELECT DISTINCT user_id FROM events) u
+           CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS d)),
+         a AS (
+           SELECT user_id, x, v, 0 AS is_grid FROM e
+           UNION ALL
+           SELECT user_id, x, NULL AS v, 1 AS is_grid FROM g),
+         w AS (
+           SELECT user_id, x, is_grid,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wb AS px,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wf AS nx
+           FROM a
+           WINDOW wb AS (PARTITION BY user_id ORDER BY x, is_grid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY user_id ORDER BY x, is_grid
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, x,
+           round(CASE WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * ((x - px) / (nx - px)) END, 6) + 0.0 AS value
+         FROM w WHERE is_grid = 1"""
   )
 }

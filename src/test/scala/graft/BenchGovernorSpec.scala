@@ -37,4 +37,30 @@ class BenchGovernorSpec extends AnyFunSuite {
     assert(warmupAllowed(elapsed = 300, budget = 1500))
     assert(!warmupAllowed(elapsed = 380, budget = 1500))
   }
+
+  test("recheck verdict: rerun back under 1.3x prior is transient") {
+    assert(verdict(prior = 1.0, interleaved = 2.0, rerun = 1.1,
+      runMedianDelta = 1.0) == "transient")
+    // min(interleaved, rerun) decides — a fast interleaved sample also clears it
+    assert(verdict(prior = 1.0, interleaved = 1.2, rerun = 9.0,
+      runMedianDelta = 1.0) == "transient")
+  }
+
+  test("recheck verdict: persistent delta on an idle box is reproduced") {
+    assert(verdict(prior = 1.0, interleaved = 2.0, rerun = 1.9,
+      runMedianDelta = 1.05) == "reproduced")
+  }
+
+  test("recheck verdict: persistent delta on a contended box is box-noise, not reproduced") {
+    // the r13 driver-run condition: q_chunk 0.39s prior, ~51s samples,
+    // with the WHOLE run's median sitting 2.06x over prior — the old
+    // verdict said "reproduced"; box-relative reading says box-noise
+    assert(verdict(prior = 0.39, interleaved = 51.3, rerun = 48.0,
+      runMedianDelta = 2.06) == "box-noise")
+    // threshold: at exactly 1.5x run-median the box still counts as credible
+    assert(verdict(prior = 1.0, interleaved = 2.0, rerun = 1.9,
+      runMedianDelta = 1.5) == "reproduced")
+    assert(verdict(prior = 1.0, interleaved = 2.0, rerun = 1.9,
+      runMedianDelta = 1.51) == "box-noise")
+  }
 }

@@ -92,6 +92,34 @@ class InterpolationSpec extends SparkSpec {
     assert(none.forall(_.isNaN))
   }
 
+  test("linear kind: exact at knots, exact segment midpoints, all extrapolation modes") {
+    import graft.functions.SplineOptions
+    val xs = Array(0.0, 1.0, 3.0, 4.0)
+    val ys = Array(2.0, 4.0, -2.0, 0.0)
+    val lin = SplineOptions(kind = "linear")
+    // knots reproduced exactly (ratio is exactly 0 at a knot)
+    val atKnots = Interpolation.cubicSpline(xs, ys, xs, lin)
+    xs.indices.foreach(i => assert(atKnots(i) == ys(i), s"knot $i"))
+    // interior: straight-line values, written as the oracle writes them
+    val mid = Interpolation.cubicSpline(xs, ys, Array(0.5, 2.0, 3.25), lin)
+    assert(mid(0) == 3.0 && mid(1) == 1.0 && mid(2) == -1.5)
+    // extrapolation: default extends the end segment's LINE,
+    // constant clamps, none yields NaN
+    val g = Array(-1.0, 5.0)
+    val ext = Interpolation.cubicSpline(xs, ys, g, lin)
+    assert(ext(0) == 0.0 && ext(1) == 2.0)
+    val const = Interpolation.cubicSpline(xs, ys, g,
+      SplineOptions(kind = "linear", extrapolate = "constant"))
+    assert(const(0) == 2.0 && const(1) == 0.0)
+    val none = Interpolation.cubicSpline(xs, ys, g,
+      SplineOptions(kind = "linear", extrapolate = "none"))
+    assert(none.forall(_.isNaN))
+    // single observation: constant everywhere (shared n==1 path)
+    val one = Interpolation.cubicSpline(Array(1.0), Array(7.0), g,
+      SplineOptions(kind = "linear", extrapolate = "constant"))
+    assert(one.forall(_ == 7.0))
+  }
+
   test("extrapolation modes: cubic extends, constant holds, none yields NaN") {
     import graft.functions.SplineOptions
     val xs = Array(0.0, 1.0, 2.0, 3.0)

@@ -763,6 +763,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the domain×bucket grid must broadcast:\n$p")
   }
 
+  test("q_dsir_frozen_domain: scoring is scan-local — zero exchanges, one generate") {
+    // the frozen by-domain scorer's whole point: after the bounded fit
+    // collect (which runs at construction, outside this plan), scoring
+    // every doc against every domain is a projection + explode over
+    // the scan — no join, no shuffle, nothing that wouldn't stream
+    val p = planOf("q_dsir_frozen_domain")
+    assert(!p.contains("Exchange"),
+      s"frozen by-domain scoring shuffled (it must be scan-local):\n$p")
+    assert(p.contains("Generate"), s"no explode generator in plan:\n$p")
+  }
+
   test("partitionByGroups members push the group predicate into the parquet scan") {
     // the fan-out use case (writeByGroups): each member must read only
     // its slice — the equality predicate reaching PushedFilters is
@@ -788,7 +799,11 @@ class PlanAuditSpec extends SparkSpec {
     // walks EVERY query's optimized plan, the driver mains are allowed
     // to silence WindowExec's per-execution warning flood — a new
     // accidental global window fails HERE instead of scrolling past in
-    // stderr.
+    // stderr. NOTE: constructing a few queries runs REAL fit jobs
+    // (q_dsir_frozen, q_quality_model, ... collect a bounded training
+    // table at DataFrame-construction time), so this walk executes
+    // small Spark jobs, not just analysis — expected, and bounded by
+    // each fit's documented collect cap.
     val whitelist = Set("q_zipf_slope", "q_vocab_coverage")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       val lp = SparkEntry.queries(name)(spark, Sf).queryExecution.optimizedPlan

@@ -612,5 +612,43 @@ class SamplingSpec extends SparkSpec {
     val empty = Seq((999L, "")).toDF("doc_id", "text")
       .select(Sampling.dsirScoreFrozen(ratios, col("text"), 64)).collect()(0).getDouble(0)
     assert(empty == 0.0)
+    // a NULL text is coerced to the empty document, not NULL (the
+    // oracle's LEFT JOIN + coalesce renders 0.0 for it)
+    val nul = Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(Sampling.dsirScoreFrozen(ratios, col("text"), 64)).collect()(0)
+    assert(!nul.isNullAt(0) && nul.getDouble(0) == 0.0)
+  }
+
+  test("frozen by-domain scoring equals the online by-domain weights; null/empty score 0 everywhere") {
+    import spark.implicits._
+    val target = ((1L to 20L).map(i => (i, "news", "zebra yak xylophone zebra yak")) ++
+      (21L to 40L).map(i => (i, "finance", "invoice ledger accrual ledger invoice")))
+      .toDF("doc_id", "lang", "text")
+    val raw = ((100L to 119L).map(i => (i, "zebra yak xylophone yak zebra")) ++
+      (200L to 219L).map(i => (i, "invoice ledger accrual ledger invoice")))
+      .toDF("doc_id", "text")
+    val grid = Sampling.dsirDomainGrid(raw, target, "text", "lang", buckets = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val frozen = raw.select(col("doc_id"),
+        explode(Sampling.dsirScoreFrozenByDomain(grid, col("text"), 64)).as("s"))
+      .select(col("doc_id"), col("s.domain"), col("s.logw"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val online = Sampling.dsirLogWeightsByDomain(
+        raw, target, "doc_id", "text", "lang", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(frozen == online,
+      "scan-local frozen by-domain scoring must reproduce the online grid join")
+    // every raw doc scores against EVERY fitted domain (finance docs
+    // score under news and vice versa — the mixture planner's table)
+    assert(frozen.keys.map(_._2).toSet == Set("news", "finance"))
+    assert(frozen.size == 40 * 2)
+    // null and empty text: 0.0 against every domain, never NULL rows
+    val degenerate = Seq((998L, ""), (999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(Sampling.dsirScoreFrozenByDomain(grid, col("text"), 64)).as("s"))
+      .select(col("s.logw")).collect()
+    assert(degenerate.length == 4 &&
+      degenerate.forall(r => !r.isNullAt(0) && r.getDouble(0) == 0.0))
   }
 }

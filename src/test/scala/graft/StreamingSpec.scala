@@ -492,6 +492,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen by-domain DSIR scoring streams statelessly and matches the batch table row-for-row") {
+    // the by-domain analogue of the frozen-scoring contract: the
+    // domain×bucket grid is fitted once in batch, frozen into the
+    // scan-local array<struct> column, and the SAME column (plus a
+    // stateless explode) runs on a standing ingest — zero joins, zero
+    // state, so every prefix equals the batch (doc, domain) table
+    import spark.implicits._
+    import graft.operators.Sampling
+    val target = ((1L to 10L).map(i => (i, "news", "zebra yak xylophone zebra")) ++
+      (11L to 20L).map(i => (i, "finance", "invoice ledger accrual ledger")))
+      .toDF("doc_id", "lang", "text")
+    val raw = ((100L to 109L).map(i => (i, "zebra yak xylophone yak")) ++
+      (200L to 209L).map(i => (i, "invoice ledger accrual ledger")))
+      .toDF("doc_id", "text")
+    val grid = Sampling.dsirDomainGrid(raw, target, "text", "lang", buckets = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val rows = Seq((100L, "zebra yak xylophone yak"),
+      (200L, "invoice ledger accrual ledger"),
+      (300L, "zebra ledger"))
+    def score(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        explode(Sampling.dsirScoreFrozenByDomain(grid, col("text"), 64)).as("s"))
+      .select(col("doc_id"), col("s.domain"), col("s.logw"))
+    val batch = score(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val docs = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](spark)
+    docs.addData(rows: _*)
+    val q = score(docs.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("dsirfrozendom").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dsirfrozendom").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(streamed == batch,
+        s"streamed frozen by-domain scores must equal batch: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("mojibake repair and n-gram repetition kernels run unchanged on a stream") {
     // both are stateless scan-local kernels — a standing ingest cleans
     // encoding and scores repetition with zero streaming state
