@@ -349,19 +349,24 @@ object Dedup {
       shingleN: Int = 5,
       threshold: Double = 0.5,
       maxShingleFreq: Int = 1000): DataFrame = {
-    val arr = docs.select(col(idCol).as("id"),
-      TextHashColumns.shingleHashes(col(textCol), shingleN).as("shs"))
-    val sizes = arr.select(col("id"), size(col("shs")).as("n"))
-    val sh = arr.select(col("id"), explode(col("shs")).as("sh"))
+    // |shingles| rides the exploded rows (8 bytes next to the 8-byte
+    // hash) instead of living in a separate (id, n) branch: the old
+    // two size-joins each re-ran the scan + shingle-hash kernel (three
+    // text passes per call — branches below a scan share no exchange,
+    // so nothing reuses), and at any scale re-hashing the corpus twice
+    // more costs far above shipping one extra long through the two
+    // hash-keyed shuffles. Sizes are pre-cap by construction (computed
+    // before capBuckets), exactly like the old separate branch.
+    val sh = docs
+      .select(col(idCol).as("id"),
+        TextHashColumns.shingleHashes(col(textCol), shingleN).as("shs"))
+      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     val capped = capBuckets(sh, Seq("sh"), maxShingleFreq)
-    val inter = capped.select(col("id").as("id_a"), col("sh"))
-      .join(capped.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+    capped.select(col("id").as("id_a"), col("n").as("n_a"), col("sh"))
+      .join(capped.select(col("id").as("id_b"), col("n").as("n_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(col("i").cast("double") / (col("n_a") + col("n_b") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -383,21 +388,21 @@ object Dedup {
       shingleN: Int = 5,
       containmentThreshold: Double = 0.5,
       maxShingleFreq: Int = 1000): DataFrame = {
-    def side(df: DataFrame, tag: String) = {
-      val arr = df.select(col(idCol).as(s"id_$tag"),
+    // sizes ride the exploded rows (see jaccardPairs): the old per-side
+    // (id, n) branch re-ran each side's scan + shingle-hash kernel for
+    // its size join — two extra text passes per call for one long of
+    // shuffle width saved
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol).as(s"id_$tag"),
         TextHashColumns.shingleHashes(col(textCol), shingleN).as("shs"))
-      (arr.select(col(s"id_$tag"), size(col("shs")).as(s"n_$tag")),
-        arr.select(col(s"id_$tag"), explode(col("shs")).as("sh")))
-    }
-    val (cSizes, cSh) = side(corpus, "c")
-    val (pSizes, pSh) = side(probes, "p")
-    val inter = capBuckets(cSh, Seq("sh"), maxShingleFreq)
+        .select(col(s"id_$tag"), size(col("shs")).as(s"n_$tag"),
+          explode(col("shs")).as("sh"))
+    val cSh = side(corpus, "c")
+    val pSh = side(probes, "p")
+    capBuckets(cSh, Seq("sh"), maxShingleFreq)
       .join(pSh, Seq("sh"))
-      .groupBy(col("id_c"), col("id_p"))
+      .groupBy(col("id_c"), col("id_p"), col("n_c"), col("n_p"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(cSizes, Seq("id_c"))
-      .join(pSizes, Seq("id_p"))
       .select(col("id_c"), col("id_p"),
         round(col("i").cast("double") / (col("n_c") + col("n_p") - col("i")), 4).as("jaccard"),
         round(col("i").cast("double") / col("n_p"), 4).as("containment"))
