@@ -291,9 +291,24 @@ object Dedup {
       sigs: DataFrame,
       maxHamming: Int,
       maxBucketSize: Int): DataFrame = {
-    val candidates =
-      candidatePairs(hammingChunked(sigs, maxHamming), Seq("chunk", "key"), maxBucketSize)
-    attachPerSide(candidates, sigs, "sig")
+    // The 8-byte signature RIDES the chunk rows instead of being
+    // re-attached per side: the old two attach-joins re-executed the
+    // whole signature subtree twice more (for [[phashPairs]] that is
+    // two more full JDK image decodes of the corpus; for
+    // [[simhashPairs]] two more text-kernel passes — branches below a
+    // scan share no exchange, so nothing reuses). One long per chunk
+    // row through the bucket shuffle is the cheap side of that trade
+    // at any scale. The cross-chunk dedup keys stay (id_a, id_b) —
+    // sigs are functionally dependent on the ids, so grouping by all
+    // four changes nothing; distinct cardinality is identical.
+    val chunked = hammingChunked(sigs, maxHamming)
+    val capped = capBuckets(chunked, Seq("chunk", "key"), maxBucketSize)
+    capped.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(capped.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -328,14 +343,17 @@ object Dedup {
     val numChunks = maxHamming + 1
     val width = (64 + numChunks - 1) / numChunks // last chunk may be narrower
     val mask = if (width >= 64) -1L else (1L << width) - 1L
+    // sig is kept on the chunk rows for hamming64Pairs' ride-along
+    // verification; consumers that ignore it (hammingBucketStats)
+    // prune it at the scan.
     sigs.select(
-      col("id"),
+      col("id"), col("sig"),
       posexplode(
         transform(
           sequence(lit(0), lit(numChunks - 1)),
           c => call_function("shiftright", col("sig"), c * width).bitwiseAND(lit(mask))))
         .as(Seq("chunk", "key")))
-      .select(col("id"), col("chunk"), col("key"))
+      .select(col("id"), col("sig"), col("chunk"), col("key"))
   }
 
   /** Exact n-gram Jaccard pairs. Shingles travel as 64-bit hashes

@@ -25,8 +25,26 @@ object QualityModel {
 
   /** The fixed feature set, in weight order after the intercept:
     * length score, punctuation ratio, stopword ratio, symbol ratio,
-    * scaled mean word length, compression ratio. All scan-local. */
-  def featureColumns(text: Column): Seq[Column] = Seq(
+    * scaled mean word length, compression ratio. All scan-local.
+    *
+    * The first five run as ONE native code-point pass
+    * ([[graft.plans.TextGate.features]]) — the Column reference form
+    * ([[featureColumnsRef]]) re-scans every document with a
+    * regexp_replace or split chain per feature, which made the
+    * score/train scans the hottest pure-CPU part of q_quality_model
+    * (measured ~5× this kernel at sf0.1). Values are bit-identical
+    * (same int counts, same max(·,1) guards, same division order —
+    * spec-pinned); the five element_at's share one evaluation through
+    * whole-stage-codegen subexpression elimination. */
+  def featureColumns(text: Column): Seq[Column] = {
+    val qf = graft.plans.TextGateColumns.qualityFeatures(
+      text, TF.Stopwords.flatMap(_._2))
+    (1 to 5).map(i => element_at(qf, i)) :+ TF.compressionRatio(text)
+  }
+
+  /** The regexp/split Column reference of [[featureColumns]] —
+    * spec-compared bit-for-bit against the native kernel. */
+  def featureColumnsRef(text: Column): Seq[Column] = Seq(
     least(TF.tokenCount(text).cast("double") / lit(200.0), lit(1.0)),
     TF.punctRatio(text),
     TF.stopwordRatio(text),

@@ -82,6 +82,67 @@ object TextGate {
     else if (stopHits == 0) NoStopwords
     else Ok
   }
+
+  private def isPunct(cp: Int): Boolean =
+    cp == '.' || cp == '!' || cp == '?' || cp == ',' || cp == ';' || cp == ':'
+
+  /** The [[graft.operators.QualityModel]] feature vector in ONE
+    * code-point pass — the Column formulation runs a regexp_replace or
+    * split chain PER FEATURE per document (measured ~5× this kernel on
+    * the sf0.1 documents). Same counters as [[reason]] plus the
+    * punctuation-class count; every ratio reproduces its Column twin's
+    * arithmetic bit-for-bit (int counts, the same max(·, 1) guards,
+    * the same division order — spec-pinned in QualityFeaturesSpec):
+    *
+    *  0. length score   = min(words / 200.0, 1.0)
+    *  1. punct ratio    = chars in [.!?,;:] / max(len, 1)
+    *  2. stopword ratio = stopword tokens / max(words, 1)
+    *  3. symbol ratio   = chars outside [a-zA-Z0-9\s] / max(len, 1)
+    *  4. mean word len  = (non-ws chars / max(words, 1)) / 10.0
+    */
+  def features(
+      input: UTF8String,
+      stopwords: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = input.toString
+    var totalCp = 0
+    var nonWsCp = 0
+    var symCp = 0
+    var punctCp = 0
+    var nWords = 0
+    var stopHits = 0
+    val token = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      totalCp += 1
+      if (isWs(cp)) {
+        if (token.length > 0) {
+          nWords += 1
+          if (stopwords.contains(token.toString)) stopHits += 1
+          token.setLength(0)
+        }
+      } else {
+        nonWsCp += 1
+        if (!isAlnum(cp)) symCp += 1
+        if (isPunct(cp)) punctCp += 1
+        token.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    if (token.length > 0) {
+      nWords += 1
+      if (stopwords.contains(token.toString)) stopHits += 1
+    }
+    val len = math.max(totalCp, 1).toDouble
+    val words = math.max(nWords, 1).toDouble
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(
+      math.min(nWords.toDouble / 200.0, 1.0),
+      punctCp.toDouble / len,
+      stopHits.toDouble / words,
+      symCp.toDouble / len,
+      (nonWsCp.toDouble / words) / 10.0))
+  }
 }
 
 case class FilterReason(
@@ -117,6 +178,33 @@ case class FilterReason(
     copy(child = newChild)
 }
 
+case class QualityFeatures(
+    child: Expression,
+    stopwords: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.length * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextGate.features(v.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stops", stopSet, "java.util.HashSet<String>")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextGate.features($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextGateColumns {
   def filterReason(
       text: Column,
@@ -126,4 +214,7 @@ object TextGateColumns {
       stopwords: Seq[String]): Column =
     GraftShim.column(FilterReason(GraftShim.expression(text), minWords, maxWords,
       minMeanWordLen, maxMeanWordLen, maxSymbolRatio, stopwords))
+
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Column =
+    GraftShim.column(QualityFeatures(GraftShim.expression(text), stopwords))
 }
