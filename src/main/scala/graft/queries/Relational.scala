@@ -1761,8 +1761,14 @@ object Relational {
     val all = org.apache.spark.sql.GraftShim
       .internalCreateDataFrame(spark, ranksRdd, schema)
     cols.indices.map { i =>
-      all.filter(col("__cid") === i)
+      val slice = all.filter(col("__cid") === i)
         .select(col("__v").as(cols(i)), col("__rank").as(outs(i)))
+      // exact per-column distinct count from the pass-1 stats: small
+      // rank tables broadcast their attach join (see rankTable) —
+      // corrMatrix(spearman) on lineitem turns 2 of its 3 sort-merge
+      // attach joins of the full frame into broadcast-hash joins
+      // (quantity: 50 rows, discount: 11; price keeps SMJ).
+      if (runK.getOrElse(i, 0L) <= BroadcastRankRows) broadcast(slice) else slice
     }
   }
 
@@ -1850,9 +1856,25 @@ object Relational {
           else org.apache.spark.sql.types.LongType,
           nullable = false)
       })
-    org.apache.spark.sql.GraftShim
+    val table = org.apache.spark.sql.GraftShim
       .internalCreateDataFrame(spark, ranksRdd, schema)
+    // the pass-1 stats collect already knows the EXACT distinct-value
+    // count (offK's last entry) — when the rank table is small, hint
+    // broadcast so the caller's value-keyed attach join stops
+    // shuffling the data side (the planner sees an ExistingRDD with no
+    // stats and would pick a sort-merge join: two exchanges + sorts of
+    // the full frame for an 11-row discount table). Data-adaptive like
+    // AQE but with an exact count, so it is scale-safe: a continuous
+    // column (price at 100 TB) exceeds the bound and keeps SMJ.
+    if (offK.value.last <= BroadcastRankRows) broadcast(table) else table
   }
+
+  /** Rank/quantile attach tables at or under this EXACT row count get
+    * a broadcast hint (~16 B/row → ≤ ~16 MB built): comfortably inside
+    * executor memory and the 8 GB/512M-row broadcast cap, far above
+    * the enum-like domains (flags, quantities, buckets) it exists
+    * for. */
+  private val BroadcastRankRows = 1000000L
 
   /** polars rolling_map — the generic bounded-window kernel the named
     * rolling family doesn't cover: the last `n` values of `c` (per
