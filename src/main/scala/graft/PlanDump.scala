@@ -29,13 +29,24 @@ object PlanDump {
     Files.createDirectories(Paths.get(outDir))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+    // SPARK_GRAFT_PLAN_EXECUTED=1 dumps the FINAL adaptive plan after
+    // running the query to completion — AQE's runtime exchange reuse
+    // (ReusedExchange) and join rewrites are invisible in the static
+    // explain, so executed-work claims need this mode
+    val executed = sys.env.get("SPARK_GRAFT_PLAN_EXECUTED").contains("1")
     names.foreach { n =>
       try {
-        val plan = SparkEntry.queries(n)(spark, sfDir)
-          .queryExecution.explainString(FormattedMode)
+        val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        val plan = if (executed) {
+          qe.executedPlan.execute().foreach(_ => ())
+          qe.executedPlan.toString.split("== Initial Plan ==")(0)
+        } else qe.explainString(FormattedMode)
         Files.writeString(Paths.get(outDir, s"${n}_$tag.txt"), plan)
         val ex = "Exchange".r.findAllIn(plan).size
-        println(s"[plandump] $n exchanges=$ex")
+        val reused = "ReusedExchange".r.findAllIn(plan).size
+        val scans = plan.linesIterator.count(l =>
+          l.contains("Scan parquet") || l.contains("FileScan"))
+        println(s"[plandump] $n exchanges=$ex reused=$reused scans=$scans")
       } catch { case e: Throwable =>
         System.err.println(s"[plandump] $n failed: $e")
       }

@@ -99,26 +99,43 @@ object Vocab {
       col(idCol).as("id"),
       explode(TF.tokens(col(textCol))).as("token"))
       .filter(col("token").isNotNull)
-    // vocabulary: (token, tf) — either the supplied reference model
-    // (duplicate-key-merged) or this corpus's own counts (one
-    // partial-agg'd token shuffle)
-    val vocab = model
-      .map(_.groupBy(col("token")).agg(sum(col("tf")).as("tf")))
-      .getOrElse(toks.groupBy(col("token")).agg(count(lit(1)).as("tf")))
-    val totalT = vocab.agg(sum(col("tf")).cast("double").as("__T"))
-    // FLAT occurrence form: Σ ln(tf/T) over occurrences == the
-    // c-weighted sum over per-doc distinct tokens, so the (id, token)
-    // dedup shuffle buys nothing — the raw occurrences shuffle once
-    // into the token join (or not at all when AQE broadcasts the
-    // vocab) and once, partial-agg'd to a row per doc, into the final
-    // average. Inner join: under a reference model, out-of-vocabulary
-    // tokens drop out of the average (CCNet scores known tokens; a
-    // smoothing variant would left-join + coalesce to a floor logprob)
-    toks.join(vocab.crossJoin(broadcast(totalT)), Seq("token"))
-      .groupBy(col("id"))
-      .agg((round(
-        sum(log(col("tf").cast("double") / col("__T"))) /
-          count(lit(1)), 4) + lit(0.0)).as("lm_score"))
+    model match {
+      case Some(ref) =>
+        // reference model supplied: the vocabulary never touches the
+        // scored corpus, so the FLAT occurrence form is optimal — the
+        // probe stream pays no exchange at all when AQE broadcasts the
+        // (duplicate-key-merged) vocab, then partial-aggs per doc.
+        // Inner join: out-of-vocabulary tokens drop out of the average
+        // (CCNet scores known tokens; a smoothing variant would
+        // left-join + coalesce to a floor logprob)
+        val vocab = ref.groupBy(col("token")).agg(sum(col("tf")).as("tf"))
+        val totalT = vocab.agg(sum(col("tf")).cast("double").as("__T"))
+        toks.join(vocab.crossJoin(broadcast(totalT)), Seq("token"))
+          .groupBy(col("id"))
+          .agg((round(
+            sum(log(col("tf").cast("double") / col("__T"))) /
+              count(lit(1)), 4) + lit(0.0)).as("lm_score"))
+      case None =>
+        // self-model: derive the vocabulary as a MARGINAL of the
+        // per-doc (id, token) counts so the corpus is scanned and
+        // tokenized ONCE — the probe's (id, token) exchange and the
+        // vocab branch's first aggregation canonicalize equal and AQE
+        // reuses one stage, where the flat form re-scanned the corpus
+        // for the vocab branch (two full text passes). Σ c·ln(tf/T)
+        // over per-doc distinct tokens == Σ ln(tf/T) over occurrences
+        // (c = in-doc count), and the engine-order ulp wiggle is
+        // absorbed by the same 4dp round that already reconciles
+        // Spark's partial-agg order with the oracle's.
+        val dt = toks.groupBy(col("id"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val vocab = dt.groupBy(col("token")).agg(sum(col("c")).as("tf"))
+        val totalT = vocab.agg(sum(col("tf")).cast("double").as("__T"))
+        dt.join(vocab.crossJoin(broadcast(totalT)), Seq("token"))
+          .groupBy(col("id"))
+          .agg((round(
+            sum(col("c") * log(col("tf").cast("double") / col("__T"))) /
+              sum(col("c")), 4) + lit(0.0)).as("lm_score"))
+    }
   }
 
   /** Bigram extension of [[lmScore]]: per-doc average transition
@@ -129,11 +146,12 @@ object Vocab {
     *
     * Scale shape: bigrams are built SCAN-SIDE (zip of the token array
     * with its own tail — no posexplode + per-token window shuffle)
-    * and scored in FLAT occurrence form: Σ ln(c₂/c₁) over occurrences
-    * equals the c-weighted sum over per-doc distinct pairs, so no
-    * (id, p, w) dedup shuffle exists — occurrences shuffle once into
-    * the bigram join and once, partial-agg'd, into the per-doc
-    * average; c₁ attaches to the distinct-bigram table model-side.
+    * and scored in c-WEIGHTED per-doc-distinct form: occurrences
+    * partial-agg into one (id, p, w, c) row per distinct per-doc pair,
+    * the corpus counts c₂/c₁ are marginals of that one table (AQE
+    * reuses its exchange — the corpus is scanned and tokenized ONCE),
+    * and Σ c·ln(c₂/c₁) / Σ c equals the flat occurrence average.
+    * c₁ attaches to the distinct-bigram table model-side.
     * Docs with < 2 tokens have no transitions and drop out. */
   def lmScoreBigram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = TF.tokens(col(textCol))
@@ -147,16 +165,25 @@ object Vocab {
     val bg = docs.select(col(idCol).as("id"), explode(pairs).as("z"))
       .select(col("id"), col("z.p").as("p"), col("z.w").as("w"))
       .filter(col("p").isNotNull && col("w").isNotNull)
-    val c2 = bg.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
+    // per-doc distinct pair counts — the ONE corpus pass: c2 and c1
+    // are marginals of this table, so the model branches reuse the
+    // (id, p, w) exchange via AQE instead of re-scanning and
+    // re-tokenizing the corpus for c2 (the lmScore self-model shape).
+    // Σ c·ln(c2/c1) over per-doc distinct pairs == the flat occurrence
+    // sum; the ulp-order wiggle is absorbed by the 4dp round exactly
+    // as the cross-engine partial-agg order already is.
+    val dbg = bg.groupBy(col("id"), col("p"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val c2 = dbg.groupBy(col("p"), col("w")).agg(sum(col("c")).as("c2"))
     val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
-    bg.join(c2.join(c1, Seq("p")), Seq("p", "w"))
+    dbg.join(c2.join(c1, Seq("p")), Seq("p", "w"))
       .groupBy(col("id"))
       .agg(
         // + 0.0 normalizes IEEE signed zero on the (≤0) score — a
         // tiny-negative mean rounds to -0.0 in DuckDB, +0.0 in Spark
-        (round(sum(log(col("c2").cast("double") / col("c1"))) /
-          count(lit(1)), 4) + lit(0.0)).as("lm2_score"),
-        count(lit(1)).as("n_transitions"))
+        (round(sum(col("c") * log(col("c2").cast("double") / col("c1"))) /
+          sum(col("c")), 4) + lit(0.0)).as("lm2_score"),
+        sum(col("c")).as("n_transitions"))
   }
 
   /** Interpolated trigram extension of [[lmScoreBigram]] — the
@@ -172,15 +199,16 @@ object Vocab {
     *
     * Scale shape: triples are built SCAN-SIDE (three aligned slices
     * of the token array zipped into structs — no posexplode + window);
-    * shuffles are the (id,u,v,w) partial agg plus four
-    * vocabulary-sized marginal aggs and their equi-joins back. T is a
-    * 1-row IN-PLAN aggregate of the trigram table broadcast-cross-
-    * joined onto the model side (the q_value_props idiom) — NOT an
-    * eager driver scalar, so the corpus-triple aggregation runs ONCE
-    * (the trigram shuffle is shared across T and the marginals via
-    * exchange reuse) instead of twice. Docs with < 3 tokens have no
-    * transitions and drop out; a zero-trigram corpus yields an empty
-    * result rather than an error. */
+    * occurrences partial-agg into one (id,u,v,w,c) row per distinct
+    * per-doc triple, and the corpus trigram table plus every marginal
+    * and T are aggregates of THAT table — the probe and model subtrees
+    * share one exchange via AQE reuse, so the corpus is scanned and
+    * tokenized ONCE per query (the flat-occurrence form paid a second
+    * full text pass for the model branch). T is a 1-row IN-PLAN
+    * aggregate broadcast-cross-joined onto the model side (the
+    * q_value_props idiom) — no eager driver scalar. Docs with < 3
+    * tokens have no transitions and drop out; a zero-trigram corpus
+    * yields an empty result rather than an error. */
   def lmScoreTrigram(
       docs: DataFrame,
       idCol: String,
@@ -205,22 +233,28 @@ object Vocab {
     val tg = docs.select(col(idCol).as("id"), explode(triples).as("z"))
       .select(col("id"), col("z.u").as("u"), col("z.v").as("v"), col("z.w").as("w"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
-    val c3 = tg.groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("c3"))
-    val totalT = c3.agg(sum(col("c3")).cast("double").as("__T"))
-    // FLAT occurrence form (Σ ln(p) over occurrences == the c-weighted
-    // sum over per-doc distinct triples): no (id,u,v,w) dedup shuffle —
-    // occurrences shuffle once into the trigram join and once,
-    // partial-agg'd to a row per doc, into the average. Marginals
-    // attach to the DISTINCT-trigram table first, so the big per-doc
+    // per-doc distinct triple counts — the ONE corpus pass: c3 (and
+    // therefore every marginal and T) is a marginal of this table, so
+    // the model subtree reuses the probe's (id,u,v,w) exchange via AQE
+    // instead of re-scanning and re-tokenizing the corpus for the
+    // trigram aggregation (the flat form paid two full text passes).
+    // Σ c·ln(p) over per-doc distinct triples == Σ ln(p) over
+    // occurrences; the ulp-order wiggle is absorbed by the same 4dp
+    // round that already reconciles engine summation orders. Marginals
+    // still attach to the DISTINCT-trigram table first, so the per-doc
     // stream pays ONE (u,v,w) join — the four marginal joins move
     // model-sized tables only, and T rides the model side as a
     // broadcast 1-row cross join
-    tg.join(enrichTrigrams(c3).crossJoin(broadcast(totalT)), Seq("u", "v", "w"))
+    val dtg = tg.groupBy(col("id"), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val c3 = dtg.groupBy(col("u"), col("v"), col("w")).agg(sum(col("c")).as("c3"))
+    val totalT = c3.agg(sum(col("c3")).cast("double").as("__T"))
+    dtg.join(enrichTrigrams(c3).crossJoin(broadcast(totalT)), Seq("u", "v", "w"))
       .groupBy(col("id"))
       .agg(
-        (round(sum(log(interpP(l3, l2, l1, col("__T")))) / count(lit(1)), 4)
+        (round(sum(col("c") * log(interpP(l3, l2, l1, col("__T")))) / sum(col("c")), 4)
           + lit(0.0)).as("lm3_score"),
-        count(lit(1)).as("n_transitions"))
+        sum(col("c")).as("n_transitions"))
   }
 
   /** (u,v,w,c3) → the same rows with every lower-order marginal the

@@ -497,16 +497,21 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_lm_trigram: occurrences shuffle at most twice, text never does") {
-    // flat-form contract: the doc-sized trigram stream pays one
-    // exchange into the (u,v,w) join and one partial-agg'd exchange
-    // into the per-doc average; marginal joins move model-sized tables
+    // shared-scan contract: the doc-sized stream pays one (id,u,v,w)
+    // partial-agg exchange (whose subtree every model branch REUSES at
+    // runtime — pinned by the finalPlan test below) and one per-doc
+    // average exchange. The static plan inlines the shared subtree
+    // into each marginal branch, so count distinct doc-sized exchange
+    // SHAPES (keys with expr-ids stripped), not lineage copies.
     val p = planNoAutoBroadcast("q_lm_trigram")
     val exLines = p.linesIterator.filter(_.contains("hashpartitioning")).toList
     assert(!exLines.exists(_.contains("text#")),
       s"q_lm_trigram shuffles raw document text: $exLines")
     // doc-sized exchanges are exactly those carrying the doc id
-    val docSized = exLines.count(_.contains("id#"))
-    assert(docSized <= 2, s"per-doc trigram stream pays $docSized exchanges: $exLines")
+    val docSized = exLines.filter(_.contains("id#"))
+      .map(_.replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "")).distinct
+    assert(docSized.size <= 2,
+      s"per-doc trigram stream pays ${docSized.size} exchange shapes: $docSized")
   }
 
   test("q_corr_matrix reads the input exactly once for all pairs") {
@@ -604,7 +609,7 @@ class PlanAuditSpec extends SparkSpec {
     val fin = finalPlanOf(SparkEntry.queries("q_lm_trigram")(spark, Sf))
     val scans = fin.linesIterator.count(_.contains("FileScan"))
     val reused = fin.linesIterator.count(_.contains("ReusedExchange"))
-    assert(scans <= 2, s"q_lm_trigram scans the corpus $scans times:\n$fin")
+    assert(scans <= 1, s"q_lm_trigram scans the corpus $scans times:\n$fin")
     assert(reused >= 5, s"marginals/total rebuilt instead of reused ($reused):\n$fin")
   }
 
@@ -612,7 +617,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q_lm_score", "q_lm_bigram")) {
       val fin = finalPlanOf(SparkEntry.queries(q)(spark, Sf))
       val scans = fin.linesIterator.count(_.contains("FileScan"))
-      assert(scans <= 2, s"$q scans the corpus $scans times:\n$fin")
+      assert(scans <= 1, s"$q scans the corpus $scans times:\n$fin")
       assert(fin.contains("ReusedExchange"),
         s"$q model branch rebuilt instead of reused:\n$fin")
     }
