@@ -236,6 +236,29 @@ object Dedup {
     candidatePairs(sigs, Seq("key"), maxBucketSize)
   }
 
+  /** SimHash near-dup pairs at hamming radius N > 0 with the md5-bit
+    * signature ([[graft.plans.TextHashColumns.simhashMd5Long]]) — the
+    * radius-N exact twin of [[simhashPairs]]: the SAME
+    * [[hamming64Pairs]] machinery (pigeonhole chunk banding, bucket
+    * cap, sig-rides-the-chunk-rows layout, bit_count verification)
+    * over a signature whose every bit an ANSI-SQL oracle can replay
+    * (bit b of the long == char b of [[simhashExactPairs]]' bit
+    * string), so the candidate path the production XXH64 variant runs
+    * rows-only is driver-verified end to end — banding, cap, dedup,
+    * and the xor verification included. */
+  def simhashMd5Pairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = docs
+      .filter(size(graft.functions.TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        graft.plans.TextHashColumns.simhashMd5Long(col(textCol)).as("sig"))
+    hamming64Pairs(sigs, maxHamming, maxBucketSize)
+  }
+
   /** MinHash duplicate pairs under FULL-signature equality — the exact
     * parameterization of [[minhashPairs]] (the q_ann_ivf_exact /
     * [[simhashExactPairs]] trick applied to the third dedup family):
@@ -285,8 +308,9 @@ object Dedup {
     * table (id, sig): the signature is cut into `maxHamming + 1`
     * chunks, so any pair within the hamming budget agrees on at least
     * one chunk (pigeonhole) and becomes a candidate; verified by
-    * bit_count of the xor. Ids-only through the bucket shuffle, the
-    * signature re-attached once per side. */
+    * bit_count of the xor. The 8-byte signature rides the chunk rows
+    * through the bucket shuffle (see the body comment) — no per-side
+    * re-attach join, so the signature subtree executes exactly once. */
   def hamming64Pairs(
       sigs: DataFrame,
       maxHamming: Int,
@@ -792,10 +816,12 @@ object Dedup {
     * Plan shape matches production [[duplicateSpans]]: shingle keys are
     * computed scan-side, dup membership and the keeper come from one
     * window pass over the key-shuffled positions, runs assemble with one
-    * window+groupBy per doc. The one scale concession is the key WIDTH:
-    * 32 hex chars of md5 shuffle where production moves 8-byte XXH64 —
-    * acceptable for the oracle-checkable twin, and why the production
-    * variant stays the default at scale. */
+    * window+groupBy per doc. The remaining scale concession is the key
+    * WIDTH: 16 raw md5 bytes (`unhex` of the hex digest — same bucket
+    * equality, half the hex-string bytes through the window exchange
+    * and sort) where production moves 8-byte XXH64 — acceptable for
+    * the oracle-checkable twin, and why the production variant stays
+    * the default at scale. */
   def duplicateSpansExact(
       docs: DataFrame,
       idCol: String,
@@ -807,12 +833,18 @@ object Dedup {
     require(minSpanTokens >= shingleN,
       s"minSpanTokens ($minSpanTokens) must be >= shingleN ($shingleN)")
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // the md5 KEY ships as 16-byte binary (unhex), not 32 hex chars:
+    // bucket membership is decided by md5 equality either way (unhex is
+    // injective on the hex alphabet), the key never reaches the output,
+    // and the window exchange+sort below moves half the key bytes —
+    // the oracle replays md5 semantics on the final span rows, which
+    // are unchanged
     val pos = docs
       .filter(size(graft.functions.TextFunctions.tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("id"),
         posexplode(transform(
           sequence(lit(1), size(toks) - (shingleN - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(shingleN))))))
+          i => unhex(md5(concat_ws(" ", slice(toks, i, lit(shingleN)))))))
           .as(Seq("__p0", "m")))
       .select(col("id"), (col("__p0") + 1).as("pos"), col("m"))
     // same single-window dup set as production duplicateSpans (the cap

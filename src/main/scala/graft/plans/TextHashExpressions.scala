@@ -312,6 +312,40 @@ object TextHash {
     UTF8String.fromBytes(out)
   }
 
+  /** The packed-LONG form of [[simhashMd5Kernel]] — identical bit
+    * semantics (bit b of the long ⇔ char b of the bit string), shaped
+    * for [[graft.operators.Dedup.hamming64Pairs]]' chunk banding and
+    * bit_count verification instead of string rendering. Keeping the
+    * two kernels bit-aligned is what lets a radius-N hamming query be
+    * SQL-oracle-checked: DuckDB replays the bit STRING and counts
+    * differing positions, Spark xors the longs. */
+  def simhashMd5LongKernel(input: UTF8String): Long = {
+    val toks = whitespaceTokens(input)
+    val counts = new Array[Int](64)
+    val md = Md5.get()
+    var ti = 0
+    while (ti < toks.length) {
+      md.reset()
+      val dig = md.digest(toks(ti).getBytes)
+      var b = 0
+      while (b < 64) {
+        val hexIdx = b >> 2
+        val byt = dig(hexIdx >> 1)
+        val nibble = if ((hexIdx & 1) == 0) (byt >> 4) & 0xf else byt & 0xf
+        if (((nibble >> (b & 3)) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      ti += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** md5-derived MinHash signature key — the ORACLE-CHECKABLE MinHash
     * parameterization: the doc's word shingles (`shingleN` tokens,
     * space-joined; a doc with 1..shingleN tokens contributes ONE
@@ -609,6 +643,24 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** md5-derived SimHash packed into a 64-bit long — see
+  * [[TextHash.simhashMd5LongKernel]]. */
+case class SimHashMd5Long(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhashMd5LongKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.simhashMd5LongKernel($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** md5-sliced MinHash signature key string — see
   * [[TextHash.minhashMd5KeyKernel]]. */
 case class MinHashMd5Key(child: Expression, shingleN: Int) extends UnaryExpression {
@@ -707,6 +759,9 @@ object TextHashColumns {
 
   def simhashMd5(text: Column): Column =
     GraftShim.column(SimHashMd5(GraftShim.expression(text)))
+
+  def simhashMd5Long(text: Column): Column =
+    GraftShim.column(SimHashMd5Long(GraftShim.expression(text)))
 
   def lexicalStats(text: Column): Column =
     GraftShim.column(LexicalStats(GraftShim.expression(text)))

@@ -223,6 +223,15 @@ object Pipeline {
     "q_dedup_simhash_exact" -> ((s, dir) =>
       Dedup.simhashExactPairs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // radius-3 EXACT twin over the md5-bit signature: drives the SAME
+    // hamming64Pairs machinery as q_dedup_simhash/q_dedup_phash
+    // (pigeonhole chunks, bucket cap, ride-along sig, bit_count
+    // verification) with every bit SQL-replayable — the radius-N
+    // candidate path is driver-verified, not just spec-pinned
+    "q_dedup_hamming_exact" -> ((s, dir) =>
+      Dedup.simhashMd5Pairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+
     // MinHash banding with ONE band over all 8 md5-sliced hashes —
     // the oracle-checkable exact parameterization of q_dedup_minhash
     "q_dedup_minhash_exact" -> ((s, dir) =>
@@ -2804,6 +2813,31 @@ object Pipeline {
       s"""WITH $SimhashMd5Ctes
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM sigs a JOIN sigs b ON a.key = b.key AND a.doc_id < b.doc_id""",
+    // radius-3 hamming twin replica: the same md5-bit signature, cut
+    // into 4 × 16-bit chunks (string positions 1+16c .. 16+16c ⇔ long
+    // bits 16c..16c+15), buckets over (chunk, key) capped at 1000,
+    // candidates = bucket co-members deduped across chunks, verified
+    // by counting differing bit-string positions (= bit_count of the
+    // xor on the Spark side)
+    "q_dedup_hamming_exact" ->
+      s"""WITH $SimhashMd5Ctes,
+         chunks AS (
+           SELECT doc_id, key, c, substr(key, 1 + 16*c, 16) AS ck
+           FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS c)),
+         ok AS (SELECT c, ck FROM chunks GROUP BY c, ck HAVING count(*) <= 1000),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.key AS ka, b.key AS kb
+           FROM chunks a
+           JOIN ok USING (c, ck)
+           JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM (
+           SELECT id_a, id_b,
+             CAST(list_sum(list_transform(range(1, 65), i ->
+               CASE WHEN substr(ka, i, 1) <> substr(kb, i, 1)
+                    THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+           FROM cand)
+         WHERE hamming <= 3""",
     "q_dedup_minhash_exact" ->
       s"""WITH $MinhashMd5Ctes
          SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -170,6 +170,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashMd5Pairs == brute-force hamming ball; long sig bit-aligned with the bit string") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "completely different content about spark catalyst optimizer internals"),
+      (5L, "")).toDF("doc_id", "text")
+    // bit alignment contract the DuckDB oracle relies on: bit b of the
+    // packed long == char b of simhashMd5's bit string
+    val sigRows = df.filter(length(col("text")) > 0).select(
+      graft.plans.TextHashColumns.simhashMd5(col("text")).as("key"),
+      graft.plans.TextHashColumns.simhashMd5Long(col("text")).as("sig")).collect()
+    sigRows.foreach { r =>
+      val key = r.getString(0); val sig = r.getLong(1)
+      (0 until 64).foreach { b =>
+        assert(((sig >>> b) & 1L) == (if (key.charAt(b) == '1') 1L else 0L),
+          s"bit $b of $sig disagrees with $key")
+      }
+    }
+    // radius-N result == brute-force hamming ball over the same sigs
+    // (pigeonhole banding is exact; cap never fires on 4 docs)
+    for (k <- Seq(1, 3)) {
+      val got = Dedup.simhashMd5Pairs(df, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sigs = df.filter(length(col("text")) > 0).select(col("doc_id"),
+        graft.plans.TextHashColumns.simhashMd5Long(col("text")).as("sig"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= k
+      } yield (ia, ib, h)).toSet
+      assert(got == want, s"radius $k: got $got want $want")
+    }
+  }
+
   test("simhash of identical texts is identical; near texts are close") {
     import spark.implicits._
     val df = Seq(
