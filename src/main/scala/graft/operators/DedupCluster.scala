@@ -67,11 +67,20 @@ object DedupCluster {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      // probe on the materialized step — finds one changed row or none
+      // probe BEFORE materializing: the terminal round of every CC call
+      // is a pure re-verification (labels already at fixpoint), so
+      // probing the lazy step first lets that round skip the
+      // localCheckpoint job entirely — the fixpoint labels are the ones
+      // already checkpointed last round. Clique-ish near-dup graphs
+      // converge in one joined round, so this halves the loop's jobs in
+      // the common case; a non-terminal round pays the probe's
+      // early-exit partial scan (limit(1) stops at the first changed
+      // row) and then materializes as before.
       converged = step.filter(col("comp") < col("__old")).limit(1).count() == 0
-      labels = step.select(col("id"), col("comp"))
-      round += 1
+      if (!converged) {
+        labels = step.select(col("id"), col("comp")).localCheckpoint()
+        round += 1
+      }
     }
     require(converged,
       s"connected components did not converge within $maxIter rounds — " +
@@ -107,12 +116,23 @@ object DedupCluster {
       maxIter: Int = 20): DataFrame = {
     val l = labels.select(col("id"), col("comp"))
     // endpoints → existing representative (comp) where one exists
+    // remapping endpoints to representatives can collapse many batch
+    // pairs onto one representative edge (and onto self-loops when both
+    // endpoints already share a component) — and connectedComponents
+    // deliberately skips its own distinct(). Dedupe HERE, on the
+    // batch-sized reduced list, so the iterated rounds never re-join
+    // duplicated edges. Self-loops carry no merge information and every
+    // self-loop endpoint is an already-labelled representative (fresh
+    // ids can never equal an old representative under the documented
+    // arrival-ordered-id contract), so dropping them loses no node.
     val reducedEdges = newPairs
       .select(col(idA).as("a"), col(idB).as("b"))
       .join(l.select(col("id").as("a"), col("comp").as("ra")), Seq("a"), "left")
       .join(l.select(col("id").as("b"), col("comp").as("rb")), Seq("b"), "left")
       .select(coalesce(col("ra"), col("a")).as("id_a"),
         coalesce(col("rb"), col("b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
     // iterate ONLY over the reduced batch graph
     val reduced = connectedComponents(reducedEdges, "id_a", "id_b", maxIter)
     // previously-unlabelled endpoints (new docs, or old isolated docs a

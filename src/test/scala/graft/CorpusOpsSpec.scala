@@ -465,6 +465,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(merged(13L) == 7L && merged(14L) == 14L)
   }
 
+  test("mergeComponents dedupes representative edges and drops self-loops") {
+    import spark.implicits._
+    // history: {1,2,3} with rep 1, {5,6} with rep 5
+    val pairs1 = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels1 = DedupCluster.connectedComponents(pairs1)
+    // batch where endpoint remapping COLLAPSES pairs: (2,3) and (1,3)
+    // both reduce to the self-loop (1,1) — no merge information;
+    // (2,5), (3,6), (1,5) all reduce to the same representative edge
+    // (1,5); (11,12) is purely new. The reduced-edge dedupe must keep
+    // the labelling identical to a full recluster.
+    val pairs2 = Seq((2L, 3L), (1L, 3L), (2L, 5L), (3L, 6L), (1L, 5L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val merged = DedupCluster.mergeComponents(labels1, pairs2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = DedupCluster.connectedComponents(pairs1.unionByName(pairs2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+    assert(merged(6L) == 1L && merged(12L) == 11L)
+  }
+
   test("trainMerges learns the Sennrich merge order; trained table drives counting") {
     import spark.implicits._
     import graft.operators.Bpe
