@@ -1765,9 +1765,13 @@ object Relational {
         .select(col("__v").as(cols(i)), col("__rank").as(outs(i)))
       // exact per-column distinct count from the pass-1 stats: small
       // rank tables broadcast their attach join (see rankTable) —
-      // corrMatrix(spearman) on lineitem turns 2 of its 3 sort-merge
-      // attach joins of the full frame into broadcast-hash joins
-      // (quantity: 50 rows, discount: 11; price keeps SMJ).
+      // corrMatrix(spearman) on lineitem turns ALL THREE sort-merge
+      // attach joins of the full frame into broadcast-hash joins at
+      // sf0.1 (quantity: 50 rows, discount: 11, price: 583k — under
+      // the 1M bound there; a continuous column at production scale
+      // exceeds it and reverts to SMJ). One broadcast PER COLUMN can
+      // coexist in a single plan, so the per-table bound must be read
+      // times the caller's column count — see BroadcastRankRows.
       if (runK.getOrElse(i, 0L) <= BroadcastRankRows) broadcast(slice) else slice
     }
   }
@@ -1870,10 +1874,20 @@ object Relational {
   }
 
   /** Rank/quantile attach tables at or under this EXACT row count get
-    * a broadcast hint (~16 B/row → ≤ ~16 MB built): comfortably inside
-    * executor memory and the 8 GB/512M-row broadcast cap, far above
-    * the enum-like domains (flags, quantities, buckets) it exists
-    * for. */
+    * a broadcast hint. Honest sizing: the (value, rank) payload is
+    * ~16 B/row, but a built broadcast HashedRelation costs several
+    * times that (UnsafeRow framing + hash-map slots + pointer array —
+    * realistically ~70–100 B/row), so the 1M cap is ≤ ~100 MB built
+    * per table, and [[avgRankTables]] can hold one such broadcast per
+    * rank column in a single plan (3 columns in the corr-matrix
+    * family → worst case ~300 MB per executor). That is inside the
+    * "few hundred MB is usually fine" broadcast envelope and far
+    * under the 8 GB / 512M-row hard cap at any executor count —
+    * broadcasts replicate per executor, not per task, so 1000-executor
+    * fan-out multiplies cluster-wide bytes but not per-executor
+    * memory. A caller ranking MANY columns at once should lower the
+    * bound proportionally; the enum-like domains (flags, quantities,
+    * buckets) this exists for sit orders of magnitude below it. */
   private val BroadcastRankRows = 1000000L
 
   /** polars rolling_map — the generic bounded-window kernel the named
