@@ -41,6 +41,30 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesCounts is bit-identical to the range path on ties, nulls, odd ps") {
+    import spark.implicits._
+    // discrete domain with heavy ties + nulls, percentiles whose idx
+    // lands integral, half, and at awkward fractions
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(3000) { i =>
+      val v: java.lang.Double =
+        if (i % 17 == 0) null else (rnd.nextInt(50) + 1).toDouble
+      (s"g${i % 4}", v)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("p0" -> 0.0, "p03" -> 0.03, "p25" -> 0.25, "p50" -> 0.5,
+      "p77" -> 0.777, "p100" -> 1.0)
+    def toMap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getString(0) ->
+        (1 to ps.length).map(i => java.lang.Double.doubleToRawLongBits(r.getDouble(i))))
+      .toMap
+    val range = toMap(Quantiles.exactQuantiles(df, Seq("g"), "v", ps))
+    val counts = toMap(Quantiles.exactQuantilesCounts(df, Seq("g"), "v", ps))
+    assert(range == counts, s"range=$range counts=$counts")
+    assertThrows[IllegalArgumentException](
+      Quantiles.exactQuantilesCounts(df, Nil, "v", ps))
+  }
+
   test("the skeleton and rank paths share one range shuffle at runtime") {
     // both consumers of the range-partitioned data must resolve to the
     // same exchange (AQE reuse) — otherwise the corpus is scanned and
