@@ -832,19 +832,19 @@ object Dedup {
       maxShingleFreq: Int = 1000): DataFrame = {
     require(minSpanTokens >= shingleN,
       s"minSpanTokens ($minSpanTokens) must be >= shingleN ($shingleN)")
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    // the md5 KEY ships as 16-byte binary (unhex), not 32 hex chars:
-    // bucket membership is decided by md5 equality either way (unhex is
-    // injective on the hex alphabet), the key never reaches the output,
-    // and the window exchange+sort below moves half the key bytes —
-    // the oracle replays md5 semantics on the final span rows, which
-    // are unchanged
+    // the md5 KEY ships as 16-byte binary, not 32 hex chars: bucket
+    // membership is decided by md5 equality either way, the key never
+    // reaches the output, and the window exchange+sort below moves
+    // half the hex-string bytes. The digests come from ONE native
+    // kernel pass per doc (Md5Shingles — byte-for-byte
+    // unhex(md5(concat_ws(" ", slice(tokens, i, n))))) instead of the
+    // interpreted 4-expression HOF subtree per position, which was
+    // the twin's dominant cost. The oracle replays md5 semantics on
+    // the final span rows, which are unchanged.
     val pos = docs
       .filter(size(graft.functions.TextFunctions.tokens(col(textCol))) >= shingleN)
       .select(col(idCol).as("id"),
-        posexplode(transform(
-          sequence(lit(1), size(toks) - (shingleN - 1)),
-          i => unhex(md5(concat_ws(" ", slice(toks, i, lit(shingleN)))))))
+        posexplode(graft.plans.TextHashColumns.md5Shingles(col(textCol), shingleN))
           .as(Seq("__p0", "m")))
       .select(col("id"), (col("__p0") + 1).as("pos"), col("m"))
     // same single-window dup set as production duplicateSpans (the cap

@@ -312,6 +312,40 @@ object TextHash {
     UTF8String.fromBytes(out)
   }
 
+  /** One 16-byte md5 digest per `shingleN`-token shingle, by position —
+    * the native kernel behind the oracle-checkable span-dedup twin.
+    * Digest i (0-based) is md5 of the tokens i..i+n-1 joined by a
+    * single space, fed to MessageDigest incrementally — byte-for-byte
+    * `unhex(md5(concat_ws(" ", slice(tokens, i+1, n))))`, without
+    * materializing the joined string or running the 4-expression HOF
+    * subtree once per position (the interpreted transform chain was
+    * the twin's documented dominant cost). Docs with fewer than n
+    * tokens yield an empty array (the caller's size filter makes this
+    * unreachable in the span twin; kept total for safety). */
+  def md5ShinglesKernel(input: UTF8String, n: Int): GenericArrayData = {
+    val toks = whitespaceTokens(input)
+    val m = toks.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](m)
+    var t = 0
+    while (t < m) { bytes(t) = toks(t).getBytes; t += 1 }
+    val md = Md5.get()
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes(i + j))
+        j += 1
+      }
+      out(i) = md.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** The packed-LONG form of [[simhashMd5Kernel]] — identical bit
     * semantics (bit b of the long ⇔ char b of the bit string), shaped
     * for [[graft.operators.Dedup.hamming64Pairs]]' chunk banding and
@@ -643,6 +677,25 @@ case class SimHashMd5(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional md5 shingle digests — array<binary>, one 16-byte digest
+  * per shingle position; see [[TextHash.md5ShinglesKernel]]. */
+case class Md5Shingles(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.md5ShinglesKernel(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.md5ShinglesKernel($c, $shingleN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** md5-derived SimHash packed into a 64-bit long — see
   * [[TextHash.simhashMd5LongKernel]]. */
 case class SimHashMd5Long(child: Expression) extends UnaryExpression {
@@ -762,6 +815,9 @@ object TextHashColumns {
 
   def simhashMd5Long(text: Column): Column =
     GraftShim.column(SimHashMd5Long(GraftShim.expression(text)))
+
+  def md5Shingles(text: Column, shingleN: Int): Column =
+    GraftShim.column(Md5Shingles(GraftShim.expression(text), shingleN))
 
   def lexicalStats(text: Column): Column =
     GraftShim.column(LexicalStats(GraftShim.expression(text)))

@@ -170,6 +170,32 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("md5Shingles kernel == the unhex(md5(concat_ws)) HOF chain, byte for byte") {
+    import spark.implicits._
+    val df = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "  spaced\ttokens\nnewlines   and runs  of whitespace here",
+      "unicode 中文 tokens naïve café résumé mixed in stream",
+      "exactly five tokens right here",
+      "short doc").toDF("text")
+    for (n <- Seq(3, 5)) {
+      val toks = TF.tokens(col("text"))
+      val hof = transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => unhex(md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      val cmp = df.filter(size(TF.tokens(col("text"))) >= n).select(
+        graft.plans.TextHashColumns.md5Shingles(col("text"), n).as("k"),
+        hof.as("h"))
+      val rows = cmp.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val k = r.getSeq[Array[Byte]](0).map(_.toSeq)
+        val h = r.getSeq[Array[Byte]](1).map(_.toSeq)
+        assert(k == h, s"kernel digests diverge from the HOF chain at n=$n")
+      }
+    }
+  }
+
   test("simhashMd5Pairs == brute-force hamming ball; long sig bit-aligned with the bit string") {
     import spark.implicits._
     val df = Seq(
